@@ -1,0 +1,79 @@
+"""cs304_tpu — a TPU-native speech-recognition framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+loeeeee/CS-304-Speech-Recognition-Code (reference mounted at /root/reference):
+
+- MFCC front-end (39-dim: 13 normalized MFCCs + delta + delta-delta), jittable and
+  vmappable, bit-comparable to the reference's librosa pipeline
+  (reference: src/loe_speech_recognition/mfcc.py).
+- Single-word left-to-right HMMs with full-covariance Gaussian (and K-mixture GMM)
+  emissions, Viterbi via lax.scan with all-states-parallel max-plus updates
+  (reference: src/loe_speech_recognition/hidden_markov_model.py:51-208).
+- Segmental k-means (Viterbi) training, batched over padded utterances
+  (reference: hidden_markov_model.py:211-410).
+- Continuous-speech composite decoder with inter-word penalties and silence models
+  (reference: hidden_markov_model.py:413-581).
+- Embedded continuous training over digit-string transcripts
+  (reference: hidden_markov_model.py:584-797).
+- Multi-template DTW recognizer (reference: dynamic_time_wrapping.py).
+- TI-Digits corpus plumbing, endpointing, reporting, checkpoints, typed configs.
+
+The compute path is pure JAX (jit/vmap/scan/pallas); batch-level parallelism is
+expressed with jax.sharding over a device Mesh (replacing the reference's
+ProcessPoolExecutor fan-out, hidden_markov_model.py:300-305).
+"""
+
+__version__ = "0.1.0"
+
+import importlib as _importlib
+
+# Public name -> defining submodule. Resolved lazily (PEP 562) so that optional
+# heavy imports (matplotlib, audio backends) only load when actually used.
+_EXPORTS = {
+    "MFCCConfig": ".ops.mfcc",
+    "mfcc_features": ".ops.mfcc",
+    "mfcc_batch": ".ops.mfcc",
+    "GaussianParams": ".ops.gaussian",
+    "gaussian_log_pdf": ".ops.gaussian",
+    "make_gaussian_params": ".ops.gaussian",
+    "viterbi_banded": ".ops.viterbi",
+    "viterbi_composite": ".ops.viterbi",
+    "WordHMM": ".models.hmm",
+    "CompositeHMM": ".models.hmm",
+    "stack_word_models": ".models.hmm",
+    "train_word_hmm": ".models.train_kmeans",
+    "SegmentalKMeansConfig": ".models.train_kmeans",
+    "ContinuousDecoder": ".models.decoder",
+    "ModelCollection": ".models.collection",
+    "ContinuousTrainer": ".models.train_continuous",
+    "insert_silence": ".models.train_continuous",
+    "TIDigits": ".data.ti_digits",
+    "DataLoader": ".data.ti_digits",
+    "TI_DIGITS_LABELS": ".data.ti_digits",
+    "SignalSeparation": ".audio.endpointing",
+    "CSVReader": ".reporting.csvnia",
+    "CSVWriter": ".reporting.csvnia",
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        module = _importlib.import_module(_EXPORTS[name], __name__)
+        value = getattr(module, name)
+        globals()[name] = value
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "MFCCConfig", "mfcc_features", "mfcc_batch",
+    "GaussianParams", "gaussian_log_pdf", "make_gaussian_params",
+    "viterbi_banded", "viterbi_composite",
+    "WordHMM", "CompositeHMM", "stack_word_models",
+    "train_word_hmm", "SegmentalKMeansConfig",
+    "ContinuousDecoder", "ModelCollection",
+    "ContinuousTrainer", "insert_silence",
+    "TIDigits", "DataLoader", "TI_DIGITS_LABELS",
+    "SignalSeparation",
+    "CSVReader", "CSVWriter",
+]

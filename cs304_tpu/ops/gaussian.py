@@ -1,0 +1,140 @@
+"""Batched full-covariance Gaussian (and K-mixture GMM) log-densities.
+
+The reference scores one frame under one state at a time through frozen
+scipy.stats.multivariate_normal objects (reference: hidden_markov_model.py:20-48,
+called per (t, state) inside the trellis loops at :189 and :526). Here the whole
+(T, S) emission matrix is one whitening matmul on the MXU:
+
+    y[t, s, :] = L_s^{-1} (x_t - mu_s)        (precomputed W_s = L_s^{-1})
+    logpdf[t, s] = -0.5 (D log 2pi + logdet Sigma_s + ||y[t, s]||^2)
+
+GMM emissions (K mixtures per state) reduce over the mixture axis with
+logsumexp; K=1 reproduces the single-Gaussian path exactly (capability from the
+reference's deprecated GMM-HMM, deprecated/gaussian_mixture_model.py:152-164).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .logmath import logsumexp
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+class GaussianParams(NamedTuple):
+    """Precomputed per-state Gaussian emission parameters.
+
+    means:       (S, D)
+    whiten:      (S, D, D)  inverse Cholesky factors W_s = L_s^{-1}
+    log_norm:    (S,)       -0.5 * (D log 2pi + logdet Sigma_s)
+    """
+
+    means: jax.Array
+    whiten: jax.Array
+    log_norm: jax.Array
+
+    @property
+    def num_states(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.means.shape[1]
+
+
+def make_gaussian_params(means: jax.Array, covariances: jax.Array) -> GaussianParams:
+    """Build emission params from (S, D) means and (S, D, D) covariances.
+
+    Cholesky + triangular inversion happen once per M-step, not per frame.
+    """
+    means = jnp.asarray(means, jnp.float32)
+    covariances = jnp.asarray(covariances, jnp.float32)
+    chol = jnp.linalg.cholesky(covariances)  # (S, D, D)
+    d = means.shape[-1]
+    eye = jnp.eye(d, dtype=jnp.float32)
+    whiten = jax.vmap(
+        lambda l: jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    )(chol)
+    log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    log_norm = -0.5 * (d * _LOG_2PI + log_det)
+    return GaussianParams(means=means, whiten=whiten, log_norm=log_norm)
+
+
+def gaussian_log_pdf(params: GaussianParams, frames: jax.Array) -> jax.Array:
+    """Emission matrix for a frame sequence.
+
+    frames: (T, D) -> returns (T, S) log-densities. The contraction is a single
+    (S*D, D) x (D, T) matmul, which XLA tiles onto the MXU.
+    """
+    # y[t, s, d] = sum_e whiten[s, d, e] * frames[t, e]  minus the whitened mean
+    wx = jnp.einsum(
+        "sde,te->tsd", params.whiten, frames, preferred_element_type=jnp.float32
+    )
+    wmu = jnp.einsum(
+        "sde,se->sd", params.whiten, params.means, preferred_element_type=jnp.float32
+    )
+    y = wx - wmu[None, :, :]
+    quad = jnp.sum(y * y, axis=-1)  # (T, S)
+    return params.log_norm[None, :] - 0.5 * quad
+
+
+class GMMParams(NamedTuple):
+    """K-mixture GMM emission parameters.
+
+    means:       (S, K, D)
+    whiten:      (S, K, D, D)
+    log_norm:    (S, K)
+    log_weights: (S, K)
+    """
+
+    means: jax.Array
+    whiten: jax.Array
+    log_norm: jax.Array
+    log_weights: jax.Array
+
+    @property
+    def num_states(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def num_mixtures(self) -> int:
+        return self.means.shape[1]
+
+
+def make_gmm_params(
+    means: jax.Array, covariances: jax.Array, weights: jax.Array
+) -> GMMParams:
+    """means (S, K, D), covariances (S, K, D, D), weights (S, K) -> GMMParams."""
+    s, k, d = means.shape
+    flat = make_gaussian_params(
+        means.reshape(s * k, d), covariances.reshape(s * k, d, d)
+    )
+    log_w = jnp.log(jnp.asarray(weights, jnp.float32))
+    return GMMParams(
+        means=flat.means.reshape(s, k, d),
+        whiten=flat.whiten.reshape(s, k, d, d),
+        log_norm=flat.log_norm.reshape(s, k),
+        log_weights=log_w,
+    )
+
+
+def gmm_log_pdf(
+    params: GMMParams, frames: jax.Array, return_components: bool = False
+):
+    """frames (T, D) -> (T, S) GMM log-densities; optionally per-mixture (T, S, K)."""
+    s, k, d = params.means.shape
+    flat = GaussianParams(
+        means=params.means.reshape(s * k, d),
+        whiten=params.whiten.reshape(s * k, d, d),
+        log_norm=params.log_norm.reshape(s * k),
+    )
+    comp = gaussian_log_pdf(flat, frames).reshape(-1, s, k)  # (T, S, K)
+    weighted = comp + params.log_weights[None, :, :]
+    out = logsumexp(weighted, axis=-1)
+    if return_components:
+        return out, weighted
+    return out

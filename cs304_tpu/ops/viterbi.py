@@ -1,0 +1,231 @@
+"""Viterbi trellis recursions as lax.scan over max-plus vector-matrix products.
+
+The reference iterates `for t in 1..T: for state in S: for pred in band` in pure
+Python with per-cell scipy logpdf calls (reference: hidden_markov_model.py:160-208
+single-word, :481-581 composite). Here one time step is a whole-vector tropical
+update new_alpha = max_{s'}(alpha[s'] + M[s', s]) + log_b[t, s], so the T-loop is
+a lax.scan and everything inside it is VPU/MXU work. Emissions (T, S) are
+precomputed in one batched matmul (ops/gaussian.py).
+
+Topology is encoded once into a dense effective transition matrix M:
+
+- Single word (left-to-right, max skip 2): M[s', s] = log_a[s', s] iff
+  max(s-2, 0) <= s' <= s (reference: hidden_markov_model.py:181).
+- Composite multi-word: word-internal states keep the band clipped at the word's
+  entry state; word-entry states additionally accept every word-exit state with a
+  flat inter-word log penalty (reference: hidden_markov_model.py:508-559).
+
+Dense (S, S) is the right TPU layout: the reference tops out at 58 composite
+states (11 digit words x 5 + silence x 3); padding to the 128-lane VPU register
+is cheaper than any sparse indexing.
+
+Backtrace parity note: the reference's backtrace (hidden_markov_model.py:200-208,
+:573-581) drops the true final state — its decoded path satisfies
+path[T-1] == path[T-2] == standard_state[T-2]. `quirk_backtrace=True` (default)
+reproduces that exactly so decoded digit strings and training alignments match;
+set it False for the textbook backtrace. Backpointers are int32, fixing the
+reference's int8 tracer overflow beyond 127 states (hidden_markov_model.py:175).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def banded_transition_matrix(log_a: jax.Array, skip: int = 2) -> jax.Array:
+    """Mask a dense (S, S) log-transition matrix to the left-to-right band.
+
+    Allowed: s - skip <= s' <= s (predecessor band of the reference's single-word
+    Viterbi, hidden_markov_model.py:181).
+    """
+    s = log_a.shape[0]
+    frm = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    to = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    allowed = (frm <= to) & (frm >= to - skip)
+    return jnp.where(allowed, log_a, -jnp.inf)
+
+
+def composite_transition_matrix(
+    log_a: jax.Array,
+    lower_of_state: jax.Array,
+    is_entry: jax.Array,
+    is_exit: jax.Array,
+    penalty: jax.Array | float,
+    skip: int = 2,
+) -> jax.Array:
+    """Effective transition matrix of the flattened multi-word state space.
+
+    lower_of_state: (S,) int32, entry-state index of the word containing s.
+    is_entry/is_exit: (S,) bool masks of word entry/exit states.
+    penalty: flat inter-word log-transition penalty (reference default
+    log(0.005), hidden_markov_model.py:419; tuned to -100/-250 in the project5
+    scripts).
+
+    Word-internal column s: M[s', s] = log_a[s', s] iff
+    max(s - skip, lower(s)) <= s' <= s  (hidden_markov_model.py:518).
+    Word-entry column e: self-loop log_a[e, e] plus penalty from every word-exit
+    state (hidden_markov_model.py:533-544). Tie-breaking between an exit state
+    and the self-loop differs from the reference only on exact float ties
+    (reference orders exits before the self-loop; the dense argmax orders by
+    state index) — a measure-zero divergence, documented here.
+    """
+    s = log_a.shape[0]
+    frm = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    to = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    lower_to = lower_of_state[None, :]
+    band = (frm <= to) & (frm >= jnp.maximum(to - skip, lower_to))
+    m_internal = jnp.where(band, log_a, -jnp.inf)
+
+    penalty = jnp.asarray(penalty, log_a.dtype)
+    m_entry = jnp.where(is_exit[:, None], penalty, -jnp.inf)
+    diag = frm == to
+    self_loop = jnp.where(diag, log_a, -jnp.inf)
+    # A single-state word is both entry and exit: take the better of its
+    # self-loop and the inter-word penalty (the reference evaluates both
+    # candidates separately; max reproduces its argmax winner).
+    m_entry = jnp.maximum(m_entry, self_loop)
+
+    return jnp.where(is_entry[None, :], m_entry, m_internal)
+
+
+def _scan_trellis(log_b: jax.Array, trans: jax.Array, alpha0: jax.Array, length):
+    """Run the forward max-plus recursion.
+
+    Returns (alpha_final (S,), backpointers (T, S) int32). Steps with t >= length
+    are no-ops (carry passes through) so padded batches score identically to
+    their unpadded contents.
+    """
+    t_total, s = log_b.shape
+    length = jnp.asarray(length, jnp.int32)
+
+    def step(alpha, inputs):
+        t, log_b_t = inputs
+        scores = alpha[:, None] + trans  # (S_from, S_to)
+        new_alpha = jnp.max(scores, axis=0) + log_b_t
+        bp = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        live = t < length
+        alpha = jnp.where(live, new_alpha, alpha)
+        return alpha, bp
+
+    ts = jnp.arange(1, t_total, dtype=jnp.int32)
+    alpha_final, bps = jax.lax.scan(step, alpha0, (ts, log_b[1:]))
+    backptrs = jnp.concatenate(
+        [jnp.full((1, s), -1, jnp.int32), bps], axis=0
+    )  # row 0 mirrors the reference's tracer[0] = -1 (hidden_markov_model.py:175)
+    return alpha_final, backptrs
+
+
+def _backtrace(backptrs: jax.Array, best_state: jax.Array, length, quirk: bool):
+    """Reverse scan through the backpointers.
+
+    Standard: path[L-1] = best, path[t] = bp[t+1, path[t+1]].
+    Quirk (reference parity): the final state is dropped and the second-to-last
+    repeated — path[L-1] = path[L-2] = bp[L-1, best] (hidden_markov_model.py:200-208).
+    Entries at t >= length are padded with the last real state.
+    """
+    t_total, s = backptrs.shape
+    length = jnp.asarray(length, jnp.int32)
+    ts = jnp.arange(t_total - 1, 0, -1, dtype=jnp.int32)
+
+    def rev_step(state, inputs):
+        t, bp_t = inputs
+        live = t <= length - 1
+        emit = state
+        new_state = jnp.where(live, bp_t[state], state)
+        return new_state, emit
+
+    final_state, emitted = jax.lax.scan(
+        rev_step, best_state, (ts, backptrs[t_total - 1 : 0 : -1])
+    )
+    path = jnp.concatenate([jnp.array([final_state]), emitted[::-1]])
+    if quirk:
+        last = jnp.maximum(length - 1, 0)
+        second = jnp.maximum(length - 2, 0)
+        path = path.at[last].set(path[second])
+    return path.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("quirk_backtrace", "skip"))
+def viterbi_banded(
+    log_b: jax.Array,
+    log_a: jax.Array,
+    length=None,
+    quirk_backtrace: bool = True,
+    skip: int = 2,
+):
+    """Single left-to-right word HMM Viterbi.
+
+    log_b: (T, S) emission log-densities; log_a: (S, S) dense log transitions.
+    Entry is pinned to state 0 and the start includes the self-loop probability,
+    exactly as the reference does (hidden_markov_model.py:81-83). Score is the
+    final likelihood of the last state (hidden_markov_model.py:198).
+
+    Returns (score, path (T,) int32).
+    """
+    t_total, s = log_b.shape
+    if length is None:
+        length = t_total
+    trans = banded_transition_matrix(log_a, skip=skip)
+    alpha0 = jnp.full((s,), -jnp.inf, log_b.dtype).at[0].set(log_b[0, 0] + log_a[0, 0])
+    alpha, backptrs = _scan_trellis(log_b, trans, alpha0, length)
+    score = alpha[s - 1]
+    path = _backtrace(backptrs, jnp.asarray(s - 1, jnp.int32), length, quirk_backtrace)
+    return score, path
+
+
+@partial(jax.jit, static_argnames=("quirk_backtrace", "skip"))
+def viterbi_composite(
+    log_b: jax.Array,
+    log_a: jax.Array,
+    lower_of_state: jax.Array,
+    is_entry: jax.Array,
+    is_exit: jax.Array,
+    penalty,
+    length=None,
+    quirk_backtrace: bool = True,
+    skip: int = 2,
+):
+    """Continuous-speech Viterbi over the flattened multi-word state space.
+
+    Initialization seeds every word-entry state (hidden_markov_model.py:464-467);
+    termination takes the best word-exit state (first max on ties,
+    hidden_markov_model.py:566-571).
+
+    Returns (score, path (T,) int32).
+    """
+    t_total, s = log_b.shape
+    if length is None:
+        length = t_total
+    trans = composite_transition_matrix(
+        log_a, lower_of_state, is_entry, is_exit, penalty, skip=skip
+    )
+    diag = jnp.diagonal(log_a)
+    alpha0 = jnp.where(is_entry, log_b[0] + diag, -jnp.inf)
+    alpha, backptrs = _scan_trellis(log_b, trans, alpha0, length)
+
+    exit_scores = jnp.where(is_exit, alpha, -jnp.inf)
+    score = jnp.max(exit_scores)
+    best_state = jnp.argmax(exit_scores).astype(jnp.int32)
+    path = _backtrace(backptrs, best_state, length, quirk_backtrace)
+    return score, path
+
+
+def viterbi_banded_batch(log_b, log_a, lengths, quirk_backtrace: bool = True):
+    """vmap of viterbi_banded over a padded batch: log_b (B, T, S), lengths (B,)."""
+    fn = lambda b, l: viterbi_banded(b, log_a, l, quirk_backtrace=quirk_backtrace)
+    return jax.vmap(fn)(log_b, lengths)
+
+
+def viterbi_composite_batch(
+    log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
+    quirk_backtrace: bool = True,
+):
+    """vmap of viterbi_composite over a padded batch."""
+    fn = lambda b, l: viterbi_composite(
+        b, log_a, lower_of_state, is_entry, is_exit, penalty, l,
+        quirk_backtrace=quirk_backtrace,
+    )
+    return jax.vmap(fn)(log_b, lengths)
