@@ -70,12 +70,16 @@ def gaussian_log_pdf(params: GaussianParams, frames: jax.Array) -> jax.Array:
     frames: (T, D) -> returns (T, S) log-densities. The contraction is a single
     (S*D, D) x (D, T) matmul, which XLA tiles onto the MXU.
     """
-    # y[t, s, d] = sum_e whiten[s, d, e] * frames[t, e]  minus the whitened mean
+    # y[t, s, d] = sum_e whiten[s, d, e] * frames[t, e]  minus the whitened mean.
+    # precision=HIGHEST keeps emission scores f32-exact on the MXU (the matmul
+    # is small; decode parity with the reference depends on it).
     wx = jnp.einsum(
-        "sde,te->tsd", params.whiten, frames, preferred_element_type=jnp.float32
+        "sde,te->tsd", params.whiten, frames,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     wmu = jnp.einsum(
-        "sde,se->sd", params.whiten, params.means, preferred_element_type=jnp.float32
+        "sde,se->sd", params.whiten, params.means,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     y = wx - wmu[None, :, :]
     quad = jnp.sum(y * y, axis=-1)  # (T, S)

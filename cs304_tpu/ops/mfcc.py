@@ -1,0 +1,313 @@
+"""TPU-native MFCC front-end, bit-comparable to the reference's librosa pipeline.
+
+Reference pipeline (src/loe_speech_recognition/mfcc.py:24-44):
+  melspectrogram(y, sr, n_mels=40, n_fft=320, hop=160, fmin=133.33, fmax=6855.4976)
+  -> power_to_db(ref=max)            (amin=1e-10, top_db=80)
+  -> mfcc(n_mfcc=13)                 (DCT-II, ortho, over the mel axis)
+  -> delta / delta-delta             (Savitzky-Golay width=9, mode='interp')
+  -> concat([normalize(mfcc), d1, d2])  (T, 39)
+
+The reference's `normalize_mfccs` (mfcc.py:50-69) normalizes across the 13
+coefficients *per frame* (axis=0 of the (13, T) array), despite its docstring
+claiming per-coefficient-over-time; we replicate that exactly for parity
+(SURVEY.md §7 "known defects").
+
+Everything here is a static linear operator: framing is a reshape (hop is
+exactly n_fft/2), the 320-point real DFT is two (320, 161) matmuls, the mel
+filterbank and DCT are matmuls, and the Savitzky-Golay deltas are a small
+convolution plus two static edge matrices. All of it maps onto the MXU and
+fuses under jit; the whole corpus runs as one vmapped batch instead of the
+reference's per-clip Python loop (mfcc.py:71-84).
+
+Padded-batch correctness: per-utterance reductions (the db reference max, the
+top_db clamp, the 'interp' right edge of the deltas) are masked/dynamically
+sliced by the true frame count, so padding never perturbs features.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------------------
+# Static constants (host-side NumPy, computed once at import)
+# ----------------------------------------------------------------------------
+
+def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
+    f = np.asarray(f, np.float64)
+    f_sp = 200.0 / 3
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = f >= min_log_hz
+    mels = np.where(log_t, min_log_mel + np.log(np.maximum(f, 1e-20) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, np.float64)
+    f_sp = 200.0 / 3
+    freqs = m * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = m >= min_log_mel
+    freqs = np.where(log_t, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+    return freqs
+
+
+def mel_filterbank(
+    sr: float, n_fft: int, n_mels: int, fmin: float, fmax: float
+) -> np.ndarray:
+    """Slaney-style mel filterbank, identical to librosa.filters.mel(htk=False,
+    norm='slaney'). Returns (n_mels, 1 + n_fft // 2)."""
+    fftfreqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    mel_pts = _mel_to_hz_slaney(
+        np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    )
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_pts[2 : n_mels + 2] - mel_pts[:n_mels])
+    return (weights * enorm[:, None]).astype(np.float32)
+
+
+def dct_ortho_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_out, n_in), matching scipy.fft.dct(norm='ortho')."""
+    n = np.arange(n_in)
+    k = np.arange(n_out)[:, None]
+    m = np.cos(np.pi * k * (2 * n[None, :] + 1) / (2 * n_in))
+    m *= np.sqrt(2.0 / n_in)
+    m[0] *= np.sqrt(0.5)
+    return m.astype(np.float32)
+
+
+def _savgol_operators(width: int, polyorder: int, deriv: int):
+    """Savitzky-Golay operators matching scipy.signal.savgol_filter(mode='interp').
+
+    Returns (interior (width,), edge_left (half, width), edge_right (half, width)).
+    interior is applied as a correlation centered on each frame; edge_left maps
+    the first `width` samples to outputs 0..half-1; edge_right maps the last
+    `width` samples to outputs -half..-1.
+    """
+    half = width // 2
+    x = np.arange(width, dtype=np.float64)
+    vand = np.vander(x, polyorder + 1, increasing=True)  # (width, p+1)
+    pinv = np.linalg.pinv(vand)  # (p+1, width): data -> poly coeffs
+
+    def deriv_eval_row(t: float) -> np.ndarray:
+        row = np.zeros(polyorder + 1)
+        for j in range(deriv, polyorder + 1):
+            fac = 1.0
+            for r in range(deriv):
+                fac *= j - r
+            row[j] = fac * t ** (j - deriv)
+        return row
+
+    interior = deriv_eval_row(half) @ pinv  # (width,)
+    edge_left = np.stack([deriv_eval_row(t) @ pinv for t in range(half)])
+    edge_right = np.stack(
+        [deriv_eval_row(t) @ pinv for t in range(half + 1, width)]
+    )
+    return (
+        interior.astype(np.float32),
+        edge_left.astype(np.float32),
+        edge_right.astype(np.float32),
+    )
+
+
+@dataclass(frozen=True)
+class MFCCConfig:
+    """Front-end hyperparameters (defaults = the reference's, mfcc.py:31-43)."""
+
+    sample_rate: float = 16000.0
+    n_fft: int = 320
+    hop_length: int = 160
+    n_mels: int = 40
+    n_mfcc: int = 13
+    fmin: float = 133.33
+    fmax: float = 6855.4976
+    amin: float = 1e-10
+    top_db: float = 80.0
+    delta_width: int = 9
+    normalize_eps: float = 1e-8
+
+    @property
+    def feature_dim(self) -> int:
+        return 3 * self.n_mfcc
+
+    def num_frames(self, num_samples: int) -> int:
+        """Centered STFT frame count: 1 + len // hop (librosa center=True)."""
+        return 1 + num_samples // self.hop_length
+
+
+def _constants(cfg: MFCCConfig):
+    n_bins = 1 + cfg.n_fft // 2
+    n = np.arange(cfg.n_fft)
+    # Periodic Hann window (scipy.signal.get_window('hann', fftbins=True)).
+    hann = (0.5 - 0.5 * np.cos(2 * np.pi * n / cfg.n_fft)).astype(np.float32)
+    k = np.arange(n_bins)
+    ang = 2 * np.pi * np.outer(n, k) / cfg.n_fft
+    dft_cos = (np.cos(ang) * hann[:, None]).astype(np.float32)  # window folded in
+    dft_sin = (-np.sin(ang) * hann[:, None]).astype(np.float32)
+    mel_fb = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    dct_m = dct_ortho_matrix(cfg.n_mfcc, cfg.n_mels)
+    d1 = _savgol_operators(cfg.delta_width, 1, 1)
+    d2 = _savgol_operators(cfg.delta_width, 2, 2)
+    return hann, dft_cos, dft_sin, mel_fb, dct_m, d1, d2
+
+
+_CONST_CACHE: dict = {}
+
+
+def _cached_constants(cfg: MFCCConfig):
+    # Cache host NumPy arrays only: they embed as XLA constants at trace time.
+    # (Caching jnp arrays created inside a trace would leak tracers.)
+    if cfg not in _CONST_CACHE:
+        _CONST_CACHE[cfg] = _constants(cfg)
+    return _CONST_CACHE[cfg]
+
+
+def _power_spectrogram(signal: jax.Array, cfg: MFCCConfig, dft_cos, dft_sin):
+    """(L,) -> (T, n_bins) power spectrogram, centered, zero pad_mode.
+
+    hop == n_fft/2, so framing is a reshape: frame t = blocks[t] ++ blocks[t+1]
+    of the center-padded signal split into hop-sized blocks.
+    """
+    hop = cfg.hop_length
+    length = signal.shape[0]
+    t_frames = 1 + length // hop
+    # Center pad by n_fft//2 (== hop), then round up to a whole block.
+    pad_tail = hop + (-(length + 2 * hop) % hop) + hop
+    padded = jnp.pad(signal, (hop, pad_tail))
+    blocks = padded.reshape(-1, hop)
+    frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)[:t_frames]
+    # precision=HIGHEST: these matmuls are tiny, and MXU bf16 rounding would
+    # break bit-comparability with the reference features.
+    re = jnp.dot(frames, dft_cos, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.dot(frames, dft_sin, precision=jax.lax.Precision.HIGHEST)
+    return re * re + im * im
+
+
+def _power_to_db(mel_power: jax.Array, frame_mask: jax.Array, cfg: MFCCConfig):
+    """librosa.power_to_db(ref=np.max) with the per-utterance max masked to
+    real frames. mel_power: (T, n_mels); frame_mask: (T,) bool."""
+    log10 = jnp.log(10.0)
+    log_spec = 10.0 * jnp.log(jnp.maximum(cfg.amin, mel_power)) / log10
+    masked = jnp.where(frame_mask[:, None], mel_power, 0.0)
+    ref = jnp.max(masked)
+    log_spec = log_spec - 10.0 * jnp.log(jnp.maximum(cfg.amin, ref)) / log10
+    peak = jnp.max(jnp.where(frame_mask[:, None], log_spec, -jnp.inf))
+    return jnp.maximum(log_spec, peak - cfg.top_db)
+
+
+def _savgol_interp(x: jax.Array, n_frames: jax.Array, ops, width: int):
+    """Savitzky-Golay filter along axis 0 with scipy's mode='interp' edges.
+
+    x: (T, C) padded; n_frames: true frame count (traced). The right edge is a
+    dynamic slice of the last `width` real frames.
+    """
+    interior, edge_left, edge_right = ops
+    half = width // 2
+    t_total, c = x.shape
+    # Interior: correlation along time (XLA conv IS correlation — no kernel
+    # flip); values within `half` of either true edge get overwritten below.
+    y = jax.lax.conv_general_dilated(
+        x.T[:, None, :],  # (C, 1, T)
+        interior[None, None, :],
+        window_strides=(1,),
+        padding=((half, half),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :].T  # (T, C)
+
+    # Left edge: static.
+    y = y.at[:half].set(edge_left @ jax.lax.dynamic_slice_in_dim(x, 0, width, 0))
+
+    # Right edge: last `half` real frames, from the window ending at n_frames.
+    start = jnp.clip(n_frames - width, 0)
+    tail = jax.lax.dynamic_slice_in_dim(x, start, width, 0)  # (width, C)
+    right_vals = edge_right @ tail  # (half, C)
+    row_idx = jnp.arange(t_total)[:, None]
+    # Scatter right_vals into rows n_frames-half .. n_frames-1.
+    offset = row_idx - (n_frames - half)
+    in_right = (offset >= 0) & (offset < half)
+    gathered = right_vals[jnp.clip(offset[:, 0], 0, half - 1)]
+    return jnp.where(in_right, gathered, y)
+
+
+def _normalize_per_frame(mfcc: jax.Array, cfg: MFCCConfig) -> jax.Array:
+    """The reference's quirky normalization: mean/std across the coefficient
+    axis for each frame (mfcc.py:62-66 operates on axis=0 of (13, T))."""
+    mean = jnp.mean(mfcc, axis=-1, keepdims=True)
+    std = jnp.std(mfcc, axis=-1, keepdims=True)
+    return (mfcc - mean) / (std + cfg.normalize_eps)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mfcc_features(
+    signal: jax.Array, num_samples=None, cfg: MFCCConfig = MFCCConfig()
+):
+    """(L,) float32 signal -> ((T, 39) features, T_valid).
+
+    T = cfg.num_frames(L) is static; rows >= T_valid are padding when
+    num_samples < L. Matches MFCC(signal, sr).feature_vector.T of the reference.
+    """
+    hann, dft_cos, dft_sin, mel_fb, dct_m, d1, d2 = _cached_constants(cfg)
+    signal = jnp.asarray(signal, jnp.float32)
+    if num_samples is None:
+        num_samples = signal.shape[0]
+    num_samples = jnp.asarray(num_samples, jnp.int32)
+    n_frames = 1 + num_samples // cfg.hop_length
+    # Zero the padding tail: the final centered frames overlap samples past
+    # num_samples, which must read as silence exactly like librosa's own pad.
+    signal = jnp.where(jnp.arange(signal.shape[0]) < num_samples, signal, 0.0)
+
+    power = _power_spectrogram(signal, cfg, dft_cos, dft_sin)  # (T, bins)
+    t_total = power.shape[0]
+    frame_mask = jnp.arange(t_total) < n_frames
+
+    mel_power = jnp.dot(power, mel_fb.T, precision=jax.lax.Precision.HIGHEST)
+    log_mel = _power_to_db(mel_power, frame_mask, cfg)
+    mfcc = jnp.dot(log_mel, dct_m.T, precision=jax.lax.Precision.HIGHEST)
+
+    delta1 = _savgol_interp(mfcc, n_frames, d1, cfg.delta_width)
+    delta2 = _savgol_interp(mfcc, n_frames, d2, cfg.delta_width)
+    feats = jnp.concatenate(
+        [_normalize_per_frame(mfcc, cfg), delta1, delta2], axis=-1
+    )
+    feats = jnp.where(frame_mask[:, None], feats, 0.0)
+    return feats, n_frames
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mfcc_features_batch(
+    signals: jax.Array, num_samples: jax.Array, cfg: MFCCConfig = MFCCConfig()
+):
+    """(B, L) padded signals + (B,) true lengths -> ((B, T, 39), (B,) frame counts)."""
+    return jax.vmap(lambda s, n: mfcc_features(s, n, cfg))(signals, num_samples)
+
+
+def mfcc_batch(signals, sample_rate: float = 16000.0, cfg: MFCCConfig | None = None):
+    """Host convenience mirroring MFCC.batch (reference mfcc.py:71-84).
+
+    Takes a list of 1-D float arrays, returns a list of (T_i, 39) float32
+    arrays. Pads to the max length, runs one vmapped device batch, slices back.
+    """
+    if cfg is None:
+        cfg = MFCCConfig(sample_rate=sample_rate)
+    lengths = np.array([len(s) for s in signals], np.int32)
+    l_max = int(lengths.max())
+    batch = np.zeros((len(signals), l_max), np.float32)
+    for i, s in enumerate(signals):
+        batch[i, : len(s)] = np.asarray(s, np.float32)
+    feats, n_frames = mfcc_features_batch(jnp.asarray(batch), jnp.asarray(lengths), cfg)
+    feats = np.asarray(feats)
+    n_frames = np.asarray(n_frames)
+    return [feats[i, : n_frames[i]] for i in range(len(signals))]

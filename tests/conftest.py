@@ -6,12 +6,19 @@ tests can run on CPU with xla_force_host_platform_device_count").
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even though the session env pins JAX_PLATFORMS=axon (real TPU).
+# The axon sitecustomize imports jax at interpreter start, so the env var alone
+# is too late — the config update below is what actually switches platforms.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

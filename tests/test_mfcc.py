@@ -1,0 +1,91 @@
+"""MFCC front-end parity vs the librosa-faithful NumPy oracle + scipy primitives."""
+import numpy as np
+import jax.numpy as jnp
+import scipy.fft
+import scipy.signal
+
+from cs304_tpu.ops.mfcc import (
+    MFCCConfig,
+    _savgol_operators,
+    dct_ortho_matrix,
+    mel_filterbank,
+    mfcc_batch,
+    mfcc_features,
+    mfcc_features_batch,
+)
+from reference_mfcc import mel_fb, reference_mfcc_features
+
+
+def make_signal(rng, n, sr=16000):
+    """Speech-ish test signal: chirp + harmonics + noise, int16-scale."""
+    t = np.arange(n) / sr
+    f0 = 120 + 40 * np.sin(2 * np.pi * 1.3 * t)
+    sig = np.zeros(n)
+    for h in range(1, 6):
+        sig += np.sin(2 * np.pi * np.cumsum(f0 * h) / sr) / h
+    sig += 0.05 * rng.normal(size=n)
+    return (sig * 8000).astype(np.float32)
+
+
+def test_mel_filterbank_matches_oracle():
+    got = mel_filterbank(16000, 320, 40, 133.33, 6855.4976)
+    want = mel_fb(16000, 320, 40, 133.33, 6855.4976)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_dct_matches_scipy(rng):
+    x = rng.normal(size=(40, 17))
+    want = scipy.fft.dct(x, axis=0, type=2, norm="ortho")[:13]
+    got = dct_ortho_matrix(13, 40) @ x
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_savgol_operators_match_scipy(rng):
+    x = rng.normal(size=(30,))
+    for polyorder, deriv in [(1, 1), (2, 2)]:
+        want = scipy.signal.savgol_filter(
+            x, 9, polyorder=polyorder, deriv=deriv, mode="interp"
+        )
+        interior, el, er = _savgol_operators(9, polyorder, deriv)
+        got = np.zeros_like(x)
+        for i in range(4, len(x) - 4):
+            got[i] = x[i - 4 : i + 5] @ interior
+        got[:4] = el @ x[:9]
+        got[-4:] = er @ x[-9:]
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_mfcc_features_match_reference(rng):
+    for n in [4000, 7031, 16000]:
+        sig = make_signal(rng, n)
+        want = reference_mfcc_features(sig)
+        got, t_valid = mfcc_features(jnp.asarray(sig))
+        got = np.asarray(got)[: int(t_valid)]
+        assert got.shape == want.shape
+        # Normalized MFCCs are O(1); deltas are O(1..10). fp32 end-to-end
+        # tolerance after FFT/mel/log/DCT chain:
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_mfcc_padding_invariance(rng):
+    """Features of a padded signal (with mask) == features of the bare signal."""
+    sig = make_signal(rng, 5000)
+    bare, t_bare = mfcc_features(jnp.asarray(sig))
+    padded = np.concatenate([sig, rng.normal(size=3000).astype(np.float32) * 1e4])
+    pad_feats, t_pad = mfcc_features(jnp.asarray(padded), num_samples=5000)
+    assert int(t_bare) == int(t_pad)
+    np.testing.assert_allclose(
+        np.asarray(bare)[: int(t_bare)],
+        np.asarray(pad_feats)[: int(t_pad)],
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_mfcc_batch_matches_single(rng):
+    sigs = [make_signal(rng, n) for n in (3200, 4800, 2100)]
+    batched = mfcc_batch(sigs)
+    for sig, feats in zip(sigs, batched):
+        want = reference_mfcc_features(sig)
+        assert feats.shape == want.shape
+        np.testing.assert_allclose(feats, want, rtol=2e-3, atol=2e-3)
