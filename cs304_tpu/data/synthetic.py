@@ -1,0 +1,152 @@
+"""Synthetic TI-Digits-style corpus for tests and benchmarks.
+
+The reference validates multi-digit decoding on audio fabricated by
+concatenating single-digit clips (DataLoader.get_combined, reference
+ti_digits.py:70-77, used by scripts/project4_phone.py:29). This module extends
+that fixture idea into a full generated corpus: each digit is a short
+formant-like phone sequence with per-speaker and per-take variability, so the
+entire train -> decode -> accuracy pipeline can run (and be gated) without the
+licensed TI-Digits data.
+
+The acoustics are deliberately simple but non-trivial: every digit has a
+3-phone template of (f1, f2) formant pairs; speakers scale formants, speaking
+rate, and amplitude; takes add jitter and noise. HMM/MFCC systems reach high
+accuracy only if alignment, training, and decoding all work.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .ti_digits import DIGIT_LABELS, DataLoader
+
+SAMPLE_RATE = 16000
+
+# Per-digit 3-phone templates: ((f1, f2), ...) in Hz. Chosen to be mutually
+# distinguishable but with deliberate overlaps (e.g. "1"/"9" share a phone)
+# so the task is not linearly separable from a single frame.
+_DIGIT_PHONES: Dict[str, tuple] = {
+    "1": ((300, 2200), (700, 1200), (450, 1700)),
+    "2": ((500, 1500), (900, 2400), (350, 900)),
+    "3": ((650, 1900), (400, 2600), (800, 1400)),
+    "4": ((350, 1100), (600, 2000), (950, 2500)),
+    "5": ((750, 2300), (500, 800), (300, 1500)),
+    "6": ((400, 2500), (850, 1800), (550, 1000)),
+    "7": ((900, 1300), (300, 2100), (700, 2400)),
+    "8": ((550, 1700), (750, 2600), (400, 1200)),
+    "9": ((300, 2200), (950, 1600), (600, 2300)),
+    "O": ((450, 900), (650, 1100), (850, 1600)),
+    "Z": ((800, 2600), (350, 1400), (500, 2200)),
+}
+
+
+@dataclass
+class SyntheticTIDigits:
+    """Generated corpus with the same surface as data.ti_digits.TIDigits."""
+
+    num_train_speakers: int = 8
+    num_test_speakers: int = 4
+    takes_per_digit: int = 3
+    seed: int = 1234
+
+    def __post_init__(self) -> None:
+        rng = np.random.default_rng(self.seed)
+        self._speaker_params = [
+            {
+                "formant_scale": float(rng.uniform(0.93, 1.08)),
+                "rate": float(rng.uniform(0.85, 1.2)),
+                "amp": float(rng.uniform(0.6, 1.0)),
+            }
+            for _ in range(self.num_train_speakers + self.num_test_speakers)
+        ]
+        self._rng = rng
+        train_speakers = range(self.num_train_speakers)
+        test_speakers = range(
+            self.num_train_speakers, self.num_train_speakers + self.num_test_speakers
+        )
+        self._train = self._build_split(train_speakers)
+        self._test = self._build_split(test_speakers)
+
+    # -- public surface mirroring TIDigits ---------------------------------
+    @property
+    def train_dataset(self) -> DataLoader:
+        return self._train
+
+    @property
+    def test_dataset(self) -> DataLoader:
+        return self._test
+
+    # -- generation ---------------------------------------------------------
+    def _build_split(self, speakers) -> DataLoader:
+        data: Dict[str, List[np.ndarray]] = {}
+        for spk in speakers:
+            for label in DIGIT_LABELS:
+                for take in range(self.takes_per_digit):
+                    clip = self.digit_audio(label, spk, jitter_seed=take)
+                    data.setdefault(label, []).append(clip)
+        return DataLoader(data)
+
+    def digit_audio(self, label: str, speaker: int, jitter_seed: int = 0) -> np.ndarray:
+        """One spoken digit: 3 formant phones + noise, int16-scale float32."""
+        params = self._speaker_params[speaker]
+        # Deterministic across processes (Python's hash() is salted).
+        import zlib
+
+        key = zlib.crc32(f"{label}|{speaker}|{jitter_seed}|{self.seed}".encode())
+        rng = np.random.default_rng(key)
+        pieces = []
+        for f1, f2 in _DIGIT_PHONES[label]:
+            dur = rng.uniform(0.055, 0.10) * params["rate"]
+            n = max(int(dur * SAMPLE_RATE), 240)
+            t = np.arange(n) / SAMPLE_RATE
+            s1 = params["formant_scale"] * (1 + rng.normal(0, 0.015))
+            s2 = params["formant_scale"] * (1 + rng.normal(0, 0.015))
+            env = np.hanning(2 * n)[:n] * 0.5 + 0.5  # attack envelope
+            phone = (
+                np.sin(2 * np.pi * f1 * s1 * t + rng.uniform(0, 2 * np.pi))
+                + 0.6 * np.sin(2 * np.pi * f2 * s2 * t + rng.uniform(0, 2 * np.pi))
+            ) * env
+            pieces.append(phone)
+        sig = np.concatenate(pieces)
+        sig += rng.normal(0, 0.02, sig.shape)
+        sig *= params["amp"] * 8000.0
+        return sig.astype(np.float32)
+
+    def silence(self, duration: float = 0.08, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        n = int(duration * SAMPLE_RATE)
+        return (rng.normal(0, 40.0, n)).astype(np.float32)
+
+    def sentence_audio(
+        self, transcript: str, speaker: int, jitter_seed: int = 0, gap: float = 0.06
+    ) -> np.ndarray:
+        """Multi-digit utterance: silence-separated digit concatenation (the
+        reference's get_combined trick plus inter-word gaps)."""
+        rng = np.random.default_rng(jitter_seed * 7919 + speaker)
+        pieces = [self.silence(gap * rng.uniform(0.5, 1.5), seed=jitter_seed)]
+        for i, label in enumerate(transcript):
+            pieces.append(self.digit_audio(label, speaker, jitter_seed + i))
+            pieces.append(self.silence(gap * rng.uniform(0.5, 1.5), seed=jitter_seed + i))
+        return np.concatenate(pieces)
+
+    def sentence_corpus(
+        self,
+        transcripts: Sequence[str],
+        speakers,
+        takes: int = 1,
+        gap: float = 0.06,
+    ) -> Dict[str, List[np.ndarray]]:
+        """Transcript -> utterances map, the shape the continuous trainer eats
+        (reference scripts/project6_train.py:29-33)."""
+        out: Dict[str, List[np.ndarray]] = {}
+        for transcript in transcripts:
+            clips = []
+            for spk in speakers:
+                for take in range(takes):
+                    clips.append(
+                        self.sentence_audio(transcript, spk, jitter_seed=take, gap=gap)
+                    )
+            out[transcript] = clips
+        return out
