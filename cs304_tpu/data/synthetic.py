@@ -84,9 +84,17 @@ class SyntheticTIDigits:
         for spk in speakers:
             for label in DIGIT_LABELS:
                 for take in range(self.takes_per_digit):
-                    clip = self.digit_audio(label, spk, jitter_seed=take)
+                    clip = self.isolated_clip(label, spk, take)
                     data.setdefault(label, []).append(clip)
         return DataLoader(data)
+
+    def isolated_clip(self, label: str, speaker: int, take: int = 0) -> np.ndarray:
+        """A recorded isolated digit: leading/trailing room tone around the
+        spoken digit, like real TI-Digits recordings."""
+        rng = np.random.default_rng(take * 104729 + speaker * 7 + 13)
+        lead = self.silence(rng.uniform(0.12, 0.22), seed=take * 3 + speaker)
+        tail = self.silence(rng.uniform(0.12, 0.22), seed=take * 3 + speaker + 1)
+        return np.concatenate([lead, self.digit_audio(label, speaker, take), tail])
 
     def digit_audio(self, label: str, speaker: int, jitter_seed: int = 0) -> np.ndarray:
         """One spoken digit: 3 formant phones + noise, int16-scale float32."""
@@ -104,13 +112,19 @@ class SyntheticTIDigits:
             s1 = params["formant_scale"] * (1 + rng.normal(0, 0.015))
             s2 = params["formant_scale"] * (1 + rng.normal(0, 0.015))
             env = np.hanning(2 * n)[:n] * 0.5 + 0.5  # attack envelope
+            # Vibrato + slow amplitude modulation: keeps per-state feature
+            # variance realistic so trained covariances are not near-singular.
+            vib = 1.0 + 0.01 * np.sin(2 * np.pi * 6.0 * t + rng.uniform(0, 2 * np.pi))
+            am = 1.0 + 0.15 * np.sin(2 * np.pi * 3.0 * t + rng.uniform(0, 2 * np.pi))
             phone = (
-                np.sin(2 * np.pi * f1 * s1 * t + rng.uniform(0, 2 * np.pi))
-                + 0.6 * np.sin(2 * np.pi * f2 * s2 * t + rng.uniform(0, 2 * np.pi))
-            ) * env
+                np.sin(2 * np.pi * f1 * s1 * np.cumsum(vib) / SAMPLE_RATE
+                       + rng.uniform(0, 2 * np.pi))
+                + 0.6 * np.sin(2 * np.pi * f2 * s2 * np.cumsum(vib) / SAMPLE_RATE
+                               + rng.uniform(0, 2 * np.pi))
+            ) * env * am
             pieces.append(phone)
         sig = np.concatenate(pieces)
-        sig += rng.normal(0, 0.02, sig.shape)
+        sig += rng.normal(0, 0.06, sig.shape)
         sig *= params["amp"] * 8000.0
         return sig.astype(np.float32)
 

@@ -196,5 +196,22 @@ def stack_word_models(
 def sentence_hmm(labels: str, models: Dict[str, WordHMM]) -> CompositeHMM:
     """Concatenate word models in transcript order (the training-time sentence
     HMM, reference HiddenMarkovModelMultiWord.from_labels,
-    hidden_markov_model.py:638-664)."""
-    return stack_word_models([models[l] for l in labels])
+    hidden_markov_model.py:638-664).
+
+    Cross-word transitions inside the skip-2 band are FREE (log prob 0): the
+    reference's sentence Viterbi reuses the single-word banded recursion over
+    the concatenated states, and its sparse matrix returns 0.0 for any key it
+    never stored — which is exactly every cross-word (old, new) pair
+    (transition_probability.py:17-23, hidden_markov_model.py:591-593). That
+    accident is what lets training alignments flow between words, so we
+    reproduce it deliberately here.
+    """
+    composite = stack_word_models([models[l] for l in labels])
+    word_of = composite.word_of_state
+    cross = word_of[:, None] != word_of[None, :]
+    s = composite.num_states
+    frm = np.arange(s)[:, None]
+    to = np.arange(s)[None, :]
+    band = (frm <= to) & (frm >= to - 2)
+    composite.log_a = np.where(cross & band, 0.0, composite.log_a).astype(np.float32)
+    return composite

@@ -1,0 +1,398 @@
+"""Embedded continuous training over digit-string transcripts (project6).
+
+Reference algorithm (hidden_markov_model.py:667-797):
+  - every transcript "4Z2Z1" becomes the silence-interleaved sentence
+    "S4SZS2SZS1S" (insert_silence, :794-797)
+  - a sentence HMM is concatenated from the current word models (:638-664)
+  - every utterance of that transcript is Viterbi-aligned against it, the path
+    is cut at word boundaries, and the per-word frame segments are pooled
+    ("remuxed", :602-636)
+  - each word model is re-estimated from its pooled segments with the same
+    segmental k-means M-step as isolated training (:754-770)
+  - training stops when every model's means are converged (allclose)
+
+TPU-native restructuring: transcripts with equal digit count share a sentence
+topology, so alignment runs as one vmapped batch per transcript; the "remux"
+is not frame-list surgery but a per-frame (label, local_state) classification
+of the path, turning the whole M-step into segment-sum matmuls reduced across
+batches. The covariance uses a second (centered) pass per batch so the result
+matches np.cov exactly instead of a one-pass moment difference.
+
+Convergence semantics divergence (documented): the reference counts
+convergence events CUMULATIVELY across iterations and stops when the running
+total equals the number of models (hidden_markov_model.py:760-765) — so one
+model re-converging every iteration can end training alone. We implement the
+evident intent: stop when all models converge in the same iteration.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import pad_batch
+from ..ops.gaussian import gaussian_log_pdf, make_gaussian_params
+from ..ops.viterbi import viterbi_banded_batch
+from .hmm import WordHMM
+
+logger = logging.getLogger(__name__)
+
+SILENCE_LABEL = "S"
+
+
+def insert_silence(labels: str) -> str:
+    """'4Z2' -> 'S4SZS2S' (reference hidden_markov_model.py:794-797)."""
+    return "S" + "S".join(labels) + "S" if labels else "S"
+
+
+class HMMTrainMeanFail(RuntimeError):
+    """A used (label, state) slot received zero frames."""
+
+
+@dataclass(frozen=True)
+class ContinuousTrainConfig:
+    max_iterations: int = 100
+    cov_reg: float = 0.001
+    length_multiple: int = 128
+    rtol: float = 1e-5
+    atol: float = 1e-8
+    insert_silence: bool = True
+    # What to do when a (label, state) slot receives zero aligned frames.
+    # "fail" replicates the reference's abort (HMMTrainMeanFail,
+    # hidden_markov_model.py:214-217); "keep" freezes that slot's previous
+    # parameters for the iteration — free cross-word transitions let paths
+    # skip word-entry states, so sparse corpora hit this routinely.
+    on_empty_state: str = "keep"
+    # Re-train the silence model on long in-context silence runs before joint
+    # re-estimation. The boot silence model comes from standalone noise clips
+    # whose power_to_db ref=max is the NOISE's own peak (mfcc.py:35), so it is
+    # systematically mismatched against in-utterance silence (~-40 dB below the
+    # speech peak); aligning with it poisons the first joint iteration. The
+    # bootstrap pools only S-aligned runs of >= silence_bootstrap_min_run
+    # frames (long runs are true silence; 1-2 frame runs are attack/decay
+    # contamination) and re-estimates S alone with digits frozen.
+    silence_bootstrap: bool = True
+    silence_bootstrap_min_run: int = 9
+    silence_label: str = SILENCE_LABEL
+
+
+@dataclass
+class _SentenceTopology:
+    """Static per-transcript-shape arrays mapping sentence states to
+    (global label index, local state)."""
+
+    lab_of_state: np.ndarray  # (S_sent,) int32 into the global label list
+    loc_of_state: np.ndarray  # (S_sent,) int32 local state within the word
+    pos_of_state: np.ndarray  # (S_sent,) int32 word position in the sentence
+
+
+def _topology(sentence: str, state_counts: Dict[str, int], label_index: Dict[str, int]):
+    lab, loc, pos = [], [], []
+    for p, word in enumerate(sentence):
+        n = state_counts[word]
+        lab.extend([label_index[word]] * n)
+        loc.extend(range(n))
+        pos.extend([p] * n)
+    return _SentenceTopology(
+        np.asarray(lab, np.int32), np.asarray(loc, np.int32), np.asarray(pos, np.int32)
+    )
+
+
+def _sentence_log_a(topo: _SentenceTopology, log_a_g: np.ndarray) -> np.ndarray:
+    """Gather per-word transitions onto the sentence state space; cross-word
+    transitions are free (log 1 = 0), reproducing the reference's sparse-matrix
+    default (transition_probability.py:17-23; see models.hmm.sentence_hmm).
+    The skip-2 band itself is applied inside the banded Viterbi."""
+    same_word = topo.pos_of_state[:, None] == topo.pos_of_state[None, :]
+    lab = topo.lab_of_state
+    loc = topo.loc_of_state
+    gathered = log_a_g[lab[:, None], loc[:, None], loc[None, :]]
+    return np.where(same_word, gathered, 0.0).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("num_labels", "s_max"))
+def _stats_pass(
+    means_sent, covs_sent, log_a_sent, lab_of_state, loc_of_state, pos_of_state,
+    batch, lengths, num_labels: int, s_max: int,
+):
+    """Alignment + zeroth/first-order stats + within-segment transition counts.
+
+    Returns (counts (L, S), sums (L, S, D), trans (L, S, S), paths (B, T)).
+    """
+    params = make_gaussian_params(means_sent, covs_sent)
+    log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)
+    _scores, paths = viterbi_banded_batch(log_b, log_a_sent, lengths)
+
+    b, t, _d = batch.shape
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    lab = lab_of_state[paths]
+    loc = loc_of_state[paths]
+    pos = pos_of_state[paths]
+    flat = lab * s_max + loc
+    oh = jax.nn.one_hot(flat, num_labels * s_max, dtype=jnp.float32) * mask[..., None]
+
+    counts = jnp.sum(oh, axis=(0, 1)).reshape(num_labels, s_max)
+    sums = jnp.einsum(
+        "btf,btd->fd", oh, batch, precision=jax.lax.Precision.HIGHEST
+    ).reshape(num_labels, s_max, -1)
+
+    # Transition counts within word instances: pair (t-1, t) counts iff both
+    # frames are real and belong to the same sentence position.
+    pair_live = (jnp.arange(t - 1)[None, :] < (lengths[:, None] - 1)) & (
+        pos[:, :-1] == pos[:, 1:]
+    )
+    lab_pair = lab[:, :-1]
+    from_flat = lab_pair * (s_max * s_max) + loc[:, :-1] * s_max + loc[:, 1:]
+    oh_pair = jax.nn.one_hot(
+        from_flat, num_labels * s_max * s_max, dtype=jnp.float32
+    ) * pair_live[..., None]
+    trans = jnp.sum(oh_pair, axis=(0, 1)).reshape(num_labels, s_max, s_max)
+    return counts, sums, trans, paths
+
+
+@partial(jax.jit, static_argnames=("num_labels", "s_max"))
+def _centered_m2_pass(
+    means_g, lab_of_state, loc_of_state, batch, lengths, paths,
+    num_labels: int, s_max: int,
+):
+    """Pass B: centered second moments around the NEW means (np.cov parity)."""
+    b, t, d = batch.shape
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    lab = lab_of_state[paths]
+    loc = loc_of_state[paths]
+    flat = lab * s_max + loc
+    oh = jax.nn.one_hot(flat, num_labels * s_max, dtype=jnp.float32) * mask[..., None]
+    means_flat = means_g.reshape(num_labels * s_max, d)
+
+    def m2_for_slot(slot):
+        centered = batch - means_flat[slot]
+        w = oh[..., slot]
+        return jnp.einsum(
+            "bt,btd,bte->de", w, centered, centered,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return jax.vmap(m2_for_slot)(jnp.arange(num_labels * s_max)).reshape(
+        num_labels, s_max, d, d
+    )
+
+
+class ContinuousTrainer:
+    """Embedded re-estimation of word (+ silence) models from transcripts."""
+
+    def __init__(
+        self,
+        models: Dict[str, WordHMM],
+        cfg: ContinuousTrainConfig = ContinuousTrainConfig(),
+    ) -> None:
+        self.cfg = cfg
+        self.labels: List[str] = sorted(models)
+        self.label_index = {l: i for i, l in enumerate(self.labels)}
+        self.state_counts = {l: models[l].num_states for l in self.labels}
+        self.s_max = max(self.state_counts.values())
+        self.dim = models[self.labels[0]].dim
+        l, s, d = len(self.labels), self.s_max, self.dim
+
+        # Stacked global parameters, padded to s_max states per label.
+        self.means_g = np.zeros((l, s, d), np.float32)
+        self.covs_g = np.tile(np.eye(d, dtype=np.float32), (l, s, 1, 1))
+        self.log_a_g = np.full((l, s, s), -np.inf, np.float32)
+        for label, m in models.items():
+            i = self.label_index[label]
+            n = m.num_states
+            self.means_g[i, :n] = m.means
+            self.covs_g[i, :n] = m.covariances
+            self.log_a_g[i, :n, :n] = m.log_a
+
+    # -- public ---------------------------------------------------------
+    def models(self) -> Dict[str, WordHMM]:
+        out = {}
+        for label in self.labels:
+            i = self.label_index[label]
+            n = self.state_counts[label]
+            out[label] = WordHMM(
+                label=label,
+                means=self.means_g[i, :n].copy(),
+                covariances=self.covs_g[i, :n].copy(),
+                log_a=self.log_a_g[i, :n, :n].copy(),
+            )
+        return out
+
+    def train(self, labeled_features: Dict[str, Sequence[np.ndarray]]) -> int:
+        """labeled_features: transcript -> list of (T_i, D) feature arrays.
+        Returns the number of iterations run."""
+        batches = self._prepare_batches(labeled_features)
+        if (
+            self.cfg.silence_bootstrap
+            and self.cfg.insert_silence
+            and self.cfg.silence_label in self.label_index
+        ):
+            self._bootstrap_silence(batches)
+        it = 0
+        for it in range(1, self.cfg.max_iterations + 1):
+            all_converged = self._iteration(batches)
+            if all_converged:
+                logger.info("continuous training converged after %d iterations", it)
+                break
+        return it
+
+    def _bootstrap_silence(self, batches) -> None:
+        """Re-estimate the silence model from long in-context S-aligned runs
+        (digits frozen). See ContinuousTrainConfig.silence_bootstrap."""
+        from .train_kmeans import SegmentalKMeansConfig, train_word_hmm
+
+        sil = self.cfg.silence_label
+        i_s = self.label_index[sil]
+        n_s = self.state_counts[sil]
+        min_run = self.cfg.silence_bootstrap_min_run
+        runs: List[np.ndarray] = []
+        for item in batches:
+            topo = item["topo"]
+            means_sent = self.means_g[topo.lab_of_state, topo.loc_of_state]
+            covs_sent = self.covs_g[topo.lab_of_state, topo.loc_of_state]
+            log_a_sent = _sentence_log_a(topo, self.log_a_g)
+            _c, _s, _t, paths = _stats_pass(
+                jnp.asarray(means_sent), jnp.asarray(covs_sent),
+                jnp.asarray(log_a_sent),
+                jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
+                jnp.asarray(topo.pos_of_state),
+                item["batch"], item["lengths"],
+                len(self.labels), self.s_max,
+            )
+            paths = np.asarray(paths)
+            batch_np = np.asarray(item["batch"])
+            lengths_np = np.asarray(item["lengths"])
+            lab_path = topo.lab_of_state[paths]
+            for b in range(paths.shape[0]):
+                is_sil = lab_path[b, : lengths_np[b]] == i_s
+                bounds = np.where(np.diff(is_sil.astype(int)) != 0)[0] + 1
+                for seg in np.split(np.arange(lengths_np[b]), bounds):
+                    if len(seg) >= min_run and is_sil[seg[0]]:
+                        runs.append(batch_np[b, seg])
+        if len(runs) < 3:
+            logger.warning("silence bootstrap skipped: only %d runs", len(runs))
+            return
+        result = train_word_hmm(
+            sil, runs,
+            SegmentalKMeansConfig(
+                num_states=n_s,
+                max_iterations=min(self.cfg.max_iterations, 15),
+                length_multiple=32,
+            ),
+        )
+        self.means_g[i_s, :n_s] = result.model.means
+        self.covs_g[i_s, :n_s] = result.model.covariances
+        self.log_a_g[i_s, :n_s, :n_s] = result.model.log_a
+        logger.info("silence bootstrap: retrained %s on %d runs", sil, len(runs))
+
+    # -- internals --------------------------------------------------------
+    def _prepare_batches(self, labeled_features):
+        batches = []
+        for transcript, feats in labeled_features.items():
+            sentence = (
+                insert_silence(transcript) if self.cfg.insert_silence else transcript
+            )
+            topo = _topology(sentence, self.state_counts, self.label_index)
+            padded = pad_batch(list(feats), self.cfg.length_multiple)
+            batches.append(
+                {
+                    "sentence": sentence,
+                    "topo": topo,
+                    "batch": jnp.asarray(padded.data),
+                    "lengths": jnp.asarray(padded.lengths),
+                }
+            )
+        return batches
+
+    def _iteration(self, batches) -> bool:
+        l, s, d = self.means_g.shape[0], self.s_max, self.dim
+        counts = np.zeros((l, s), np.float64)
+        sums = np.zeros((l, s, d), np.float64)
+        trans = np.zeros((l, s, s), np.float64)
+        paths_per_batch = []
+        for item in batches:
+            topo = item["topo"]
+            means_sent = self.means_g[topo.lab_of_state, topo.loc_of_state]
+            covs_sent = self.covs_g[topo.lab_of_state, topo.loc_of_state]
+            log_a_sent = _sentence_log_a(topo, self.log_a_g)
+            c, sm, tr, paths = _stats_pass(
+                jnp.asarray(means_sent), jnp.asarray(covs_sent),
+                jnp.asarray(log_a_sent),
+                jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
+                jnp.asarray(topo.pos_of_state),
+                item["batch"], item["lengths"], l, s,
+            )
+            counts += np.asarray(c, np.float64)
+            sums += np.asarray(sm, np.float64)
+            trans += np.asarray(tr, np.float64)
+            paths_per_batch.append(paths)
+
+        # Real (label, state) slots: states < that label's state count.
+        slot_used = np.zeros((l, s), bool)
+        for label, i in self.label_index.items():
+            slot_used[i, : self.state_counts[label]] = True
+        empty = slot_used & (counts == 0)
+        if np.any(empty):
+            bad = np.argwhere(empty).tolist()
+            if self.cfg.on_empty_state == "fail":
+                raise HMMTrainMeanFail(f"(label, state) slots with no frames: {bad}")
+            logger.warning("keeping previous params for empty slots: %s", bad)
+
+        new_means = (sums / np.maximum(counts, 1.0)[..., None]).astype(np.float32)
+        new_means = np.where(empty[..., None], self.means_g, new_means)
+
+        # Per-label convergence on means (reference allclose, :333).
+        converged = np.array(
+            [
+                np.allclose(
+                    new_means[i][slot_used[i]],
+                    self.means_g[i][slot_used[i]],
+                    rtol=self.cfg.rtol,
+                    atol=self.cfg.atol,
+                )
+                for i in range(l)
+            ]
+        )
+        if converged.all():
+            return True
+
+        # Pass B: centered covariance around the new means.
+        m2 = np.zeros((l, s, d, d), np.float64)
+        for item, paths in zip(batches, paths_per_batch):
+            topo = item["topo"]
+            m2 += np.asarray(
+                _centered_m2_pass(
+                    jnp.asarray(new_means),
+                    jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
+                    item["batch"], item["lengths"], paths, l, s,
+                ),
+                np.float64,
+            )
+        denom = np.maximum(counts - 1.0, 1.0)[..., None, None]
+        new_covs = (m2 / denom + self.cfg.cov_reg * np.eye(d)).astype(np.float32)
+        new_covs = np.where(empty[..., None, None], self.covs_g, new_covs)
+
+        row_sums = trans.sum(axis=2, keepdims=True)
+        probs = trans / np.maximum(row_sums, 1.0)
+        with np.errstate(divide="ignore"):
+            new_log_a = np.where(probs > 0, np.log(probs), -np.inf).astype(np.float32)
+        # Rows with no observed outgoing transitions keep their previous row
+        # (an -inf row would make the state a trap).
+        no_out = (row_sums[..., 0] == 0) & slot_used
+        new_log_a = np.where(no_out[..., None], self.log_a_g, new_log_a)
+
+        # Converged models keep their parameters this iteration (the reference
+        # raises before assignment, hidden_markov_model.py:333-335).
+        upd = ~converged
+        self.means_g[upd] = new_means[upd]
+        self.covs_g[upd] = new_covs[upd]
+        self.log_a_g[upd] = new_log_a[upd]
+        # Padded slots keep identity covariance so Cholesky stays valid.
+        pad = ~slot_used
+        self.covs_g[pad] = np.eye(d, dtype=np.float32)
+        return False

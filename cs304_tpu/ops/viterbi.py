@@ -169,7 +169,14 @@ def viterbi_banded(
     if length is None:
         length = t_total
     trans = banded_transition_matrix(log_a, skip=skip)
-    alpha0 = jnp.full((s,), -jnp.inf, log_b.dtype).at[0].set(log_b[0, 0] + log_a[0, 0])
+    # The reference seeds t=0 with the entry state's self-loop log-prob
+    # (hidden_markov_model.py:81-83). If training drove that self-loop to
+    # probability 0 (a 1-frame transient entry state), the reference's trellis
+    # collapses to -inf everywhere; we treat the missing self-loop as log 1 at
+    # t=0 instead (degenerate-safe init; identical whenever the self-loop is
+    # finite).
+    a00 = jnp.where(jnp.isfinite(log_a[0, 0]), log_a[0, 0], 0.0)
+    alpha0 = jnp.full((s,), -jnp.inf, log_b.dtype).at[0].set(log_b[0, 0] + a00)
     alpha, backptrs = _scan_trellis(log_b, trans, alpha0, length)
     score = alpha[s - 1]
     path = _backtrace(backptrs, jnp.asarray(s - 1, jnp.int32), length, quirk_backtrace)
@@ -202,7 +209,10 @@ def viterbi_composite(
     trans = composite_transition_matrix(
         log_a, lower_of_state, is_entry, is_exit, penalty, skip=skip
     )
+    # Degenerate-safe init: see viterbi_banded — a zero-probability self-loop
+    # on a word-entry state must not bar that word from starting the utterance.
     diag = jnp.diagonal(log_a)
+    diag = jnp.where(jnp.isfinite(diag), diag, 0.0)
     alpha0 = jnp.where(is_entry, log_b[0] + diag, -jnp.inf)
     alpha, backptrs = _scan_trellis(log_b, trans, alpha0, length)
 

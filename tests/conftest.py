@@ -27,3 +27,66 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def trained_system():
+    """The full reference pipeline, trained once per test session:
+    project5 boot (endpointed digits + noise silence model) followed by
+    project6 embedded continuous training. Used by the continuous-decoding
+    and embedded-training test modules."""
+    from cs304_tpu.audio.endpointing import SignalSeparation
+    from cs304_tpu.data.synthetic import SyntheticTIDigits
+    from cs304_tpu.data.ti_digits import DIGIT_LABELS
+    from cs304_tpu.models.train_continuous import (
+        ContinuousTrainConfig,
+        ContinuousTrainer,
+    )
+    from cs304_tpu.models.train_kmeans import (
+        SegmentalKMeansConfig,
+        train_digit_models,
+        train_word_hmm,
+    )
+    from cs304_tpu.ops.mfcc import mfcc_batch
+
+    corpus = SyntheticTIDigits(
+        num_train_speakers=6, num_test_speakers=2, takes_per_digit=3
+    )
+    sep = SignalSeparation()
+    feats = {
+        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
+        for l in DIGIT_LABELS
+    }
+    boot = train_digit_models(
+        feats, SegmentalKMeansConfig(num_states=5, max_iterations=15, length_multiple=32)
+    )
+    noises = [n for n in sep.get_all_noises() if len(n) >= 9 * sep.frame_size]
+    boot["S"] = train_word_hmm(
+        "S", mfcc_batch(noises),
+        SegmentalKMeansConfig(num_states=3, max_iterations=15, length_multiple=32),
+    ).model
+
+    transcripts = ["12", "4Z", "375", "9O2", "186Z", "54321"]
+    labeled = {
+        tr: mfcc_batch(
+            [
+                corpus.sentence_audio(tr, spk, jitter_seed=take)
+                for spk in range(6)
+                for take in range(3)
+            ]
+        )
+        for tr in transcripts
+    }
+    trainer = ContinuousTrainer(
+        dict(boot),
+        ContinuousTrainConfig(max_iterations=4, length_multiple=64, cov_reg=0.1),
+    )
+    iterations = trainer.train(labeled)
+    return {
+        "corpus": corpus,
+        "boot_models": boot,
+        "embedded_models": trainer.models(),
+        "train_transcripts": transcripts,
+        "iterations": iterations,
+        "separator": sep,
+    }
