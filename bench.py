@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end MFCC + composite-Viterbi decode throughput.
+
+Workload: B synthetic ~1.5 s utterances -> 39-dim MFCC front-end -> 58-state
+composite continuous Viterbi (11 digit words x 5 states + 3-state silence),
+the reference's project5/6 decode hot path. The TPU pipeline is one jitted
+program over the whole batch; the baseline is a NumPy/SciPy re-implementation
+of the reference's algorithm (per-clip MFCC + Python-loop trellis with
+per-(t,state) scipy logpdf — hidden_markov_model.py:481-581), measured on a
+few utterances and extrapolated (it is ~4 orders of magnitude slower).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": utt/s, "unit": "utt/s", "vs_baseline": speedup}
+"""
+import json
+import time
+
+import numpy as np
+
+BATCH = 256
+SECONDS = 1.5
+SAMPLE_RATE = 16000
+BASELINE_CLIPS = 3
+
+
+def make_signals(batch: int, seconds: float, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(seconds * SAMPLE_RATE)
+    t = np.arange(n) / SAMPLE_RATE
+    sigs = []
+    for i in range(batch):
+        f0 = rng.uniform(200, 900)
+        f1 = rng.uniform(900, 2600)
+        sig = (
+            np.sin(2 * np.pi * f0 * t + rng.uniform(0, 6))
+            + 0.6 * np.sin(2 * np.pi * f1 * t + rng.uniform(0, 6))
+        ) * 6000.0
+        sig += rng.normal(0, 50.0, n)
+        sigs.append(sig.astype(np.float32))
+    return np.stack(sigs)
+
+
+def tpu_pipeline():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_params
+    from cs304_tpu.ops.gaussian import gaussian_log_pdf, make_gaussian_params
+    from cs304_tpu.ops.mfcc import MFCCConfig, mfcc_features
+    from cs304_tpu.ops.viterbi import viterbi_composite
+
+    comp = _flagship_params()
+    cfg = MFCCConfig()
+    means = jnp.asarray(comp.means)
+    covs = jnp.asarray(comp.covariances)
+    log_a = jnp.asarray(comp.log_a)
+    lower = jnp.asarray(comp.lower_of_state)
+    is_entry = jnp.asarray(comp.is_entry)
+    is_exit = jnp.asarray(comp.is_exit)
+    penalty = jnp.float32(comp.penalty)
+
+    @jax.jit
+    def decode(signals, num_samples):
+        params = make_gaussian_params(means, covs)
+
+        def one(sig, n):
+            feats, n_frames = mfcc_features(sig, n, cfg)
+            log_b = gaussian_log_pdf(params, feats)
+            score, path = viterbi_composite(
+                log_b, log_a, lower, is_entry, is_exit, penalty, n_frames
+            )
+            return score, path
+
+        return jax.vmap(one)(signals, num_samples)
+
+    return decode
+
+
+def main() -> None:
+    import jax
+
+    signals = make_signals(BATCH, SECONDS)
+    num_samples = np.full(BATCH, signals.shape[1], np.int32)
+    decode = tpu_pipeline()
+
+    sj = jax.device_put(signals)
+    nj = jax.device_put(num_samples)
+    # Warmup/compile.
+    scores, paths = decode(sj, nj)
+    jax.block_until_ready((scores, paths))
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        scores, paths = decode(sj, nj)
+    jax.block_until_ready((scores, paths))
+    dt = time.perf_counter() - t0
+    tpu_ups = BATCH * reps / dt
+
+    # NumPy-reference baseline on a few clips, extrapolated.
+    import scipy.stats
+    from __graft_entry__ import _flagship_params
+    from benchmarks.reference_numpy import numpy_composite_viterbi, numpy_mfcc
+
+    comp = _flagship_params()
+    gaussians = [
+        scipy.stats.multivariate_normal(comp.means[i], comp.covariances[i])
+        for i in range(comp.num_states)
+    ]
+    t0 = time.perf_counter()
+    for i in range(BASELINE_CLIPS):
+        feats = numpy_mfcc(signals[i])
+        numpy_composite_viterbi(
+            feats, gaussians, comp.log_a, comp.lowers, comp.uppers, comp.penalty
+        )
+    ref_dt = time.perf_counter() - t0
+    ref_ups = BASELINE_CLIPS / ref_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "utterances/sec (MFCC+composite Viterbi decode, "
+                          "58-state, B=256, 1.5s clips)",
+                "value": round(tpu_ups, 2),
+                "unit": "utt/s",
+                "vs_baseline": round(tpu_ups / ref_ups, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

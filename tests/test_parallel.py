@@ -1,0 +1,81 @@
+"""Multi-chip (virtual 8-device CPU mesh) sharding tests: sharded == single."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cs304_tpu.models.hmm import uniform_forward_log_a
+from cs304_tpu.models.train_kmeans import kmeans_step
+from cs304_tpu.parallel.data_parallel import (
+    dp_composite_decode,
+    dp_kmeans_step,
+    make_mesh,
+)
+from cs304_tpu.ops.gaussian import gaussian_log_pdf, make_gaussian_params
+from cs304_tpu.ops.viterbi import viterbi_composite
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def _fake_batch(rng, b=16, t=40, d=6, s=4):
+    means = rng.normal(size=(s, d)).astype(np.float32) * 2
+    covs = np.tile(np.eye(d, dtype=np.float32) * 0.5, (s, 1, 1))
+    log_a = uniform_forward_log_a(s)
+    batch = rng.normal(size=(b, t, d)).astype(np.float32)
+    lengths = rng.integers(t // 2, t, size=b).astype(np.int32)
+    return means, covs, log_a, batch, lengths
+
+
+def test_dp_kmeans_step_matches_single_device(rng):
+    means, covs, log_a, batch, lengths = _fake_batch(rng)
+    mesh = make_mesh()
+    dp_means, dp_covs, dp_log_a, dp_counts = dp_kmeans_step(
+        jnp.asarray(means), jnp.asarray(covs), jnp.asarray(log_a),
+        jnp.asarray(batch), jnp.asarray(lengths), mesh, 4,
+    )
+    s_means, s_covs, s_log_a, s_counts, _ = kmeans_step(
+        jnp.asarray(means), jnp.asarray(covs), jnp.asarray(log_a),
+        jnp.asarray(batch), jnp.asarray(lengths), 4, 0.001,
+    )
+    np.testing.assert_array_equal(np.asarray(dp_counts), np.asarray(s_counts))
+    np.testing.assert_allclose(np.asarray(dp_means), np.asarray(s_means), rtol=1e-4, atol=1e-5)
+    # one-pass vs two-pass covariance: loose fp32 tolerance
+    np.testing.assert_allclose(np.asarray(dp_covs), np.asarray(s_covs), rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(dp_log_a), dp_log_a, 0.0),
+        np.where(np.isfinite(s_log_a), s_log_a, 0.0),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_dp_composite_decode_matches_single(rng):
+    # Two words of 3 states each.
+    s_total, d, b, t = 6, 5, 8, 30
+    means = rng.normal(size=(s_total, d)).astype(np.float32) * 2
+    covs = np.tile(np.eye(d, dtype=np.float32), (s_total, 1, 1))
+    log_a = np.full((s_total, s_total), -np.inf, np.float32)
+    log_a[:3, :3] = uniform_forward_log_a(3)
+    log_a[3:, 3:] = uniform_forward_log_a(3)
+    lower = np.array([0, 0, 0, 3, 3, 3], np.int32)
+    entry = np.array([1, 0, 0, 1, 0, 0], bool)
+    exit_ = np.array([0, 0, 1, 0, 0, 1], bool)
+    batch = rng.normal(size=(b, t, d)).astype(np.float32)
+    lengths = np.full(b, t, np.int32)
+
+    mesh = make_mesh()
+    scores, paths = dp_composite_decode(
+        jnp.asarray(means), jnp.asarray(covs), jnp.asarray(log_a),
+        jnp.asarray(lower), jnp.asarray(entry), jnp.asarray(exit_),
+        jnp.float32(-3.0), jnp.asarray(batch), jnp.asarray(lengths), mesh,
+    )
+    params = make_gaussian_params(means, covs)
+    for i in range(b):
+        log_b = gaussian_log_pdf(params, jnp.asarray(batch[i]))
+        want_score, want_path = viterbi_composite(
+            log_b, jnp.asarray(log_a), jnp.asarray(lower), jnp.asarray(entry),
+            jnp.asarray(exit_), -3.0,
+        )
+        assert np.allclose(float(scores[i]), float(want_score), rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(paths[i]), np.asarray(want_path))
