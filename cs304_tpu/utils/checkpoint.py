@@ -1,0 +1,114 @@
+"""Model checkpointing: one directory per label, dtype-stable .npz arrays.
+
+The reference pickles frozen scipy objects per model folder
+(<dir>/<label>/log_trans_probs.pickle + multivariate_normals.pickle,
+hidden_markov_model.py:93-142), which ties checkpoints to scipy internals and
+the defining module. Here each model saves <dir>/<label>/params.npz holding
+means (S, D), covariances (S, D, D), log_a (S, S) — loadable anywhere — plus a
+tiny JSON manifest for the collection. The label is the folder name, exactly
+like the reference (hidden_markov_model.py:144-158), so checkpoint trees keep
+the same shape as the reference's .cache/ dirs.
+
+Orbax-backed checkpointing of the stacked trainer state is provided separately
+for large sweeps (save_trainer_state/load_trainer_state).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, Iterable, List
+
+import numpy as np
+
+from ..models.hmm import WordHMM
+
+logger = logging.getLogger(__name__)
+
+_PARAMS = "params.npz"
+_MANIFEST = "manifest.json"
+
+
+def save_model(model: WordHMM, parent_folder: str) -> str:
+    """Save one word model under <parent>/<label>/params.npz
+    (reference HiddenMarkovModel.save, hidden_markov_model.py:93-115)."""
+    folder = os.path.join(parent_folder, model.label)
+    os.makedirs(folder, exist_ok=True)
+    path = os.path.join(folder, _PARAMS)
+    np.savez(
+        path,
+        means=model.means.astype(np.float32),
+        covariances=model.covariances.astype(np.float32),
+        log_a=model.log_a.astype(np.float32),
+    )
+    logger.info("saved model %s to %s", model.label, path)
+    return path
+
+
+def load_model(model_folder: str) -> WordHMM:
+    """Load one word model; the label is the folder name
+    (reference hidden_markov_model.py:117-158)."""
+    label = os.path.basename(os.path.normpath(model_folder))
+    with np.load(os.path.join(model_folder, _PARAMS)) as z:
+        return WordHMM(
+            label=label,
+            means=z["means"],
+            covariances=z["covariances"],
+            log_a=z["log_a"],
+        )
+
+
+def save_models(models: Dict[str, WordHMM] | Iterable[WordHMM], folder: str) -> None:
+    """Save a model collection + manifest (reference
+    HiddenMarkovModelTrainContinuous.save, hidden_markov_model.py:784-792)."""
+    if isinstance(models, dict):
+        models = list(models.values())
+    models = list(models)
+    os.makedirs(folder, exist_ok=True)
+    for m in models:
+        save_model(m, folder)
+    manifest = {
+        "labels": sorted(m.label for m in models),
+        "format": "cs304_tpu.npz.v1",
+    }
+    with open(os.path.join(folder, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_models(
+    folder: str, labels: List[str] | None = None
+) -> Dict[str, WordHMM]:
+    """Load all (or the selected) models from a checkpoint directory, walking
+    subfolders in sorted order like the reference (hidden_markov_model.py:431)."""
+    out: Dict[str, WordHMM] = {}
+    for name in sorted(os.listdir(folder)):
+        sub = os.path.join(folder, name)
+        if not os.path.isdir(sub) or not os.path.exists(os.path.join(sub, _PARAMS)):
+            continue
+        if labels is not None and name not in labels:
+            continue
+        out[name] = load_model(sub)
+    if labels is not None:
+        missing = set(labels) - set(out)
+        if missing:
+            raise FileNotFoundError(f"models not found in {folder}: {sorted(missing)}")
+    return out
+
+
+# -- Orbax-backed stacked-state checkpointing (resumable training sweeps) ----
+
+def save_trainer_state(state: dict, folder: str) -> None:
+    """Checkpoint arbitrary array-tree training state with Orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(folder)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_trainer_state(folder: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(folder)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)

@@ -1,0 +1,85 @@
+"""Checkpointing, config system, CSV, confusion matrix."""
+import os
+
+import numpy as np
+import pytest
+
+from cs304_tpu.models.hmm import WordHMM, uniform_forward_log_a
+from cs304_tpu.reporting.csvnia import CSVReader, CSVWriter
+from cs304_tpu.reporting.visualizer import confusion_matrix
+from cs304_tpu.utils.checkpoint import load_model, load_models, save_model, save_models
+from cs304_tpu.utils.config import Config
+
+
+def mk_model(label, rng, s=5, d=4):
+    a = rng.normal(size=(s, d, 2)).astype(np.float32)
+    covs = a @ a.transpose(0, 2, 1) + np.eye(d, dtype=np.float32)
+    return WordHMM(
+        label=label,
+        means=rng.normal(size=(s, d)).astype(np.float32),
+        covariances=covs,
+        log_a=uniform_forward_log_a(s),
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    model = mk_model("7", rng)
+    save_model(model, str(tmp_path))
+    loaded = load_model(str(tmp_path / "7"))
+    assert loaded.label == "7"
+    np.testing.assert_array_equal(loaded.means, model.means)
+    np.testing.assert_array_equal(loaded.covariances, model.covariances)
+    np.testing.assert_array_equal(loaded.log_a, model.log_a)
+
+
+def test_checkpoint_collection(tmp_path, rng):
+    models = {l: mk_model(l, rng) for l in ["1", "2", "S"]}
+    save_models(models, str(tmp_path))
+    loaded = load_models(str(tmp_path))
+    assert set(loaded) == {"1", "2", "S"}
+    subset = load_models(str(tmp_path), labels=["2"])
+    assert set(subset) == {"2"}
+    with pytest.raises(FileNotFoundError):
+        load_models(str(tmp_path), labels=["9"])
+
+
+def test_config_overrides(tmp_path):
+    cfg = Config()
+    assert cfg.decode.word_penalty == -100.0
+    cfg.apply_overrides(["decode.word_penalty=-250", "train.num_states=7"])
+    assert cfg.decode.word_penalty == -250.0
+    assert cfg.train.num_states == 7
+    with pytest.raises(KeyError):
+        cfg.apply_overrides(["decode.bogus=1"])
+    with pytest.raises(TypeError):
+        cfg.apply_overrides(["train.num_states=hello"])
+    path = str(tmp_path / "cfg.json")
+    cfg.save(path)
+    cfg2 = Config.from_file(path)
+    assert cfg2.decode.word_penalty == -250.0
+    assert cfg2.train.num_states == 7
+
+
+def test_csv_roundtrip(tmp_path):
+    w = CSVWriter(["Ground Truth", "Predict", "Count"])
+    w.add_line(["4Z2Z1", "4Z2Z", 7])
+    w.add_line(['has"quote', None, 0])
+    path = str(tmp_path / "out.csv")
+    w.write(path)
+    r = CSVReader(path)
+    rows = list(r)
+    assert rows[0] == {"Ground Truth": "4Z2Z1", "Predict": "4Z2Z", "Count": 7}
+    assert rows[1] == {"Ground Truth": 'has"quote', "Predict": None, "Count": 0}
+
+
+def test_csv_rejects_bad_row():
+    w = CSVWriter(["a", "b"])
+    with pytest.raises(ValueError):
+        w.add_line([1])
+
+
+def test_confusion_matrix():
+    cm = confusion_matrix(["1", "2", "1"], ["1", "1", "1"], ["1", "2"])
+    assert cm[0, 0] == 2  # true 1 pred 1 twice
+    assert cm[0, 1] == 1  # true 1 pred 2 once
+    assert cm[1].sum() == 0
