@@ -50,6 +50,11 @@ class SyntheticTIDigits:
     num_test_speakers: int = 4
     takes_per_digit: int = 3
     seed: int = 1234
+    # Also generate multi-digit utterances into both splits (labels are the
+    # transcripts), mirroring real TI-Digits' mixed-length recordings.
+    with_sentences: bool = False
+    sentence_lengths: tuple = (2, 4, 7)
+    sentences_per_length: int = 4
 
     def __post_init__(self) -> None:
         rng = np.random.default_rng(self.seed)
@@ -68,6 +73,20 @@ class SyntheticTIDigits:
         )
         self._train = self._build_split(train_speakers)
         self._test = self._build_split(test_speakers)
+        if self.with_sentences:
+            self._add_sentences(self._train, train_speakers)
+            self._add_sentences(self._test, test_speakers)
+
+    def _add_sentences(self, loader: DataLoader, speakers) -> None:
+        rng = np.random.default_rng(self.seed + 99)
+        labels = list(DIGIT_LABELS)
+        for n in self.sentence_lengths:
+            for k in range(self.sentences_per_length):
+                transcript = "".join(rng.choice(labels, size=n))
+                loader.data.setdefault(transcript, []).extend(
+                    self.sentence_audio(transcript, spk, jitter_seed=k)
+                    for spk in speakers
+                )
 
     # -- public surface mirroring TIDigits ---------------------------------
     @property

@@ -1,0 +1,66 @@
+"""Shared plumbing for the project scripts.
+
+The reference scripts hardcode constants in-file (SURVEY.md §2.2); here every
+script is an argparse CLI over cs304_tpu.utils.config.Config, with a
+--synthetic switch that substitutes the generated corpus when the licensed
+TI-Digits tree is absent.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cs304_tpu.utils.config import Config  # noqa: E402
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", help="JSON config file", default=None)
+    p.add_argument(
+        "--set", dest="overrides", action="append", default=[],
+        metavar="KEY=VALUE", help="config override, e.g. decode.word_penalty=-250",
+    )
+    p.add_argument("--data-root", default=None, help="TI-Digits root directory")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--synthetic", action="store_true",
+        help="use the generated synthetic corpus instead of TI-Digits",
+    )
+    p.add_argument("--log-file", default="runtime.log")
+    return p
+
+
+def load_config(args) -> Config:
+    cfg = Config.from_file(args.config) if args.config else Config()
+    if args.overrides:
+        cfg.apply_overrides(args.overrides)
+    if args.data_root:
+        cfg.data_root = args.data_root
+    if args.checkpoint_dir:
+        cfg.checkpoint_dir = args.checkpoint_dir
+    logging.basicConfig(
+        filename=args.log_file, level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    logging.getLogger().addHandler(logging.StreamHandler())
+    return cfg
+
+
+def load_corpus(args, cfg: Config):
+    """Returns an object with .train_dataset / .test_dataset."""
+    if args.synthetic:
+        from cs304_tpu.data.synthetic import SyntheticTIDigits
+
+        return SyntheticTIDigits(num_train_speakers=6, num_test_speakers=2,
+                                 takes_per_digit=3, with_sentences=True)
+    from cs304_tpu.data.ti_digits import TIDigits
+
+    return TIDigits(cfg.data_root)
+
+
+def exact_accuracy(truths, preds) -> float:
+    return sum(p == t for p, t in zip(preds, truths)) / max(len(truths), 1)

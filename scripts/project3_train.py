@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""Train the 11 isolated-digit HMMs (reference scripts/project3_train.py)."""
+from _common import base_parser, load_config, load_corpus
+
+from cs304_tpu.data.ti_digits import DIGIT_LABELS
+from cs304_tpu.models.train_kmeans import SegmentalKMeansConfig, train_digit_models
+from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.utils.checkpoint import save_models
+
+
+def main() -> None:
+    args = base_parser(__doc__).parse_args()
+    cfg = load_config(args)
+    corpus = load_corpus(args, cfg)
+
+    feats = {
+        label: mfcc_batch(corpus.train_dataset[label], cfg.frontend.sample_rate)
+        for label in DIGIT_LABELS
+    }
+    kcfg = SegmentalKMeansConfig(
+        num_states=cfg.train.num_states,
+        max_iterations=cfg.train.max_iterations,
+        cov_reg=cfg.train.cov_reg,
+        init_cov=cfg.train.init_cov,
+        length_multiple=cfg.train.length_multiple,
+    )
+    models = train_digit_models(feats, kcfg)
+    save_models(models, cfg.checkpoint_dir)
+    print(f"saved {len(models)} models to {cfg.checkpoint_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Decode synthetic multi-digit audio built by concatenating single-digit clips
+(reference scripts/project4_2digits.py / project4_phone.py — which naively
+argmax whole clips with isolated models; we run both that and the proper
+continuous decoder to show why continuous decoding is needed)."""
+from _common import base_parser, exact_accuracy, load_config, load_corpus
+
+import numpy as np
+
+from cs304_tpu.data.ti_digits import DIGIT_LABELS
+from cs304_tpu.models.collection import ModelCollection
+from cs304_tpu.models.decoder import ContinuousDecoder
+from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.utils.checkpoint import load_models
+
+
+def main() -> None:
+    parser = base_parser(__doc__)
+    parser.add_argument("--n-digits", type=int, default=2)
+    parser.add_argument("--num-samples", type=int, default=20)
+    args = parser.parse_args()
+    cfg = load_config(args)
+    corpus = load_corpus(args, cfg)
+    models = load_models(cfg.checkpoint_dir)
+
+    rng = np.random.default_rng(0)
+    labels = list(DIGIT_LABELS)
+    truths, clips = [], []
+    train = corpus.train_dataset
+    for _ in range(args.num_samples):
+        transcript = "".join(rng.choice(labels, size=args.n_digits))
+        truths.append(transcript)
+        clips.append(np.concatenate([train[l][0] for l in transcript]))
+    feats = mfcc_batch(clips, cfg.frontend.sample_rate)
+
+    # Naive whole-clip argmax (the reference project4 approach — fails by design).
+    mc = ModelCollection.from_models([models[l] for l in labels])
+    naive = mc.predict_batch(feats)
+    naive_acc = exact_accuracy(truths, naive)
+
+    # Proper continuous decoding.
+    digit_models = {l: models[l] for l in labels}
+    decoder = ContinuousDecoder(digit_models, penalty=cfg.decode.word_penalty)
+    continuous = decoder.predict_batch(feats)
+    cont_acc = exact_accuracy(truths, continuous)
+    print(f"naive isolated argmax exact-match: {naive_acc:.2%}")
+    print(f"continuous decoder exact-match:    {cont_acc:.2%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Continuous decode of n-digit utterances, with or without the silence model;
+exact-sequence accuracy + CSV + confusion data (reference
+scripts/project5_test_ndigits_no_sil.py / _with_sil.py / project5_test_1digit.py)."""
+from _common import base_parser, exact_accuracy, load_config, load_corpus
+
+from cs304_tpu.models.decoder import ContinuousDecoder
+from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.reporting.csvnia import CSVWriter
+from cs304_tpu.utils.checkpoint import load_models
+
+
+def main() -> None:
+    parser = base_parser(__doc__)
+    parser.add_argument("--n-digits", type=int, default=7)
+    parser.add_argument("--no-silence", action="store_true")
+    parser.add_argument("--csv-out", default=None)
+    parser.add_argument("--max-per-label", type=int, default=None)
+    args = parser.parse_args()
+    cfg = load_config(args)
+    corpus = load_corpus(args, cfg)
+    models = load_models(cfg.checkpoint_dir)
+    if args.no_silence:
+        models = {l: m for l, m in models.items() if l != "S"}
+    decoder = ContinuousDecoder(models, penalty=cfg.decode.word_penalty)
+
+    for split_name, dataset in (
+        ("train", corpus.train_dataset),
+        ("test", corpus.test_dataset),
+    ):
+        grouped = dataset.get_all_n_digits(args.n_digits)
+        truths, clips = [], []
+        for transcript, utts in grouped.items():
+            if args.max_per_label:
+                utts = utts[: args.max_per_label]
+            for u in utts:
+                truths.append(transcript)
+                clips.append(u)
+        if not truths:
+            print(f"{split_name}: no {args.n_digits}-digit utterances")
+            continue
+        preds = decoder.predict_batch(mfcc_batch(clips, cfg.frontend.sample_rate))
+        acc = exact_accuracy(truths, preds)
+        print(f"{split_name} exact-sequence accuracy (n={args.n_digits}): {acc:.2%}")
+        if args.csv_out:
+            w = CSVWriter(["Ground Truth", "Predict"])
+            for t, p in zip(truths, preds):
+                w.add_line([t, p])
+            w.write(f"{args.csv_out}.{split_name}.csv")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Mic -> endpoint -> MFCC -> continuous decode with silence (reference
+scripts/project6_interactive.py). Requires sounddevice; --wav decodes a file
+instead of capturing (works everywhere)."""
+from _common import base_parser, load_config
+
+import numpy as np
+
+from cs304_tpu.models.decoder import ContinuousDecoder
+from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.utils.checkpoint import load_models
+
+
+def main() -> None:
+    parser = base_parser(__doc__)
+    parser.add_argument("--wav", default=None, help="decode this WAV instead of the mic")
+    parser.add_argument("--high", type=float, default=128.0)
+    parser.add_argument("--low", type=float, default=16.0)
+    parser.add_argument("--silence-duration", type=float, default=0.2)
+    args = parser.parse_args()
+    cfg = load_config(args)
+    decoder = ContinuousDecoder(
+        load_models(cfg.checkpoint_dir), penalty=cfg.decode.word_penalty
+    )
+
+    if args.wav:
+        from cs304_tpu.audio.wav import read_wav
+
+        rate, signal = read_wav(args.wav)
+        feats = mfcc_batch([signal], rate)
+        print("decoded:", decoder.predict(feats[0]))
+        return
+
+    from cs304_tpu.audio.capture import Segmentation
+
+    seg = Segmentation.from_basic(
+        sample_rate=int(cfg.frontend.sample_rate),
+        speech_high_threshold=args.high,
+        speech_low_threshold=args.low,
+        silence_duration_threshold=args.silence_duration,
+    )
+    while True:
+        path = seg.main()
+        if path is None:
+            continue
+        from cs304_tpu.audio.wav import read_wav
+
+        rate, signal = read_wav(path)
+        feats = mfcc_batch([signal], rate)
+        print("decoded:", decoder.predict(feats[0]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Embedded continuous training over all multi-digit transcripts, booting from
+project5 checkpoints; interrupt-safe save (reference scripts/project6_train.py)."""
+from _common import base_parser, load_config, load_corpus
+
+from cs304_tpu.models.train_continuous import ContinuousTrainConfig, ContinuousTrainer
+from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.utils.checkpoint import load_models, save_models
+
+
+def main() -> None:
+    parser = base_parser(__doc__)
+    parser.add_argument("--out-dir", default=None,
+                        help="output checkpoint dir (default <checkpoint>_continuous)")
+    parser.add_argument("--min-digits", type=int, default=2)
+    parser.add_argument("--max-digits", type=int, default=7)
+    args = parser.parse_args()
+    cfg = load_config(args)
+    corpus = load_corpus(args, cfg)
+    out_dir = args.out_dir or f"{cfg.checkpoint_dir}_continuous"
+
+    models = load_models(cfg.checkpoint_dir)
+    labeled = {}
+    for n in range(args.min_digits, args.max_digits + 1):
+        for transcript, utts in corpus.train_dataset.get_all_n_digits(n).items():
+            labeled[transcript] = mfcc_batch(utts, cfg.frontend.sample_rate)
+    if not labeled:
+        raise SystemExit("no multi-digit transcripts found in the train split")
+    print(f"training on {len(labeled)} transcripts, "
+          f"{sum(len(v) for v in labeled.values())} utterances")
+
+    trainer = ContinuousTrainer(
+        models,
+        ContinuousTrainConfig(
+            max_iterations=cfg.continuous.max_iterations,
+            cov_reg=cfg.continuous.cov_reg,
+            silence_bootstrap=cfg.continuous.silence_bootstrap,
+            insert_silence=cfg.continuous.insert_silence,
+        ),
+    )
+    try:
+        iters = trainer.train(labeled)
+        print(f"finished after {iters} iterations")
+    except KeyboardInterrupt:
+        print("interrupted — saving current models")
+    finally:
+        save_models(trainer.models(), out_dir)
+        print(f"saved to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

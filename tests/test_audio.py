@@ -1,0 +1,72 @@
+"""Endpointing state machines and WAV I/O."""
+import queue
+
+import numpy as np
+import pytest
+
+from cs304_tpu.audio.capture import (
+    NoiseFloor,
+    Segmentation,
+    SegmentationDone,
+    SpeechEndCounter,
+)
+from cs304_tpu.audio.wav import read_wav, write_wav_int16
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    sig = (rng.normal(0, 3000, 4000)).astype(np.int16)
+    path = str(tmp_path / "x.wav")
+    write_wav_int16(path, sig, 16000)
+    rate, loaded = read_wav(path)
+    assert rate == 16000
+    np.testing.assert_array_equal(loaded.astype(np.int16), sig)
+
+
+def test_noise_floor_weighted_history():
+    nf = NoiseFloor(num_of_samples=2)
+    nf.update(np.full(10, 2.0))
+    assert nf.noise_floor == pytest.approx(2.0)
+    nf.update(np.full(10, 5.0))
+    # Most recent gets weight 2, older weight 1: (2*5 + 1*2) / 3 = 4.0
+    assert nf.noise_floor == pytest.approx(4.0)
+
+
+def test_speech_end_counter():
+    c = SpeechEndCounter(2)
+    c.no_speech()
+    c.has_speech()
+    c.no_speech()
+    with pytest.raises(SegmentationDone):
+        c.no_speech()
+
+
+def test_segmentation_offline_frames():
+    """Drive the mic state machine with synthetic frames via the queue."""
+    seg = Segmentation(
+        stream=None,
+        speech_high_threshold=100.0,
+        speech_low_threshold=20.0,
+        silence_duration_threshold=0.04,  # 2 frames at 320/16000
+    )
+    rng = np.random.default_rng(0)
+    silence = rng.normal(0, 5.0, 320 * 3).astype(np.float32)
+    speech = (np.sin(np.arange(320 * 5) * 0.3) * 1000).astype(np.float32)
+    seg.audio_cache.put(silence)
+    seg.routine()  # only silence, no speech yet
+    assert seg.result_signal().size == 0
+    seg.audio_cache.put(speech)
+    seg.routine()
+    tail = rng.normal(0, 5.0, 320 * 4).astype(np.float32)
+    seg.audio_cache.put(tail)
+    with pytest.raises(SegmentationDone):
+        seg.routine()
+    result = seg.result_signal()
+    # Captured the speech (plus bounded trailing silence), not the lead-in.
+    assert 320 * 5 <= result.size <= 320 * 8
+
+
+def test_live_capture_requires_sounddevice():
+    seg = Segmentation(stream=None)
+    with pytest.raises(RuntimeError, match="sounddevice"):
+        seg.main()
