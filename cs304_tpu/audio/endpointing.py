@@ -48,63 +48,48 @@ class SignalSeparation:
     def maximum_silence_frames(self) -> int:
         return int(self.silence_duration_threshold / self.frame_time)
 
-    def _frames(self, signal: np.ndarray) -> List[np.ndarray]:
-        """Full frames plus the trailing partial frame (reference :104-110)."""
-        fs = self.frame_size
-        n_full = len(signal) // fs
-        frames = list(signal[: n_full * fs].reshape(-1, fs))
-        frames.append(signal[n_full * fs :])
-        return frames
-
     def _segment(self, signal: np.ndarray) -> Tuple[Optional[np.ndarray], np.ndarray]:
         """Run the hysteresis state machine over one clip.
+
+        Frame energies and the automaton run in the native tier when the C++
+        library is available (cs304_tpu/native/wavio.cpp), with byte-identical
+        Python fallbacks. The reference iterates full frames plus an ALWAYS
+        appended (possibly empty) tail frame (signal_separation.py:104-110);
+        the empty tail counts as an energy-0 frame, which we reproduce.
 
         Returns (speech or None, noise). None means segmentation never
         completed (no trailing silence long enough).
         """
+        from ..native import native_endpoint_frames, native_frame_energies
+
         signal = np.asarray(signal, np.float32)
         max_volume = float(np.max(np.abs(signal))) if len(signal) else 0.0
         high = self.speech_high_threshold * max_volume
         low = self.speech_low_threshold * max_volume
-        max_silence = self.maximum_silence_frames
+        fs = self.frame_size
 
-        result: List[np.ndarray] = []
-        noise: List[np.ndarray] = []
-        counter = 0
-        ever_high = False
-        between = False
-
-        for frame in self._frames(signal):
-            energy = float(np.mean(np.abs(frame))) if len(frame) else 0.0
-            done = False
-            if between:
-                if energy > low:
-                    counter = 0
-                else:
-                    between = False
-                    counter += 1
-                    done = counter >= max_silence
-            else:
-                if energy > high:
-                    between = True
-                    ever_high = True
-                    counter = 0
-                else:
-                    noise.append(frame)
-                    if ever_high:
-                        counter += 1
-                        done = counter >= max_silence
-            if ever_high:
-                result.append(frame)
-            if done:
-                noise_sig = (
-                    np.concatenate(noise, dtype=np.float32) if noise else np.zeros(0, np.float32)
-                )
-                return np.concatenate(result, dtype=np.float32), noise_sig
-        noise_sig = (
-            np.concatenate(noise, dtype=np.float32) if noise else np.zeros(0, np.float32)
+        energies = native_frame_energies(signal, fs)
+        if len(signal) % fs == 0:
+            # The reference's frame iterator always appends the (empty) tail.
+            energies = np.concatenate([energies, [np.float32(0.0)]])
+        done, labels = native_endpoint_frames(
+            energies, high, low, self.maximum_silence_frames
         )
-        return None, noise_sig
+
+        # Map frame indices back to sample spans (the extra tail frame is empty).
+        def frames_signal(mask: np.ndarray) -> np.ndarray:
+            idx = np.where(mask)[0]
+            if len(idx) == 0:
+                return np.zeros(0, np.float32)
+            pieces = [signal[t * fs : min((t + 1) * fs, len(signal))] for t in idx]
+            return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+
+        upto = done if done else len(labels)
+        flags = labels[:upto]
+        noise_sig = frames_signal((flags & 2) > 0)
+        if not done:
+            return None, noise_sig
+        return frames_signal((flags & 1) > 0), noise_sig
 
     def remove_empty(self, signal: np.ndarray) -> np.ndarray:
         """Strip leading/trailing silence from one clip; harvest its noise.
