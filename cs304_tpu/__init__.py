@@ -50,9 +50,30 @@ _EXPORTS = {
     "TIDigits": ".data.ti_digits",
     "DataLoader": ".data.ti_digits",
     "TI_DIGITS_LABELS": ".data.ti_digits",
+    "SyntheticTIDigits": ".data.synthetic",
+    "pad_batch": ".data.batching",
     "SignalSeparation": ".audio.endpointing",
+    "Segmentation": ".audio.capture",
     "CSVReader": ".reporting.csvnia",
     "CSVWriter": ".reporting.csvnia",
+    "plot_confusion_matrix_from_lists": ".reporting.visualizer",
+    "plot_line": ".reporting.visualizer",
+    "confusion_matrix": ".reporting.visualizer",
+    "DTWRecognizer": ".ops.dtw",
+    "forward_backward": ".ops.forward_backward",
+    "forward_log_likelihood": ".ops.forward_backward",
+    "GMMWordHMM": ".models.gmm_hmm",
+    "train_gmm_hmm": ".models.gmm_hmm",
+    "train_gmm_hmm_baum_welch": ".models.gmm_hmm",
+    "save_models": ".utils.checkpoint",
+    "load_models": ".utils.checkpoint",
+    "save_model": ".utils.checkpoint",
+    "load_model": ".utils.checkpoint",
+    "Config": ".utils.config",
+    "sentence_hmm": ".models.hmm",
+    "make_mesh": ".parallel.data_parallel",
+    "dp_kmeans_step": ".parallel.data_parallel",
+    "dp_composite_decode": ".parallel.data_parallel",
 }
 
 
@@ -65,15 +86,4 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__all__ = [
-    "MFCCConfig", "mfcc_features", "mfcc_batch",
-    "GaussianParams", "gaussian_log_pdf", "make_gaussian_params",
-    "viterbi_banded", "viterbi_composite",
-    "WordHMM", "CompositeHMM", "stack_word_models",
-    "train_word_hmm", "SegmentalKMeansConfig",
-    "ContinuousDecoder", "ModelCollection",
-    "ContinuousTrainer", "insert_silence",
-    "TIDigits", "DataLoader", "TI_DIGITS_LABELS",
-    "SignalSeparation",
-    "CSVReader", "CSVWriter",
-]
+__all__ = sorted(_EXPORTS)
