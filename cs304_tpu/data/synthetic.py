@@ -84,8 +84,9 @@ class SyntheticTIDigits:
             for k in range(self.sentences_per_length):
                 transcript = "".join(rng.choice(labels, size=n))
                 loader.data.setdefault(transcript, []).extend(
-                    self.sentence_audio(transcript, spk, jitter_seed=k)
+                    self.sentence_audio(transcript, spk, jitter_seed=k * 31 + take)
                     for spk in speakers
+                    for take in range(self.takes_per_digit)
                 )
 
     # -- public surface mirroring TIDigits ---------------------------------

@@ -9,6 +9,7 @@ attribute from scripts, e.g. project5_test_ndigits_with_sil.py:62).
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Dict, List, Sequence
 
 import jax
@@ -31,6 +32,7 @@ class ContinuousDecoder:
         models: Sequence[WordHMM] | Dict[str, WordHMM],
         penalty: float = DEFAULT_WORD_PENALTY,
         sort_labels: bool = True,
+        backend: str = "scan",
     ) -> None:
         if isinstance(models, dict):
             models = list(models.values())
@@ -38,6 +40,9 @@ class ContinuousDecoder:
             # The reference walks the checkpoint dir in sorted order
             # (hidden_markov_model.py:431), which fixes tie-break order.
             models = sorted(models, key=lambda m: m.label)
+        if backend not in ("scan", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         self.composite = stack_word_models(models, penalty)
 
     @property
@@ -78,16 +83,24 @@ class ContinuousDecoder:
             jnp.float32(c.penalty),
             jnp.asarray(padded.data),
             jnp.asarray(padded.lengths),
+            self.backend,
         )
         return np.asarray(scores), np.asarray(paths), padded.lengths
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("backend",))
 def _decode_batch(
-    means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths
+    means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths,
+    backend: str = "scan",
 ):
+    from ..ops.viterbi import viterbi_composite_batch_pallas
+
     params = make_gaussian_params(means, covs)
     log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)  # (B, T, S)
-    return viterbi_composite_batch(
+    impl = (
+        viterbi_composite_batch_pallas if backend == "pallas"
+        else viterbi_composite_batch
+    )
+    return impl(
         log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths
     )

@@ -239,3 +239,32 @@ def viterbi_composite_batch(
         quirk_backtrace=quirk_backtrace,
     )
     return jax.vmap(fn)(log_b, lengths)
+
+
+def viterbi_composite_batch_pallas(
+    log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
+    quirk_backtrace: bool = True, interpret: bool = False,
+):
+    """Composite batch decode with the fused Pallas forward-trellis kernel
+    (ops/pallas/trellis.py); termination and backtrace identical to the scan
+    path. log_b (B, T, S), lengths (B,) -> (scores (B,), paths (B, T))."""
+    from .pallas.trellis import viterbi_forward_pallas
+
+    b, t_total, s = log_b.shape
+    trans = composite_transition_matrix(
+        log_a, lower_of_state, is_entry, is_exit, penalty
+    )
+    diag = jnp.diagonal(log_a)
+    diag = jnp.where(jnp.isfinite(diag), diag, 0.0)
+    alpha0 = jnp.where(is_entry[None, :], log_b[:, 0, :] + diag[None, :], -jnp.inf)
+
+    alpha, backptrs = viterbi_forward_pallas(
+        log_b, trans, alpha0, lengths, interpret=interpret
+    )
+    exit_scores = jnp.where(is_exit[None, :], alpha, -jnp.inf)
+    scores = jnp.max(exit_scores, axis=1)
+    best = jnp.argmax(exit_scores, axis=1).astype(jnp.int32)
+    paths = jax.vmap(
+        lambda bp, st, l: _backtrace(bp, st, l, quirk_backtrace)
+    )(backptrs, best, lengths)
+    return scores, paths
