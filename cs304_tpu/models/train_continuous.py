@@ -79,6 +79,16 @@ class ContinuousTrainConfig:
     silence_bootstrap: bool = True
     silence_bootstrap_min_run: int = 9
     silence_label: str = SILENCE_LABEL
+    # Cross-word transition topology of the training sentence HMM.
+    # "exit_only" (default): words connect ONLY exit -> next entry, matching
+    # the decoder's composite topology, so every word instance traverses its
+    # entry and exit states and every state receives frames.
+    # "band": the reference's accidental free skip-2 band across word
+    # boundaries (its sparse matrix returns 0.0 for unstored cross-word keys,
+    # transition_probability.py:17-23) — under it, entry/exit states can be
+    # skipped during alignment and keep stale parameters that the decoder
+    # then has to pay for (observed as word deletions).
+    cross_word: str = "exit_only"
 
 
 @dataclass
@@ -103,16 +113,35 @@ def _topology(sentence: str, state_counts: Dict[str, int], label_index: Dict[str
     )
 
 
-def _sentence_log_a(topo: _SentenceTopology, log_a_g: np.ndarray) -> np.ndarray:
-    """Gather per-word transitions onto the sentence state space; cross-word
-    transitions are free (log 1 = 0), reproducing the reference's sparse-matrix
-    default (transition_probability.py:17-23; see models.hmm.sentence_hmm).
+def _sentence_log_a(
+    topo: _SentenceTopology, log_a_g: np.ndarray, cross_word: str = "exit_only"
+) -> np.ndarray:
+    """Gather per-word transitions onto the sentence state space.
+
+    cross_word="band": every cross-word pair inside the Viterbi band is free
+    (log 1 = 0), reproducing the reference's sparse-matrix default
+    (transition_probability.py:17-23; see models.hmm.sentence_hmm).
+    cross_word="exit_only": only word-exit -> next-word-entry is free, the
+    decoder's actual topology (see ContinuousTrainConfig.cross_word).
     The skip-2 band itself is applied inside the banded Viterbi."""
-    same_word = topo.pos_of_state[:, None] == topo.pos_of_state[None, :]
+    pos = topo.pos_of_state
+    same_word = pos[:, None] == pos[None, :]
     lab = topo.lab_of_state
     loc = topo.loc_of_state
     gathered = log_a_g[lab[:, None], loc[:, None], loc[None, :]]
-    return np.where(same_word, gathered, 0.0).astype(np.float32)
+    if cross_word == "band":
+        return np.where(same_word, gathered, 0.0).astype(np.float32)
+    s = len(pos)
+    is_exit = np.zeros(s, bool)
+    is_entry = np.zeros(s, bool)
+    for p in range(pos.max() + 1):
+        idx = np.where(pos == p)[0]
+        is_entry[idx[0]] = True
+        is_exit[idx[-1]] = True
+    next_word = pos[None, :] == pos[:, None] + 1
+    allowed_cross = is_exit[:, None] & is_entry[None, :] & next_word
+    out = np.where(same_word, gathered, -np.inf)
+    return np.where(allowed_cross, 0.0, out).astype(np.float32)
 
 
 @partial(jax.jit, static_argnames=("num_labels", "s_max"))
@@ -255,7 +284,7 @@ class ContinuousTrainer:
             topo = item["topo"]
             means_sent = self.means_g[topo.lab_of_state, topo.loc_of_state]
             covs_sent = self.covs_g[topo.lab_of_state, topo.loc_of_state]
-            log_a_sent = _sentence_log_a(topo, self.log_a_g)
+            log_a_sent = _sentence_log_a(topo, self.log_a_g, self.cfg.cross_word)
             _c, _s, _t, paths = _stats_pass(
                 jnp.asarray(means_sent), jnp.asarray(covs_sent),
                 jnp.asarray(log_a_sent),
@@ -319,7 +348,7 @@ class ContinuousTrainer:
             topo = item["topo"]
             means_sent = self.means_g[topo.lab_of_state, topo.loc_of_state]
             covs_sent = self.covs_g[topo.lab_of_state, topo.loc_of_state]
-            log_a_sent = _sentence_log_a(topo, self.log_a_g)
+            log_a_sent = _sentence_log_a(topo, self.log_a_g, self.cfg.cross_word)
             c, sm, tr, paths = _stats_pass(
                 jnp.asarray(means_sent), jnp.asarray(covs_sent),
                 jnp.asarray(log_a_sent),
