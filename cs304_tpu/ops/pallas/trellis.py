@@ -44,6 +44,7 @@ def _forward_kernel(trans_ref, lengths_ref, log_b_ref, alpha0_ref,
     trans = trans_ref[:]  # (S, S)
 
     bp_ref[:, 0, :] = jnp.full((b_blk, s), -1, jnp.int32)
+    lengths = lengths_ref[0, :].reshape(b_blk, 1)
 
     def step(t, alpha):
         # scores[b, i, j] = alpha[b, i] + trans[i, j]
@@ -51,10 +52,7 @@ def _forward_kernel(trans_ref, lengths_ref, log_b_ref, alpha0_ref,
         new_alpha = jnp.max(scores, axis=1) + log_b_ref[:, t, :]
         bp = jnp.argmax(scores, axis=1).astype(jnp.int32)
         bp_ref[:, t, :] = bp
-        live = (jax.lax.broadcasted_iota(jnp.int32, (b_blk, 1), 0) * 0 + t) < (
-            lengths_ref[:].reshape(b_blk, 1)
-        )
-        return jnp.where(live, new_alpha, alpha)
+        return jnp.where(t < lengths, new_alpha, alpha)
 
     alpha = jax.lax.fori_loop(1, t_total, step, alpha0_ref[:])
     alpha_out_ref[:] = alpha
@@ -82,7 +80,10 @@ def viterbi_forward_pallas(
     log_b_p = log_b_p.at[:b, :, :s].set(log_b)
     trans_p = jnp.full((s_pad, s_pad), NEG, jnp.float32).at[:s, :s].set(trans)
     alpha0_p = jnp.full((b_pad, s_pad), NEG, jnp.float32).at[:b, :s].set(alpha0)
-    lengths_p = jnp.zeros((b_pad,), jnp.int32).at[:b].set(lengths)
+    # (num_blocks, block_b) so each grid step gets a rank-2 SMEM block.
+    lengths_p = (
+        jnp.zeros((b_pad,), jnp.int32).at[:b].set(lengths).reshape(-1, block_b)
+    )
 
     grid = (b_pad // block_b,)
     alpha_out, bp = pl.pallas_call(
@@ -90,7 +91,7 @@ def viterbi_forward_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_b), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (block_b, t_total, s_pad), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
