@@ -19,6 +19,7 @@ from cs304_tpu.ops.gaussian import gaussian_log_pdf, make_gaussian_params
 from cs304_tpu.ops.mfcc import MFCCConfig, mfcc_features
 from cs304_tpu.ops.viterbi import (
     viterbi_composite_batch,
+    viterbi_composite_batch_fast,
     viterbi_composite_batch_pallas,
 )
 
@@ -63,6 +64,10 @@ def main():
     t_scan, _ = timeit(scan_fn, log_b, n_frames)
     print(f"Trellis scan:   {t_scan*1e3:8.2f} ms  ({B/t_scan:,.0f} utt/s)")
 
+    fast_fn = jax.jit(lambda lb, ln: viterbi_composite_batch_fast(lb, *args, ln))
+    t_fast, _ = timeit(fast_fn, log_b, n_frames)
+    print(f"Trellis fast:   {t_fast*1e3:8.2f} ms  ({B/t_fast:,.0f} utt/s)")
+
     pallas_fn = jax.jit(
         lambda lb, ln: viterbi_composite_batch_pallas(lb, *args, ln)
     )
@@ -74,6 +79,8 @@ def main():
 
     total = t_mfcc + t_emis + t_scan
     print(f"sum (scan path): {total*1e3:8.2f} ms -> {B/total:,.0f} utt/s")
+    total_f = t_mfcc + t_emis + t_fast
+    print(f"sum (fast path): {total_f*1e3:8.2f} ms -> {B/total_f:,.0f} utt/s")
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ class ContinuousDecoder:
             # The reference walks the checkpoint dir in sorted order
             # (hidden_markov_model.py:431), which fixes tie-break order.
             models = sorted(models, key=lambda m: m.label)
-        if backend not in ("scan", "pallas"):
+        if backend not in ("scan", "fast", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.composite = stack_word_models(models, penalty)
@@ -93,14 +93,18 @@ def _decode_batch(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths,
     backend: str = "scan",
 ):
-    from ..ops.viterbi import viterbi_composite_batch_pallas
+    from ..ops.viterbi import (
+        viterbi_composite_batch_fast,
+        viterbi_composite_batch_pallas,
+    )
 
     params = make_gaussian_params(means, covs)
     log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)  # (B, T, S)
-    impl = (
-        viterbi_composite_batch_pallas if backend == "pallas"
-        else viterbi_composite_batch
-    )
+    impl = {
+        "scan": viterbi_composite_batch,
+        "fast": viterbi_composite_batch_fast,
+        "pallas": viterbi_composite_batch_pallas,
+    }[backend]
     return impl(
         log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths
     )

@@ -35,7 +35,7 @@ def _forward_kernel(trans_ref, lengths_ref, log_b_ref, alpha0_ref,
     """One grid program: B_blk utterances, full T recursion in VMEM.
 
     trans:   (S, S) f32 (replicated per program)
-    lengths: (B_blk,) int32 in SMEM
+    lengths: (B_blk, S) int32 in VMEM (length broadcast across the state dim)
     log_b:   (B_blk, T, S) f32
     alpha0:  (B_blk, S) f32
     outputs: alpha (B_blk, S) f32, bp (B_blk, T, S) int32
@@ -44,7 +44,7 @@ def _forward_kernel(trans_ref, lengths_ref, log_b_ref, alpha0_ref,
     trans = trans_ref[:]  # (S, S)
 
     bp_ref[:, 0, :] = jnp.full((b_blk, s), -1, jnp.int32)
-    lengths = lengths_ref[0, :].reshape(b_blk, 1)
+    lengths = lengths_ref[:]  # (B_blk, S)
 
     def step(t, alpha):
         # scores[b, i, j] = alpha[b, i] + trans[i, j]
@@ -80,10 +80,10 @@ def viterbi_forward_pallas(
     log_b_p = log_b_p.at[:b, :, :s].set(log_b)
     trans_p = jnp.full((s_pad, s_pad), NEG, jnp.float32).at[:s, :s].set(trans)
     alpha0_p = jnp.full((b_pad, s_pad), NEG, jnp.float32).at[:b, :s].set(alpha0)
-    # (num_blocks, block_b) so each grid step gets a rank-2 SMEM block.
-    lengths_p = (
-        jnp.zeros((b_pad,), jnp.int32).at[:b].set(lengths).reshape(-1, block_b)
-    )
+    # Broadcast lengths across the (padded) state dim: a plain VMEM operand,
+    # avoiding SMEM vector-load restrictions.
+    lengths_flat = jnp.zeros((b_pad,), jnp.int32).at[:b].set(lengths)
+    lengths_p = jnp.broadcast_to(lengths_flat[:, None], (b_pad, s_pad))
 
     grid = (b_pad // block_b,)
     alpha_out, bp = pl.pallas_call(
@@ -91,7 +91,7 @@ def viterbi_forward_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_b), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (block_b, t_total, s_pad), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,

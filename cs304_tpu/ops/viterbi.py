@@ -241,6 +241,95 @@ def viterbi_composite_batch(
     return jax.vmap(fn)(log_b, lengths)
 
 
+def viterbi_composite_batch_fast(
+    log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
+    quirk_backtrace: bool = True,
+):
+    """Structure-exploiting composite batch decode.
+
+    The dense (S, S) max-plus step does O(S^2) work and moves a (B, S, S)
+    intermediate through memory every frame, but the composite topology gives
+    every state at most 3 banded predecessors, and every word-entry state
+    shares ONE quantity — the best word-exit score + penalty
+    (hidden_markov_model.py:508-559). This step is O(S) per frame:
+
+      non-entry j:  max(alpha[j-2]+A[j-2,j], alpha[j-1]+A[j-1,j], alpha[j]+A[j,j])
+      entry e:      max(best_exit + penalty, alpha[e]+A[e,e])
+
+    Results are identical to viterbi_composite_batch except for backpointer
+    values at unreachable (-inf) cells, which no decoded path ever visits
+    (the dense argmax places 0 there; this one places a band index).
+    """
+    b, t_total, s = log_b.shape
+
+    to = jnp.arange(s)
+    diag = jnp.diagonal(log_a)
+    # Banded coefficients with lower-boundary clipping (band floor at the
+    # word's entry state) and -inf on entry columns (handled separately).
+    sub1 = jnp.where(
+        (to >= 1) & (to - 1 >= lower_of_state) & ~is_entry,
+        log_a[jnp.maximum(to - 1, 0), to], -jnp.inf,
+    )
+    sub2 = jnp.where(
+        (to >= 2) & (to - 2 >= lower_of_state) & ~is_entry,
+        log_a[jnp.maximum(to - 2, 0), to], -jnp.inf,
+    )
+    diag_ne = jnp.where(~is_entry, diag, -jnp.inf)
+    diag_e = jnp.where(is_entry, diag, -jnp.inf)
+    exit_idx = jnp.where(is_exit, to, 0)
+    penalty = jnp.asarray(penalty, log_b.dtype)
+
+    neg = jnp.float32(-jnp.inf)
+
+    def step(alpha, inputs):
+        t, log_b_t = inputs  # alpha (B, S)
+        a1 = jnp.concatenate([jnp.full((b, 1), neg), alpha[:, :-1]], axis=1)
+        a2 = jnp.concatenate([jnp.full((b, 2), neg), alpha[:, :-2]], axis=1)
+        c0 = alpha + diag_ne[None, :]
+        c1 = a1 + sub1[None, :]
+        c2 = a2 + sub2[None, :]
+        # First-max tie-break over predecessor order (j-2, j-1, j).
+        v12 = jnp.maximum(c1, c0)
+        val_ne = jnp.maximum(c2, v12)
+        bp_ne = jnp.where(
+            c2 >= v12,
+            jnp.maximum(to[None, :] - 2, 0),  # clamp: only hit at -inf cells
+            jnp.where(c1 >= c0, jnp.maximum(to[None, :] - 1, 0), to[None, :]),
+        )
+
+        exit_scores = jnp.where(is_exit[None, :], alpha, neg)  # (B, S)
+        best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
+        best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
+        c_pen = best_exit + penalty
+        c_self = alpha + diag_e[None, :]
+        # Reference orders exits before the self-loop: exits win ties (:533-547).
+        val_e = jnp.maximum(c_pen, c_self)
+        bp_e = jnp.where(c_pen >= c_self, best_exit_idx, to[None, :])
+
+        new_alpha = jnp.where(is_entry[None, :], val_e, val_ne) + log_b_t
+        bp = jnp.where(is_entry[None, :], bp_e, bp_ne).astype(jnp.int32)
+        live = (t < lengths)[:, None]
+        return jnp.where(live, new_alpha, alpha), bp
+
+    diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
+    alpha0 = jnp.where(is_entry[None, :], log_b[:, 0, :] + diag_init[None, :], neg)
+    ts = jnp.arange(1, t_total, dtype=jnp.int32)
+    alpha, bps = jax.lax.scan(
+        step, alpha0, (ts, jnp.swapaxes(log_b[:, 1:], 0, 1))
+    )
+    backptrs = jnp.concatenate(
+        [jnp.full((1, b, s), -1, jnp.int32), bps], axis=0
+    ).swapaxes(0, 1)  # (B, T, S)
+
+    exit_scores = jnp.where(is_exit[None, :], alpha, neg)
+    scores = jnp.max(exit_scores, axis=1)
+    best = jnp.argmax(exit_scores, axis=1).astype(jnp.int32)
+    paths = jax.vmap(
+        lambda bp_i, st, l: _backtrace(bp_i, st, l, quirk_backtrace)
+    )(backptrs, best, lengths)
+    return scores, paths
+
+
 def viterbi_composite_batch_pallas(
     log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
     quirk_backtrace: bool = True, interpret: bool = False,
