@@ -32,7 +32,7 @@ class ContinuousDecoder:
         models: Sequence[WordHMM] | Dict[str, WordHMM],
         penalty: float = DEFAULT_WORD_PENALTY,
         sort_labels: bool = True,
-        backend: str = "scan",
+        backend: str = "fast",
     ) -> None:
         if isinstance(models, dict):
             models = list(models.values())

@@ -86,6 +86,56 @@ def gaussian_log_pdf(params: GaussianParams, frames: jax.Array) -> jax.Array:
     return params.log_norm[None, :] - 0.5 * quad
 
 
+class GaussianQuadParams(NamedTuple):
+    """Quadratic-form emission parameters (the MXU-friendly layout).
+
+    The whitening form contracts over K=D=39, which under-fills the 128-deep
+    systolic array. Expanding the quadratic form
+        logpdf[t, s] = const_s + x_t^T (-0.5 P_s) x_t + x_t . (P_s mu_s)
+    turns the heavy term into ONE (T, D^2) x (D^2, S) matmul with K = 1521 —
+    full MXU depth. Numerics: one-pass form, ~1e-2 absolute emission error in
+    f32 vs the whitening path (fine for accuracy, not for bit-parity); use
+    make_gaussian_params/gaussian_log_pdf when exact reference parity matters.
+
+    neg_half_p: (S, D*D) flattened -0.5 * precision matrices
+    lin:        (D, S)   P_s mu_s stacked as columns
+    const:      (S,)     log_norm_s - 0.5 mu_s^T P_s mu_s
+    """
+
+    neg_half_p: jax.Array
+    lin: jax.Array
+    const: jax.Array
+
+
+def make_gaussian_quad_params(means, covariances) -> GaussianQuadParams:
+    means = jnp.asarray(means, jnp.float32)
+    covariances = jnp.asarray(covariances, jnp.float32)
+    s, d = means.shape
+    chol = jnp.linalg.cholesky(covariances)
+    eye = jnp.eye(d, dtype=jnp.float32)
+    prec = jax.vmap(lambda l: jax.scipy.linalg.cho_solve((l, True), eye))(chol)
+    log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    log_norm = -0.5 * (d * _LOG_2PI + log_det)
+    p_mu = jnp.einsum("sde,se->sd", prec, means)
+    const = log_norm - 0.5 * jnp.einsum("sd,sd->s", p_mu, means)
+    return GaussianQuadParams(
+        neg_half_p=(-0.5 * prec).reshape(s, d * d),
+        lin=p_mu.T,
+        const=const,
+    )
+
+
+def gaussian_log_pdf_quad(params: GaussianQuadParams, frames: jax.Array) -> jax.Array:
+    """(T, D) -> (T, S) via the quadratic-form matmul (see GaussianQuadParams)."""
+    t, d = frames.shape
+    x2 = (frames[:, :, None] * frames[:, None, :]).reshape(t, d * d)
+    quad = jnp.dot(
+        x2, params.neg_half_p.T, precision=jax.lax.Precision.HIGHEST
+    )
+    lin = jnp.dot(frames, params.lin, precision=jax.lax.Precision.HIGHEST)
+    return quad + lin + params.const[None, :]
+
+
 class GMMParams(NamedTuple):
     """K-mixture GMM emission parameters.
 

@@ -73,3 +73,22 @@ def test_gmm_matches_manual_logsumexp(rng):
         )
         want[:, i] = scipy.special.logsumexp(comp + np.log(weights[i]), axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)
+
+
+def test_quad_form_matches_whitening(rng):
+    from cs304_tpu.ops.gaussian import (
+        gaussian_log_pdf_quad,
+        make_gaussian_quad_params,
+    )
+
+    s, d, t = 5, 39, 30
+    means = rng.normal(size=(s, d)).astype(np.float32)
+    covs = np.stack([random_spd(rng, d) for _ in range(s)]).astype(np.float32)
+    frames = rng.normal(size=(t, d)).astype(np.float32) * 3
+
+    whiten = gaussian_log_pdf(make_gaussian_params(means, covs), frames)
+    quad = gaussian_log_pdf_quad(make_gaussian_quad_params(means, covs), frames)
+    # One-pass form: looser tolerance (documented in GaussianQuadParams).
+    np.testing.assert_allclose(
+        np.asarray(quad), np.asarray(whiten), rtol=1e-3, atol=5e-2
+    )
