@@ -25,11 +25,17 @@ logger = logging.getLogger(__name__)
 
 
 class ContinuousDecoder:
-    """Batched continuous decoding with optional silence handling."""
+    """Batched continuous decoding with optional silence handling.
+
+    Accepts single-Gaussian WordHMMs, K-mixture GMMWordHMMs, or a mix (the
+    Gaussians are lifted to K=1 mixtures). GMM decoding extends the reference,
+    whose GMM tier was never wired into the continuous decoder
+    (deprecated/gaussian_mixture_model.py).
+    """
 
     def __init__(
         self,
-        models: Sequence[WordHMM] | Dict[str, WordHMM],
+        models,
         penalty: float = DEFAULT_WORD_PENALTY,
         sort_labels: bool = True,
         backend: str = "fast",
@@ -43,7 +49,16 @@ class ContinuousDecoder:
         if backend not in ("scan", "fast", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
-        self.composite = stack_word_models(models, penalty)
+
+        from .gmm_hmm import GMMWordHMM
+
+        if any(isinstance(m, GMMWordHMM) for m in models):
+            gaussian_views, gmm_stack = _lift_to_gmm(models)
+            self.composite = stack_word_models(gaussian_views, penalty)
+            self._gmm = gmm_stack  # (means, covs, weights) stacked over states
+        else:
+            self.composite = stack_word_models(models, penalty)
+            self._gmm = None
 
     @property
     def penalty(self) -> float:
@@ -73,19 +88,83 @@ class ContinuousDecoder:
         """Returns (scores (B,), paths (B, T) np.int32, lengths (B,))."""
         c = self.composite
         padded = pad_batch(features, 128)
-        scores, paths = _decode_batch(
-            jnp.asarray(c.means),
-            jnp.asarray(c.covariances),
-            jnp.asarray(c.log_a),
-            jnp.asarray(c.lower_of_state),
-            jnp.asarray(c.is_entry),
-            jnp.asarray(c.is_exit),
-            jnp.float32(c.penalty),
-            jnp.asarray(padded.data),
-            jnp.asarray(padded.lengths),
-            self.backend,
-        )
+        if self._gmm is not None:
+            means, covs, weights = self._gmm
+            scores, paths = _decode_batch_gmm(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights),
+                jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+                jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
+                jnp.float32(c.penalty),
+                jnp.asarray(padded.data), jnp.asarray(padded.lengths),
+                self.backend,
+            )
+        else:
+            scores, paths = _decode_batch(
+                jnp.asarray(c.means),
+                jnp.asarray(c.covariances),
+                jnp.asarray(c.log_a),
+                jnp.asarray(c.lower_of_state),
+                jnp.asarray(c.is_entry),
+                jnp.asarray(c.is_exit),
+                jnp.float32(c.penalty),
+                jnp.asarray(padded.data),
+                jnp.asarray(padded.lengths),
+                self.backend,
+            )
         return np.asarray(scores), np.asarray(paths), padded.lengths
+
+
+def _lift_to_gmm(models):
+    """Mixed WordHMM/GMMWordHMM list -> (gaussian boundary views, stacked
+    per-state GMM params padded to a common K)."""
+    from .gmm_hmm import GMMWordHMM
+
+    k_max = max(
+        m.num_mixtures if isinstance(m, GMMWordHMM) else 1 for m in models
+    )
+    views, means_l, covs_l, weights_l = [], [], [], []
+    for m in models:
+        if isinstance(m, GMMWordHMM):
+            s, k, d = m.means.shape
+            mm = np.zeros((s, k_max, d), np.float32)
+            cc = np.tile(np.eye(d, dtype=np.float32), (s, k_max, 1, 1))
+            ww = np.zeros((s, k_max), np.float32)
+            mm[:, :k] = m.means
+            cc[:, :k] = m.covariances
+            ww[:, :k] = m.weights
+            views.append(
+                WordHMM(label=m.label, means=m.means[:, 0],
+                        covariances=m.covariances[:, 0], log_a=m.log_a)
+            )
+        else:
+            s, d = m.means.shape
+            mm = np.zeros((s, k_max, d), np.float32)
+            cc = np.tile(np.eye(d, dtype=np.float32), (s, k_max, 1, 1))
+            ww = np.zeros((s, k_max), np.float32)
+            mm[:, 0] = m.means
+            cc[:, 0] = m.covariances
+            ww[:, 0] = 1.0
+            views.append(m)
+        means_l.append(mm)
+        covs_l.append(cc)
+        weights_l.append(ww)
+    stack = (
+        np.concatenate(means_l), np.concatenate(covs_l), np.concatenate(weights_l)
+    )
+    return views, stack
+
+
+def _select_impl(backend: str):
+    from ..ops.viterbi import (
+        viterbi_composite_batch_fast,
+        viterbi_composite_batch_pallas,
+    )
+
+    return {
+        "scan": viterbi_composite_batch,
+        "fast": viterbi_composite_batch_fast,
+        "pallas": viterbi_composite_batch_pallas,
+    }[backend]
 
 
 @partial(jax.jit, static_argnames=("backend",))
@@ -93,18 +172,24 @@ def _decode_batch(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths,
     backend: str = "scan",
 ):
-    from ..ops.viterbi import (
-        viterbi_composite_batch_fast,
-        viterbi_composite_batch_pallas,
-    )
-
     params = make_gaussian_params(means, covs)
     log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)  # (B, T, S)
-    impl = {
-        "scan": viterbi_composite_batch,
-        "fast": viterbi_composite_batch_fast,
-        "pallas": viterbi_composite_batch_pallas,
-    }[backend]
-    return impl(
+    return _select_impl(backend)(
+        log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths
+    )
+
+
+@partial(jax.jit, static_argnames=("backend",))
+def _decode_batch_gmm(
+    means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
+    batch, lengths, backend: str = "fast",
+):
+    from ..ops.gaussian import gmm_log_pdf, make_gmm_params
+
+    # Zero-weight padded mixtures contribute log(0) = -inf and drop out of
+    # the logsumexp.
+    params = make_gmm_params(means, covs, weights)
+    log_b = jax.vmap(lambda x: gmm_log_pdf(params, x))(batch)
+    return _select_impl(backend)(
         log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths
     )

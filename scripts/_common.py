@@ -64,3 +64,19 @@ def load_corpus(args, cfg: Config):
 
 def exact_accuracy(truths, preds) -> float:
     return sum(p == t for p, t in zip(preds, truths)) / max(len(truths), 1)
+
+
+def run_main(main_fn) -> None:
+    """Entry-point wrapper: user-facing errors become one-line messages with
+    exit code 1 instead of tracebacks (set CS304_TRACEBACK=1 to debug)."""
+    import os as _os
+
+    try:
+        main_fn()
+    except KeyboardInterrupt:
+        raise
+    except (FileNotFoundError, ValueError, KeyError, RuntimeError) as e:
+        if _os.environ.get("CS304_TRACEBACK"):
+            raise
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(1)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Live mic endpointing demo: press-to-talk, result saved to
 segment_results/result.wav (reference scripts/project1.py). Requires sounddevice."""
-from _common import base_parser, load_config
+from _common import run_main, base_parser, load_config
 
 from cs304_tpu.audio.capture import Segmentation
 
@@ -24,4 +24,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Evaluate the isolated-digit argmax classifier on train+test splits with
 confusion matrices (reference scripts/project3_predict_simple.py)."""
-from _common import base_parser, exact_accuracy, load_config, load_corpus
+from _common import run_main, base_parser, exact_accuracy, load_config, load_corpus
 
 from cs304_tpu.data.ti_digits import DIGIT_LABELS
 from cs304_tpu.models.collection import ModelCollection
@@ -34,4 +34,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

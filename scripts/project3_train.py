@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Train the 11 isolated-digit HMMs (reference scripts/project3_train.py)."""
-from _common import base_parser, load_config, load_corpus
+from _common import run_main, base_parser, load_config, load_corpus
 
 from cs304_tpu.data.ti_digits import DIGIT_LABELS
 from cs304_tpu.models.train_kmeans import SegmentalKMeansConfig, train_digit_models
@@ -30,4 +30,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

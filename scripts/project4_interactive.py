@@ -8,7 +8,7 @@ project5_interactive_multi.py intended but never implemented (it calls the
 nonexistent ModelCollection.predict_continuous_controller — SURVEY.md §2 #14):
 pass --continuous to decode digit strings.
 """
-from _common import base_parser, load_config
+from _common import run_main, base_parser, load_config
 
 from cs304_tpu.data.ti_digits import DIGIT_LABELS
 from cs304_tpu.models.collection import ModelCollection
@@ -55,4 +55,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

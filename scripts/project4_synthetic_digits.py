@@ -3,7 +3,7 @@
 (reference scripts/project4_2digits.py / project4_phone.py — which naively
 argmax whole clips with isolated models; we run both that and the proper
 continuous decoder to show why continuous decoding is needed)."""
-from _common import base_parser, exact_accuracy, load_config, load_corpus
+from _common import run_main, base_parser, exact_accuracy, load_config, load_corpus
 
 import numpy as np
 
@@ -48,4 +48,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Sweep the inter-word transition penalty and plot accuracy vs penalty
 (reference scripts/project5_find_trans_ndigits_no_sil.py / _with_sil.py)."""
-from _common import base_parser, exact_accuracy, load_config, load_corpus
+from _common import run_main, base_parser, exact_accuracy, load_config, load_corpus
 
 from cs304_tpu.models.decoder import ContinuousDecoder
 from cs304_tpu.ops.mfcc import mfcc_batch
@@ -47,4 +47,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

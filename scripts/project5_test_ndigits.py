@@ -2,7 +2,7 @@
 """Continuous decode of n-digit utterances, with or without the silence model;
 exact-sequence accuracy + CSV + confusion data (reference
 scripts/project5_test_ndigits_no_sil.py / _with_sil.py / project5_test_1digit.py)."""
-from _common import base_parser, exact_accuracy, load_config, load_corpus
+from _common import run_main, base_parser, exact_accuracy, load_config, load_corpus
 
 from cs304_tpu.models.decoder import ContinuousDecoder
 from cs304_tpu.ops.mfcc import mfcc_batch
@@ -50,4 +50,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

@@ -2,7 +2,7 @@
 """Silence-strip all training clips, train 11 digit HMMs plus a 3-state
 silence model "S" from the harvested noise
 (reference scripts/project5_train_no_empty.py)."""
-from _common import base_parser, load_config, load_corpus
+from _common import run_main, base_parser, load_config, load_corpus
 
 from cs304_tpu.audio.endpointing import SignalSeparation
 from cs304_tpu.data.ti_digits import DIGIT_LABELS
@@ -55,4 +55,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

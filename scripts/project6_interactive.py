@@ -2,7 +2,7 @@
 """Mic -> endpoint -> MFCC -> continuous decode with silence (reference
 scripts/project6_interactive.py). Requires sounddevice; --wav decodes a file
 instead of capturing (works everywhere)."""
-from _common import base_parser, load_config
+from _common import run_main, base_parser, load_config
 
 import numpy as np
 
@@ -51,4 +51,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Embedded continuous training over all multi-digit transcripts, booting from
 project5 checkpoints; interrupt-safe save (reference scripts/project6_train.py)."""
-from _common import base_parser, load_config, load_corpus
+from _common import run_main, base_parser, load_config, load_corpus
 
 from cs304_tpu.models.train_continuous import ContinuousTrainConfig, ContinuousTrainer
 from cs304_tpu.ops.mfcc import mfcc_batch
@@ -49,4 +49,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    run_main(main)

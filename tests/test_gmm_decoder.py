@@ -1,0 +1,70 @@
+"""GMM continuous decoding: K=1 parity with the Gaussian decoder + mixed models."""
+import numpy as np
+
+from cs304_tpu.models.decoder import ContinuousDecoder
+from cs304_tpu.models.gmm_hmm import GMMWordHMM
+from cs304_tpu.models.hmm import WordHMM, uniform_forward_log_a
+
+
+def mk_gaussian(label, rng, s=3, d=4):
+    a = rng.normal(size=(s, d, 2)).astype(np.float32)
+    covs = a @ a.transpose(0, 2, 1) + np.eye(d, dtype=np.float32)
+    return WordHMM(
+        label=label,
+        means=rng.normal(size=(s, d)).astype(np.float32) * 2,
+        covariances=covs,
+        log_a=uniform_forward_log_a(s),
+    )
+
+
+def to_k1_gmm(m: WordHMM) -> GMMWordHMM:
+    return GMMWordHMM(
+        label=m.label,
+        means=m.means[:, None],
+        covariances=m.covariances[:, None],
+        weights=np.ones((m.num_states, 1), np.float32),
+        log_a=m.log_a,
+    )
+
+
+def test_k1_gmm_decode_matches_gaussian(rng):
+    gaussians = {l: mk_gaussian(l, rng) for l in "ABC"}
+    gmms = {l: to_k1_gmm(m) for l, m in gaussians.items()}
+    feats = [rng.normal(size=(20, 4)).astype(np.float32) * 2 for _ in range(4)]
+
+    dec_g = ContinuousDecoder(gaussians, penalty=-3.0)
+    dec_m = ContinuousDecoder(gmms, penalty=-3.0)
+    assert dec_m._gmm is not None
+    sg, pg, _ = dec_g.viterbi_batch(feats)
+    sm, pm, _ = dec_m.viterbi_batch(feats)
+    np.testing.assert_allclose(sm, sg, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(pm, pg)
+    assert dec_m.predict_batch(feats) == dec_g.predict_batch(feats)
+
+
+def test_mixed_gaussian_and_gmm_models(rng):
+    models = {
+        "A": mk_gaussian("A", rng),
+        "B": to_k1_gmm(mk_gaussian("B", rng)),
+    }
+    # B gets 2 mixtures: duplicate the component with equal weights — the
+    # emission distribution is unchanged, so decode must match all-Gaussian.
+    b = models["B"]
+    models["B"] = GMMWordHMM(
+        label="B",
+        means=np.repeat(b.means, 2, axis=1),
+        covariances=np.repeat(b.covariances, 2, axis=1),
+        weights=np.full((b.num_states, 2), 0.5, np.float32),
+        log_a=b.log_a,
+    )
+    feats = [rng.normal(size=(15, 4)).astype(np.float32) * 2 for _ in range(3)]
+    dec = ContinuousDecoder(models, penalty=-3.0)
+    preds = dec.predict_batch(feats)
+    # The duplicated-component GMM for B is distribution-identical to the
+    # single Gaussian, so the mixed decode must equal the all-Gaussian one.
+    gaussian_b = WordHMM(
+        label="B", means=b.means[:, 0], covariances=b.covariances[:, 0],
+        log_a=b.log_a,
+    )
+    dec_ref = ContinuousDecoder({"A": models["A"], "B": gaussian_b}, penalty=-3.0)
+    assert preds == dec_ref.predict_batch(feats)
