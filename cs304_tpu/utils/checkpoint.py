@@ -29,27 +29,43 @@ _PARAMS = "params.npz"
 _MANIFEST = "manifest.json"
 
 
-def save_model(model: WordHMM, parent_folder: str) -> str:
-    """Save one word model under <parent>/<label>/params.npz
-    (reference HiddenMarkovModel.save, hidden_markov_model.py:93-115)."""
+def save_model(model, parent_folder: str) -> str:
+    """Save one word model (Gaussian or GMM) under <parent>/<label>/params.npz
+    (reference HiddenMarkovModel.save, hidden_markov_model.py:93-115).
+    GMM models additionally store mixture weights; the array ranks
+    disambiguate on load."""
     folder = os.path.join(parent_folder, model.label)
     os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, _PARAMS)
-    np.savez(
-        path,
-        means=model.means.astype(np.float32),
-        covariances=model.covariances.astype(np.float32),
-        log_a=model.log_a.astype(np.float32),
-    )
+    arrays = {
+        "means": model.means.astype(np.float32),
+        "covariances": model.covariances.astype(np.float32),
+        "log_a": model.log_a.astype(np.float32),
+    }
+    weights = getattr(model, "weights", None)
+    if weights is not None:
+        arrays["weights"] = np.asarray(weights, np.float32)
+    np.savez(path, **arrays)
     logger.info("saved model %s to %s", model.label, path)
     return path
 
 
-def load_model(model_folder: str) -> WordHMM:
+def load_model(model_folder: str):
     """Load one word model; the label is the folder name
-    (reference hidden_markov_model.py:117-158)."""
+    (reference hidden_markov_model.py:117-158). Returns a WordHMM or, when
+    mixture weights are present, a GMMWordHMM."""
     label = os.path.basename(os.path.normpath(model_folder))
     with np.load(os.path.join(model_folder, _PARAMS)) as z:
+        if "weights" in z:
+            from ..models.gmm_hmm import GMMWordHMM
+
+            return GMMWordHMM(
+                label=label,
+                means=z["means"],
+                covariances=z["covariances"],
+                weights=z["weights"],
+                log_a=z["log_a"],
+            )
         return WordHMM(
             label=label,
             means=z["means"],

@@ -9,7 +9,16 @@ from cs304_tpu.utils.checkpoint import save_models
 
 
 def main() -> None:
-    args = base_parser(__doc__).parse_args()
+    parser = base_parser(__doc__)
+    parser.add_argument(
+        "--gmm-mixtures", type=int, default=0,
+        help="train K-mixture GMM emissions instead of single Gaussians",
+    )
+    parser.add_argument(
+        "--baum-welch", action="store_true",
+        help="refine with soft-EM after segmental k-means (implies GMM path)",
+    )
+    args = parser.parse_args()
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
 
@@ -24,7 +33,19 @@ def main() -> None:
         init_cov=cfg.train.init_cov,
         length_multiple=cfg.train.length_multiple,
     )
-    models = train_digit_models(feats, kcfg)
+    if args.gmm_mixtures or args.baum_welch:
+        from cs304_tpu.models.gmm_hmm import train_gmm_hmm, train_gmm_hmm_baum_welch
+
+        k = max(args.gmm_mixtures, 1)
+        models = {}
+        for label, f in feats.items():
+            m = train_gmm_hmm(label, f, num_mixtures=k, cfg=kcfg)
+            if args.baum_welch:
+                m = train_gmm_hmm_baum_welch(label, f, num_mixtures=k, cfg=kcfg, init=m)
+            models[label] = m
+            print(f"trained GMM {label} (K={k}, bw={args.baum_welch})")
+    else:
+        models = train_digit_models(feats, kcfg)
     save_models(models, cfg.checkpoint_dir)
     print(f"saved {len(models)} models to {cfg.checkpoint_dir}")
 

@@ -83,3 +83,23 @@ def test_confusion_matrix():
     assert cm[0, 0] == 2  # true 1 pred 1 twice
     assert cm[0, 1] == 1  # true 1 pred 2 once
     assert cm[1].sum() == 0
+
+
+def test_checkpoint_gmm_roundtrip(tmp_path, rng):
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+
+    s, k, d = 3, 2, 4
+    a = rng.normal(size=(s, k, d, 2)).astype(np.float32)
+    covs = a @ a.transpose(0, 1, 3, 2) + np.eye(d, dtype=np.float32)
+    model = GMMWordHMM(
+        label="G",
+        means=rng.normal(size=(s, k, d)).astype(np.float32),
+        covariances=covs,
+        weights=rng.dirichlet(np.ones(k), size=s).astype(np.float32),
+        log_a=uniform_forward_log_a(s),
+    )
+    save_model(model, str(tmp_path))
+    loaded = load_model(str(tmp_path / "G"))
+    assert isinstance(loaded, GMMWordHMM)
+    np.testing.assert_array_equal(loaded.means, model.means)
+    np.testing.assert_array_equal(loaded.weights, model.weights)
