@@ -1,0 +1,88 @@
+"""Drop-in compat surface: the reference's API names and call shapes work."""
+import os
+
+import numpy as np
+import pytest
+
+from cs304_tpu import compat
+from cs304_tpu.audio.wav import write_wav_int16
+from cs304_tpu.data.synthetic import SyntheticTIDigits
+from cs304_tpu.data.ti_digits import DIGIT_LABELS
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return SyntheticTIDigits(num_train_speakers=3, num_test_speakers=1, takes_per_digit=2)
+
+
+def test_mfcc_surface(corpus):
+    sig = corpus.train_dataset["3"][0]
+    m = compat.MFCC(sig, 16000)
+    assert m.feature_vector.shape[0] == 39  # coefficient-major like the reference
+    batch = compat.MFCC.batch([sig, sig], 16000)
+    assert batch[0].shape[1] == 39  # batch is transposed (T, 39)
+    np.testing.assert_allclose(batch[0], m.feature_vector.T, rtol=1e-5)
+    with pytest.raises(ValueError):
+        compat.MFCC(np.zeros((2, 100)), 16000)
+
+
+def test_trainable_predict_save_load(tmp_path, corpus):
+    mfccs = compat.MFCC.batch(corpus.train_dataset["5"], 16000)
+    model = compat.HiddenMarkovModelTrainable.from_data("5", mfccs, 5, 6)
+    assert model.num_of_states == 5
+    assert model.dim_of_features == 39
+    score, path = model.predict(mfccs[0])
+    assert np.isfinite(score)
+    assert len(path) == mfccs[0].shape[0]
+    model.save(str(tmp_path))
+    loaded = compat.HiddenMarkovModel.from_folder(str(tmp_path / "5"))
+    score2, path2 = loaded.predict(mfccs[0])
+    assert score2 == pytest.approx(score, rel=1e-5)
+    np.testing.assert_array_equal(path, path2)
+
+
+def test_collection_and_inference(tmp_path, corpus):
+    for label in DIGIT_LABELS:
+        mfccs = compat.MFCC.batch(corpus.train_dataset[label], 16000)
+        compat.HiddenMarkovModelTrainable.from_data(label, mfccs, 5, 4).save(
+            str(tmp_path)
+        )
+    mc = compat.ModelCollection.load_from_files(str(tmp_path))
+    clip = compat.MFCC.batch([corpus.train_dataset["7"][0]], 16000)[0]
+    assert mc.predict(clip) in DIGIT_LABELS
+    # The API the reference's project5_interactive_multi.py wanted:
+    assert isinstance(mc.predict_continuous_controller(clip), str)
+
+    inf = compat.HiddenMarkovModelInference.from_folder(
+        str(tmp_path), list(DIGIT_LABELS)
+    )
+    inf._log_transition_probability_between_words = -250.0
+    assert inf._decoder.penalty == -250.0
+    assert isinstance(inf.predict(clip), str)
+
+
+def test_dtw_surface(corpus):
+    templates = [corpus.train_dataset[l][0] for l in ["1", "2", "3"]]
+    dtw = compat.DynamicTimeWarping(templates, corpus.train_dataset["2"][1])
+    idx, dist = dtw.search()
+    assert 0 <= idx < 3
+    assert np.isfinite(dist)
+
+
+def test_ti_digits_compat_tree(tmp_path, corpus):
+    """The reference directory layout loads through the compat TIDigits."""
+    rng = np.random.default_rng(0)
+    for split in ("TRAIN", "TEST"):
+        base = os.path.join(tmp_path, "Adults", "TIDIGITS", split)
+        os.makedirs(base)
+        for name in ("1a.wav", "1b.wav", "82a.wav"):
+            write_wav_int16(
+                os.path.join(base, name),
+                rng.normal(0, 1000, 3200).astype(np.int16), 16000,
+            )
+    td = compat.TIDigits(str(tmp_path), include_children=False)
+    assert set(td.train_dataset.labels) == {"1", "82"}
+    assert len(td.train_dataset["1"]) == 2
+    assert td.train_dataset["1"][0].dtype == np.float32
+    combined = td.train_dataset.get_combined("1", 0)
+    assert combined.shape == (3200,)
