@@ -109,6 +109,45 @@ def dp_kmeans_step(
     )(means, covs, log_a, batch, lengths)
 
 
+@partial(jax.jit, static_argnames=("mesh", "num_labels", "s_max"))
+def dp_embedded_stats(
+    means_sent, covs_sent, log_a_sent, lab_of_state, loc_of_state, pos_of_state,
+    batch, lengths, mesh: Mesh, num_labels: int, s_max: int,
+):
+    """Data-parallel embedded-training statistics for one transcript batch.
+
+    The sentence alignment (models.train_continuous._stats_pass) runs on each
+    device's shard of utterances; the (L, S) / (L, S, D) / (L, S, S)
+    sufficient statistics cross the ICI once via psum. This shards the
+    reference's per-transcript ProcessPool (hidden_markov_model.py:746-750).
+    Returns (counts, sums, trans) replicated; per-utterance paths stay sharded.
+    """
+    from ..models.train_continuous import _stats_pass
+
+    def step(means_sent, covs_sent, log_a_sent, lab, loc, pos, batch, lengths):
+        counts, sums, trans, paths = _stats_pass(
+            means_sent, covs_sent, log_a_sent, lab, loc, pos,
+            batch, lengths, num_labels, s_max,
+        )
+        return (
+            jax.lax.psum(counts, DATA_AXIS),
+            jax.lax.psum(sums, DATA_AXIS),
+            jax.lax.psum(trans, DATA_AXIS),
+            paths,
+        )
+
+    rep = P()
+    sharded = P(DATA_AXIS)
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, sharded, sharded),
+        out_specs=(rep, rep, rep, sharded),
+        check_vma=False,
+    )(means_sent, covs_sent, log_a_sent, lab_of_state, loc_of_state,
+      pos_of_state, batch, lengths)
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def dp_composite_decode(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,

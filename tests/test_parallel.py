@@ -79,3 +79,47 @@ def test_dp_composite_decode_matches_single(rng):
         )
         assert np.allclose(float(scores[i]), float(want_score), rtol=1e-5, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(paths[i]), np.asarray(want_path))
+
+
+def test_dp_embedded_stats_matches_single(rng):
+    from cs304_tpu.models.train_continuous import (
+        _sentence_log_a,
+        _stats_pass,
+        _topology,
+    )
+    from cs304_tpu.parallel.data_parallel import dp_embedded_stats
+
+    state_counts = {"A": 3, "S": 2}
+    label_index = {"A": 0, "S": 1}
+    topo = _topology("SAS", state_counts, label_index)
+    l, s_max, d = 2, 3, 4
+    log_a_g = np.stack([uniform_forward_log_a(3),
+                        np.pad(uniform_forward_log_a(2), ((0, 1), (0, 1)),
+                               constant_values=-np.inf)])
+    means_g = rng.normal(size=(l, s_max, d)).astype(np.float32) * 2
+    covs_g = np.tile(np.eye(d, dtype=np.float32), (l, s_max, 1, 1))
+    means_sent = means_g[topo.lab_of_state, topo.loc_of_state]
+    covs_sent = covs_g[topo.lab_of_state, topo.loc_of_state]
+    log_a_sent = _sentence_log_a(topo, log_a_g)
+
+    b, t = 16, 24
+    batch = rng.normal(size=(b, t, d)).astype(np.float32)
+    lengths = np.full(b, t, np.int32)
+
+    sc, ss, st, sp = _stats_pass(
+        jnp.asarray(means_sent), jnp.asarray(covs_sent), jnp.asarray(log_a_sent),
+        jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
+        jnp.asarray(topo.pos_of_state),
+        jnp.asarray(batch), jnp.asarray(lengths), l, s_max,
+    )
+    mesh = make_mesh()
+    dc, ds, dt, dp = dp_embedded_stats(
+        jnp.asarray(means_sent), jnp.asarray(covs_sent), jnp.asarray(log_a_sent),
+        jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
+        jnp.asarray(topo.pos_of_state),
+        jnp.asarray(batch), jnp.asarray(lengths), mesh, l, s_max,
+    )
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(sc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ss), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(st), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dp), np.asarray(sp))
