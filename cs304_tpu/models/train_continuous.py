@@ -218,8 +218,15 @@ class ContinuousTrainer:
         self,
         models: Dict[str, WordHMM],
         cfg: ContinuousTrainConfig = ContinuousTrainConfig(),
+        mesh=None,
     ) -> None:
+        """mesh: optional jax.sharding.Mesh — when given, each transcript's
+        alignment batch is sharded over the mesh's data axis and the
+        sufficient statistics are psum'd (parallel.data_parallel.dp_embedded_stats),
+        replacing the reference's per-transcript ProcessPool
+        (hidden_markov_model.py:746-750)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.labels: List[str] = sorted(models)
         self.label_index = {l: i for i, l in enumerate(self.labels)}
         self.state_counts = {l: models[l].num_states for l in self.labels}
@@ -322,21 +329,60 @@ class ContinuousTrainer:
     # -- internals --------------------------------------------------------
     def _prepare_batches(self, labeled_features):
         batches = []
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         for transcript, feats in labeled_features.items():
             sentence = (
                 insert_silence(transcript) if self.cfg.insert_silence else transcript
             )
             topo = _topology(sentence, self.state_counts, self.label_index)
             padded = pad_batch(list(feats), self.cfg.length_multiple)
+            data, lengths = padded.data, padded.lengths
+            if n_dev > 1 and len(lengths) % n_dev:
+                # Pad the utterance count to the mesh size with zero-length
+                # dummies (length 0 => every stat mask excludes them).
+                pad_n = n_dev - len(lengths) % n_dev
+                data = np.concatenate(
+                    [data, np.zeros((pad_n,) + data.shape[1:], np.float32)]
+                )
+                lengths = np.concatenate([lengths, np.zeros(pad_n, np.int32)])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.data_parallel import DATA_AXIS
+
+                sharding = NamedSharding(self.mesh, PartitionSpec(DATA_AXIS))
+                batch_j = jax.device_put(data, sharding)
+                lengths_j = jax.device_put(lengths, sharding)
+            else:
+                batch_j = jnp.asarray(data)
+                lengths_j = jnp.asarray(lengths)
             batches.append(
                 {
                     "sentence": sentence,
                     "topo": topo,
-                    "batch": jnp.asarray(padded.data),
-                    "lengths": jnp.asarray(padded.lengths),
+                    "batch": batch_j,
+                    "lengths": lengths_j,
                 }
             )
         return batches
+
+    def _run_stats_pass(self, topo, means_sent, covs_sent, log_a_sent, item, l, s):
+        if self.mesh is not None:
+            from ..parallel.data_parallel import dp_embedded_stats
+
+            return dp_embedded_stats(
+                jnp.asarray(means_sent), jnp.asarray(covs_sent),
+                jnp.asarray(log_a_sent),
+                jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
+                jnp.asarray(topo.pos_of_state),
+                item["batch"], item["lengths"], self.mesh, l, s,
+            )
+        return _stats_pass(
+            jnp.asarray(means_sent), jnp.asarray(covs_sent),
+            jnp.asarray(log_a_sent),
+            jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
+            jnp.asarray(topo.pos_of_state),
+            item["batch"], item["lengths"], l, s,
+        )
 
     def _iteration(self, batches) -> bool:
         l, s, d = self.means_g.shape[0], self.s_max, self.dim
@@ -349,12 +395,8 @@ class ContinuousTrainer:
             means_sent = self.means_g[topo.lab_of_state, topo.loc_of_state]
             covs_sent = self.covs_g[topo.lab_of_state, topo.loc_of_state]
             log_a_sent = _sentence_log_a(topo, self.log_a_g, self.cfg.cross_word)
-            c, sm, tr, paths = _stats_pass(
-                jnp.asarray(means_sent), jnp.asarray(covs_sent),
-                jnp.asarray(log_a_sent),
-                jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
-                jnp.asarray(topo.pos_of_state),
-                item["batch"], item["lengths"], l, s,
+            c, sm, tr, paths = self._run_stats_pass(
+                topo, means_sent, covs_sent, log_a_sent, item, l, s
             )
             counts += np.asarray(c, np.float64)
             sums += np.asarray(sm, np.float64)

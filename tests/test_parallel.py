@@ -123,3 +123,47 @@ def test_dp_embedded_stats_matches_single(rng):
     np.testing.assert_allclose(np.asarray(ds), np.asarray(ss), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dt), np.asarray(st), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(dp), np.asarray(sp))
+
+
+def test_continuous_trainer_with_mesh_matches_single(rng):
+    from cs304_tpu.models.hmm import WordHMM
+    from cs304_tpu.models.train_continuous import (
+        ContinuousTrainConfig,
+        ContinuousTrainer,
+    )
+
+    def mk(label, s):
+        return WordHMM(
+            label=label,
+            means=rng.normal(size=(s, 4)).astype(np.float32) * 2,
+            covariances=np.tile(np.eye(4, dtype=np.float32), (s, 1, 1)),
+            log_a=uniform_forward_log_a(s),
+        )
+
+    base = {"1": mk("1", 5), "2": mk("2", 5), "S": mk("S", 3)}
+
+    def fresh_models():
+        return {
+            l: WordHMM(label=l, means=m.means.copy(),
+                       covariances=m.covariances.copy(), log_a=m.log_a.copy())
+            for l, m in base.items()
+        }
+
+    # 6 utterances (not divisible by 8 -> exercises dummy padding).
+    labeled = {
+        "12": [rng.normal(size=(30, 4)).astype(np.float32) * 2 for _ in range(6)]
+    }
+    cfg = ContinuousTrainConfig(
+        max_iterations=2, length_multiple=8, silence_bootstrap=False
+    )
+    t_single = ContinuousTrainer(fresh_models(), cfg)
+    t_single.train({k: [f.copy() for f in v] for k, v in labeled.items()})
+
+    t_mesh = ContinuousTrainer(fresh_models(), cfg, mesh=make_mesh())
+    t_mesh.train(labeled)
+
+    for label in ("1", "2", "S"):
+        np.testing.assert_allclose(
+            t_mesh.models()[label].means, t_single.models()[label].means,
+            rtol=1e-4, atol=1e-4,
+        )
