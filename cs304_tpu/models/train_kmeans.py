@@ -139,25 +139,52 @@ def train_word_hmm(
     label: str,
     features: Sequence[np.ndarray],
     cfg: SegmentalKMeansConfig = SegmentalKMeansConfig(),
+    mesh=None,
 ) -> TrainResult:
     """Train one word model from its utterances' (T_i, D) features.
 
     Equivalent to HiddenMarkovModelTrainable.from_data (reference
-    hidden_markov_model.py:233-281).
+    hidden_markov_model.py:233-281). With `mesh`, the utterance batch shards
+    over the mesh's data axis and the E-step statistics cross the ICI once
+    per iteration (parallel.data_parallel.dp_kmeans_step; note its one-pass
+    covariance moment form vs np.cov bit-parity here).
     """
     means, covs, log_a = init_parameters(np.asarray(features[0]), cfg)
     padded = pad_batch(features, cfg.length_multiple)
-    batch = jnp.asarray(padded.data)
-    lengths = jnp.asarray(padded.lengths)
+    data, lens = padded.data, padded.lengths
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.data_parallel import DATA_AXIS, dp_kmeans_step
+
+        n_dev = mesh.devices.size
+        if len(lens) % n_dev:
+            pad_n = n_dev - len(lens) % n_dev
+            data = np.concatenate(
+                [data, np.zeros((pad_n,) + data.shape[1:], np.float32)]
+            )
+            lens = np.concatenate([lens, np.zeros(pad_n, np.int32)])
+        sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        batch = jax.device_put(data, sharding)
+        lengths = jax.device_put(lens, sharding)
+    else:
+        batch = jnp.asarray(data)
+        lengths = jnp.asarray(lens)
 
     converged = False
     it = 0
     score = float("-inf")
     for it in range(1, cfg.max_iterations + 1):
-        new_means, new_covs, new_log_a, counts, score = kmeans_step(
-            jnp.asarray(means), jnp.asarray(covs), jnp.asarray(log_a),
-            batch, lengths, cfg.num_states, cfg.cov_reg,
-        )
+        if mesh is not None:
+            new_means, new_covs, new_log_a, counts = dp_kmeans_step(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(log_a),
+                batch, lengths, mesh, cfg.num_states, cfg.cov_reg,
+            )
+            score = float("nan")
+        else:
+            new_means, new_covs, new_log_a, counts, score = kmeans_step(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(log_a),
+                batch, lengths, cfg.num_states, cfg.cov_reg,
+            )
         counts_np = np.asarray(counts)
         if np.any(counts_np == 0):
             raise HMMTrainMeanFail(

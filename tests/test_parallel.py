@@ -167,3 +167,23 @@ def test_continuous_trainer_with_mesh_matches_single(rng):
             t_mesh.models()[label].means, t_single.models()[label].means,
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_train_word_hmm_with_mesh(rng):
+    from cs304_tpu.models.train_kmeans import SegmentalKMeansConfig, train_word_hmm
+
+    centers = rng.normal(size=(3, 4)) * 4
+    seqs = []
+    for _ in range(6):  # not divisible by 8 -> dummy padding
+        frames = []
+        for s in range(3):
+            for _ in range(rng.integers(3, 7)):
+                frames.append(centers[s] + rng.normal(0, 0.3, 4))
+        seqs.append(np.asarray(frames, np.float32))
+    cfg = SegmentalKMeansConfig(num_states=3, max_iterations=6, length_multiple=8)
+    single = train_word_hmm("X", [f.copy() for f in seqs], cfg).model
+    meshed = train_word_hmm("X", seqs, cfg, mesh=make_mesh()).model
+    np.testing.assert_allclose(meshed.means, single.means, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        meshed.covariances, single.covariances, rtol=5e-2, atol=5e-3
+    )
