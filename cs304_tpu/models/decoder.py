@@ -84,8 +84,35 @@ class ContinuousDecoder:
             out.append("".join(labels))
         return out
 
-    def viterbi_batch(self, features: Sequence[np.ndarray]):
-        """Returns (scores (B,), paths (B, T) np.int32, lengths (B,))."""
+    def viterbi_batch(self, features: Sequence[np.ndarray], bucket: bool = True):
+        """Returns (scores (B,), paths (B, T) np.int32, lengths (B,)).
+
+        bucket=True groups utterances by padded length (multiples of 128
+        frames) and decodes each bucket separately, so a corpus sweep mixing
+        1-digit and 7-digit utterances doesn't pay max-length padding for
+        everything (SURVEY.md §7 "ragged utterance lengths"). Paths are
+        returned padded to the LONGEST bucket for a uniform array.
+        """
+        if bucket and len(features) > 1:
+            buckets: Dict[int, List[int]] = {}
+            for i, f in enumerate(features):
+                key = -(-max(f.shape[0], 1) // 128) * 128
+                buckets.setdefault(key, []).append(i)
+            if len(buckets) > 1:
+                b = len(features)
+                t_max = max(buckets)
+                scores = np.zeros(b, np.float32)
+                paths = np.zeros((b, t_max), np.int32)
+                lengths = np.zeros(b, np.int32)
+                for idx in buckets.values():
+                    s_k, p_k, l_k = self.viterbi_batch(
+                        [features[i] for i in idx], bucket=False
+                    )
+                    scores[idx] = s_k
+                    paths[idx, : p_k.shape[1]] = p_k
+                    lengths[idx] = l_k
+                return scores, paths, lengths
+
         c = self.composite
         padded = pad_batch(features, 128)
         if self._gmm is not None:

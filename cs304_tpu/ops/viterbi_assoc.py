@@ -63,3 +63,29 @@ def viterbi_assoc(log_b: jax.Array, trans: jax.Array, alpha0: jax.Array,
     first, path_rest = jax.lax.scan(back, last, alphas[:-1], reverse=True)
     path = jnp.concatenate([jnp.array([first], jnp.int32), path_rest])
     return score, path.astype(jnp.int32)
+
+
+def viterbi_composite_assoc(
+    log_b: jax.Array,
+    log_a: jax.Array,
+    lower_of_state: jax.Array,
+    is_entry: jax.Array,
+    is_exit: jax.Array,
+    penalty,
+):
+    """Composite continuous decoding with the O(log T)-depth forward pass.
+
+    Same topology as ops.viterbi.viterbi_composite (entry seeding, exit
+    termination, standard backtrace); the forward recursion is the
+    associative scan. Intended for long utterances where the sequential scan's
+    O(T) depth dominates; identical results up to float-tie argmax order.
+    """
+    from .viterbi import composite_transition_matrix
+
+    trans = composite_transition_matrix(
+        log_a, lower_of_state, is_entry, is_exit, penalty
+    )
+    diag = jnp.diagonal(log_a)
+    diag = jnp.where(jnp.isfinite(diag), diag, 0.0)
+    alpha0 = jnp.where(is_entry, log_b[0] + diag, -jnp.inf)
+    return viterbi_assoc(log_b, trans, alpha0, is_exit)

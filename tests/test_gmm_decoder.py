@@ -68,3 +68,22 @@ def test_mixed_gaussian_and_gmm_models(rng):
     )
     dec_ref = ContinuousDecoder({"A": models["A"], "B": gaussian_b}, penalty=-3.0)
     assert preds == dec_ref.predict_batch(feats)
+
+
+def test_bucketed_decode_matches_unbucketed(rng):
+    gaussians = {l: mk_gaussian(l, rng) for l in "ABC"}
+    dec = ContinuousDecoder(gaussians, penalty=-3.0)
+    # Mixed lengths spanning multiple 128-frame buckets.
+    feats = [
+        rng.normal(size=(t, 4)).astype(np.float32) * 2
+        for t in (20, 150, 300, 40, 260)
+    ]
+    sb, pb, lb = dec.viterbi_batch(feats, bucket=True)
+    su, pu, lu = dec.viterbi_batch(feats, bucket=False)
+    np.testing.assert_allclose(sb, su, rtol=1e-5)
+    np.testing.assert_array_equal(lb, lu)
+    for i, f in enumerate(feats):
+        np.testing.assert_array_equal(pb[i, : f.shape[0]], pu[i, : f.shape[0]])
+    assert dec.predict_batch(feats) == [
+        dec.predict(f) for f in feats
+    ]

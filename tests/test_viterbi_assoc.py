@@ -51,3 +51,36 @@ def test_full_viterbi_matches_banded(rng):
     )
     assert np.allclose(float(score), float(want_score), rtol=1e-4, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(path), np.asarray(want_path))
+
+
+def test_composite_assoc_matches_sequential(rng):
+    from cs304_tpu.ops.viterbi import viterbi_composite
+    from cs304_tpu.ops.viterbi_assoc import viterbi_composite_assoc
+
+    state_counts = [5, 3, 4]
+    s_total = sum(state_counts)
+    log_a = np.full((s_total, s_total), -np.inf, np.float32)
+    lowers, uppers, base = [], [], 0
+    for n in state_counts:
+        log_a[base : base + n, base : base + n] = uniform_forward_log_a(n)
+        lowers.append(base)
+        uppers.append(base + n - 1)
+        base += n
+    lower_of = np.zeros(s_total, np.int32)
+    for lo in lowers:
+        lower_of[lo:] = lo
+    entry = np.zeros(s_total, bool); entry[lowers] = True
+    exit_ = np.zeros(s_total, bool); exit_[uppers] = True
+    t = 37
+    log_b = (rng.normal(size=(t, s_total)) * 2).astype(np.float32)
+
+    score_a, path_a = viterbi_composite_assoc(
+        jnp.asarray(log_b), jnp.asarray(log_a), jnp.asarray(lower_of),
+        jnp.asarray(entry), jnp.asarray(exit_), -7.0,
+    )
+    score_s, path_s = viterbi_composite(
+        jnp.asarray(log_b), jnp.asarray(log_a), jnp.asarray(lower_of),
+        jnp.asarray(entry), jnp.asarray(exit_), -7.0, quirk_backtrace=False,
+    )
+    assert np.allclose(float(score_a), float(score_s), rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(path_a), np.asarray(path_s))
