@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-BATCH = 256
+BATCH = 1024
 SECONDS = 1.5
 SAMPLE_RATE = 16000
 BASELINE_CLIPS = 3
@@ -122,7 +122,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "utterances/sec (MFCC+composite Viterbi decode, "
-                          "58-state, B=256, 1.5s clips)",
+                          f"58-state, B={BATCH}, 1.5s clips)",
                 "value": round(tpu_ups, 2),
                 "unit": "utt/s",
                 "vs_baseline": round(tpu_ups / ref_ups, 1),
