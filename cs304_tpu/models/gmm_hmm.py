@@ -225,6 +225,38 @@ def _bw_stats(means, covs, weights, log_a, batch, lengths, cov_reg: float):
     return new_means, new_covs, new_weights, new_log_a, counts, total_ll
 
 
+def train_word_hmm_baum_welch(
+    label: str,
+    features: Sequence[np.ndarray],
+    cfg: SegmentalKMeansConfig = SegmentalKMeansConfig(),
+    init=None,
+    tol: float = 1e-3,
+):
+    """Soft-EM (Baum-Welch) single-Gaussian word training: the K=1 GMM path
+    collapsed back to a WordHMM. The reference only ever had the forward
+    algorithm in its deprecated tier; this completes the Baum-Welch trainer
+    the north star asks for alongside segmental k-means."""
+    from .hmm import WordHMM
+
+    if init is not None and not isinstance(init, GMMWordHMM):
+        init = GMMWordHMM(
+            label=init.label,
+            means=init.means[:, None],
+            covariances=init.covariances[:, None],
+            weights=np.ones((init.num_states, 1), np.float32),
+            log_a=init.log_a,
+        )
+    gmm = train_gmm_hmm_baum_welch(
+        label, features, num_mixtures=1, cfg=cfg, init=init, tol=tol
+    )
+    return WordHMM(
+        label=label,
+        means=gmm.means[:, 0].copy(),
+        covariances=gmm.covariances[:, 0].copy(),
+        log_a=gmm.log_a.copy(),
+    )
+
+
 def train_gmm_hmm_baum_welch(
     label: str,
     features: Sequence[np.ndarray],
