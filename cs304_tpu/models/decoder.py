@@ -19,7 +19,7 @@ import numpy as np
 from ..data.batching import pad_batch
 from ..ops.gaussian import gaussian_log_pdf, make_gaussian_params
 from ..ops.viterbi import viterbi_composite_batch
-from .hmm import DEFAULT_WORD_PENALTY, CompositeHMM, WordHMM, stack_word_models
+from .hmm import DEFAULT_WORD_PENALTY, WordHMM, stack_word_models
 
 logger = logging.getLogger(__name__)
 

@@ -23,7 +23,6 @@ from ..data.batching import pad_batch
 from ..ops.forward_backward import forward_backward, forward_log_likelihood
 from ..ops.gaussian import gmm_log_pdf, make_gmm_params
 from ..ops.viterbi import viterbi_banded_batch
-from .hmm import uniform_forward_log_a
 from .train_kmeans import HMMTrainMeanFail, SegmentalKMeansConfig, init_parameters
 
 logger = logging.getLogger(__name__)

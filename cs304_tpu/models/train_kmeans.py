@@ -24,7 +24,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ extra dependencies (ASCII rendering).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

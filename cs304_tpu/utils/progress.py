@@ -3,7 +3,6 @@ disable flags, hidden_markov_model.py:254-259; we keep that surface but make
 it optional and dependency-tolerant)."""
 from __future__ import annotations
 
-from contextlib import contextmanager
 
 
 def progress_bar(total: int, desc: str = "", enabled: bool = True, position: int = 0):
