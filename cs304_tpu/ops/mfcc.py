@@ -138,6 +138,12 @@ class MFCCConfig:
     top_db: float = 80.0
     delta_width: int = 9
     normalize_eps: float = 1e-8
+    # Spectrogram backend: "matmul" (explicit f32-HIGHEST DFT matmuls,
+    # default) or "fft" (XLA real FFT). Measured on TPU v5e: the matmul DFT is
+    # ~1.5x FASTER end-to-end than XLA's 320-point mixed-radix FFT despite
+    # ~75x more FLOPs — the MXU eats small matmuls; the FFT lowers poorly.
+    # Both match librosa within fp32 tolerance.
+    spectrogram: str = "matmul"
 
     @property
     def feature_dim(self) -> int:
@@ -189,8 +195,12 @@ def _power_spectrogram(signal: jax.Array, cfg: MFCCConfig, dft_cos, dft_sin):
     padded = jnp.pad(signal, (hop, pad_tail))
     blocks = padded.reshape(-1, hop)
     frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)[:t_frames]
-    # precision=HIGHEST: these matmuls are tiny, and MXU bf16 rounding would
-    # break bit-comparability with the reference features.
+    if cfg.spectrogram == "fft":
+        hann, *_ = _cached_constants(cfg)
+        spec = jnp.fft.rfft(frames * hann[None, :], axis=-1)
+        return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    # "matmul": explicit DFT. precision=HIGHEST because MXU bf16 rounding
+    # would break bit-comparability with the reference features.
     re = jnp.dot(frames, dft_cos, precision=jax.lax.Precision.HIGHEST)
     im = jnp.dot(frames, dft_sin, precision=jax.lax.Precision.HIGHEST)
     return re * re + im * im

@@ -89,3 +89,14 @@ def test_mfcc_batch_matches_single(rng):
         want = reference_mfcc_features(sig)
         assert feats.shape == want.shape
         np.testing.assert_allclose(feats, want, rtol=2e-3, atol=2e-3)
+
+
+def test_spectrogram_backends_agree(rng):
+    sig = make_signal(rng, 5000)
+    fft_feats, t1 = mfcc_features(jnp.asarray(sig), cfg=MFCCConfig(spectrogram="fft"))
+    mm_feats, t2 = mfcc_features(jnp.asarray(sig), cfg=MFCCConfig(spectrogram="matmul"))
+    assert int(t1) == int(t2)
+    np.testing.assert_allclose(
+        np.asarray(fft_feats)[: int(t1)], np.asarray(mm_feats)[: int(t2)],
+        rtol=2e-3, atol=2e-3,
+    )
