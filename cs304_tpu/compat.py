@@ -47,6 +47,38 @@ from .ops.mfcc import MFCCConfig, mfcc_batch, mfcc_features
 from .utils import checkpoint as _ckpt
 
 
+# Reference type alias (ti_digits.py:13): the valid digit labels.
+TI_DIGITS_LABEL_TYPE = str
+
+
+class Signal:
+    """Alignment container (reference signal.py:15-50): a feature sequence
+    plus its Viterbi path, with per-state frame slicing."""
+
+    def __init__(self, num_of_state: int, signal, path) -> None:
+        self.num_of_state = num_of_state
+        self.signal = np.asarray(signal)
+        self.path = np.asarray(path)
+
+    @property
+    def order_by_state(self):
+        """Frames grouped per state assuming a monotone path
+        (reference signal.py:24-47); None for states with no frames."""
+        segments = []
+        start = 0
+        for state in range(self.num_of_state):
+            end = start
+            while end < len(self.path) and self.path[end] == state:
+                end += 1
+            segments.append(self.signal[start:end] if end > start else None)
+            start = end
+        return segments
+
+    @property
+    def order_by_signal(self):
+        return list(zip(self.signal, self.path))
+
+
 class MFCC:
     """reference mfcc.py:13-84 — coefficient-major feature_vector."""
 
@@ -215,11 +247,13 @@ class DynamicTimeWarping:
         return self._rec.search(self._sample)
 
 
+# The reference package's full export list (src/loe_speech_recognition/
+# __init__.py:11-30), name for name.
 __all__ = [
     "MFCC", "Segmentation", "DynamicTimeWarping", "TIDigits",
     "TI_DIGITS_LABELS", "DataLoader", "HiddenMarkovModel",
     "HiddenMarkovModelTrainable", "HiddenMarkovModelInference",
-    "HiddenMarkovModelTrainContinuous", "ModelCollection",
-    "plot_confusion_matrix_from_lists", "plot_line",
+    "HiddenMarkovModelTrainContinuous", "Signal", "ModelCollection",
+    "TI_DIGITS_LABEL_TYPE", "plot_confusion_matrix_from_lists", "plot_line",
     "CSVReader", "CSVWriter", "SignalSeparation",
 ]

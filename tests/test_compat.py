@@ -86,3 +86,31 @@ def test_ti_digits_compat_tree(tmp_path, corpus):
     assert td.train_dataset["1"][0].dtype == np.float32
     combined = td.train_dataset.get_combined("1", 0)
     assert combined.shape == (3200,)
+
+
+def test_full_reference_export_surface():
+    """Every name the reference package exports exists in compat
+    (reference __init__.py:11-30)."""
+    reference_exports = [
+        "MFCC", "Segmentation", "DynamicTimeWarping", "TIDigits",
+        "TI_DIGITS_LABELS", "DataLoader", "HiddenMarkovModel",
+        "HiddenMarkovModelTrainable", "HiddenMarkovModelInference",
+        "HiddenMarkovModelTrainContinuous", "Signal", "ModelCollection",
+        "TI_DIGITS_LABEL_TYPE", "plot_confusion_matrix_from_lists",
+        "plot_line", "CSVReader", "CSVWriter", "SignalSeparation",
+    ]
+    for name in reference_exports:
+        assert hasattr(compat, name), f"compat missing {name}"
+    assert sorted(compat.__all__) == sorted(reference_exports)
+
+
+def test_signal_container():
+    sig = np.arange(12, dtype=np.float32).reshape(6, 2)
+    path = np.array([0, 0, 1, 1, 1, 2])
+    s = compat.Signal(4, sig, path)
+    segs = s.order_by_state
+    assert segs[0].shape == (2, 2)
+    assert segs[1].shape == (3, 2)
+    assert segs[2].shape == (1, 2)
+    assert segs[3] is None
+    assert len(s.order_by_signal) == 6
