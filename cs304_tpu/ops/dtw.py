@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INF = jnp.float32(jnp.inf)
+INF = np.float32(np.inf)  # numpy: no device touch at import
 
 
 def pairwise_euclidean(templates: jax.Array, sample: jax.Array) -> jax.Array:

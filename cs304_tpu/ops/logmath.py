@@ -8,11 +8,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # A finite stand-in for -inf where arithmetic between two masked values could
 # produce NaN (e.g. -inf + -inf is fine, but -inf - -inf is not). Everywhere a
 # true identity for `max` is needed we still use -inf, which JAX handles.
-NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
+# (numpy scalar: module import must not touch a device backend.)
+NEG_INF = np.float32(np.finfo(np.float32).min)
 
 
 def max_plus_vecmat(alpha: jax.Array, log_m: jax.Array) -> tuple[jax.Array, jax.Array]:

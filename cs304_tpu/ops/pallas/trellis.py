@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-NEG = jnp.float32(-jnp.inf)
+NEG = np.float32(-np.inf)  # numpy: no device touch at import
 
 
 def _round_up(n: int, m: int) -> int:
