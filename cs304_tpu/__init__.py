@@ -71,6 +71,8 @@ _EXPORTS = {
     "load_model": ".utils.checkpoint",
     "Config": ".utils.config",
     "sentence_hmm": ".models.hmm",
+    "nbest_decode": ".ops.nbest",
+    "StreamingComposite": ".ops.streaming",
     "make_mesh": ".parallel.data_parallel",
     "dp_kmeans_step": ".parallel.data_parallel",
     "dp_composite_decode": ".parallel.data_parallel",

@@ -227,6 +227,7 @@ class ContinuousTrainer:
         (hidden_markov_model.py:746-750)."""
         self.cfg = cfg
         self.mesh = mesh
+        self._iterations_done = 0
         self.labels: List[str] = sorted(models)
         self.label_index = {l: i for i, l in enumerate(self.labels)}
         self.state_counts = {l: models[l].num_states for l in self.labels}
@@ -259,23 +260,70 @@ class ContinuousTrainer:
             )
         return out
 
-    def train(self, labeled_features: Dict[str, Sequence[np.ndarray]]) -> int:
+    def train(
+        self,
+        labeled_features: Dict[str, Sequence[np.ndarray]],
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
+    ) -> int:
         """labeled_features: transcript -> list of (T_i, D) feature arrays.
-        Returns the number of iterations run."""
+        Returns the number of iterations run.
+
+        checkpoint_dir: when given, saves resumable trainer state (Orbax)
+        every `checkpoint_every` iterations; a later trainer can continue via
+        `resume(checkpoint_dir)` — surviving interrupts mid-run instead of
+        only at the reference's KeyboardInterrupt save point
+        (scripts/project6_train.py:38-41 there)."""
         batches = self._prepare_batches(labeled_features)
-        if (
+        if self._iterations_done == 0 and (
             self.cfg.silence_bootstrap
             and self.cfg.insert_silence
             and self.cfg.silence_label in self.label_index
         ):
             self._bootstrap_silence(batches)
-        it = 0
-        for it in range(1, self.cfg.max_iterations + 1):
+        it = self._iterations_done
+        for it in range(self._iterations_done + 1, self.cfg.max_iterations + 1):
             all_converged = self._iteration(batches)
+            self._iterations_done = it
+            if checkpoint_dir and (it % checkpoint_every == 0 or all_converged):
+                self.save_state(checkpoint_dir)
             if all_converged:
                 logger.info("continuous training converged after %d iterations", it)
                 break
         return it
+
+    # -- resumable state ---------------------------------------------------
+    def save_state(self, folder: str) -> None:
+        from ..utils.checkpoint import save_trainer_state
+
+        save_trainer_state(
+            {
+                "means_g": self.means_g,
+                "covs_g": self.covs_g,
+                "log_a_g": self.log_a_g,
+                "iterations_done": np.int32(self._iterations_done),
+            },
+            folder,
+        )
+
+    def resume(self, folder: str) -> int:
+        """Load state saved by save_state; returns the iteration to continue
+        from. Label set/state counts must match the constructor's models."""
+        from ..utils.checkpoint import load_trainer_state
+
+        state = load_trainer_state(folder)
+        if state["means_g"].shape != self.means_g.shape:
+            raise ValueError(
+                f"checkpoint shape {state['means_g'].shape} does not match "
+                f"trainer {self.means_g.shape}"
+            )
+        self.means_g = np.asarray(state["means_g"], np.float32)
+        self.covs_g = np.asarray(state["covs_g"], np.float32)
+        self.log_a_g = np.asarray(state["log_a_g"], np.float32)
+        self._iterations_done = int(state["iterations_done"])
+        logger.info("resumed continuous training at iteration %d",
+                    self._iterations_done)
+        return self._iterations_done
 
     def _bootstrap_silence(self, batches) -> None:
         """Re-estimate the silence model from long in-context S-aligned runs

@@ -14,6 +14,10 @@ def main() -> None:
                         help="output checkpoint dir (default <checkpoint>_continuous)")
     parser.add_argument("--min-digits", type=int, default=2)
     parser.add_argument("--max-digits", type=int, default=7)
+    parser.add_argument("--state-dir", default=None,
+                        help="save resumable trainer state here each iteration")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from --state-dir")
     args = parser.parse_args()
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
@@ -38,8 +42,13 @@ def main() -> None:
             insert_silence=cfg.continuous.insert_silence,
         ),
     )
+    if args.resume:
+        if not args.state_dir:
+            raise SystemExit("--resume requires --state-dir")
+        start = trainer.resume(args.state_dir)
+        print(f"resuming from iteration {start}")
     try:
-        iters = trainer.train(labeled)
+        iters = trainer.train(labeled, checkpoint_dir=args.state_dir)
         print(f"finished after {iters} iterations")
     except KeyboardInterrupt:
         print("interrupted — saving current models")

@@ -187,3 +187,48 @@ def test_train_word_hmm_with_mesh(rng):
     np.testing.assert_allclose(
         meshed.covariances, single.covariances, rtol=5e-2, atol=5e-3
     )
+
+
+def test_continuous_trainer_resume(rng, tmp_path):
+    from cs304_tpu.models.hmm import WordHMM
+    from cs304_tpu.models.train_continuous import (
+        ContinuousTrainConfig,
+        ContinuousTrainer,
+    )
+
+    def mk(label, s, seed):
+        r = np.random.default_rng(seed)
+        return WordHMM(
+            label=label,
+            means=r.normal(size=(s, 4)).astype(np.float32) * 2,
+            covariances=np.tile(np.eye(4, dtype=np.float32), (s, 1, 1)),
+            log_a=uniform_forward_log_a(s),
+        )
+
+    def models():
+        return {"1": mk("1", 4, 1), "S": mk("S", 3, 2)}
+
+    labeled = {
+        "1": [rng.normal(size=(20, 4)).astype(np.float32) * 2 for _ in range(4)],
+        "11": [rng.normal(size=(40, 4)).astype(np.float32) * 2 for _ in range(4)],
+    }
+    ckpt = str(tmp_path / "state")
+    cfg4 = ContinuousTrainConfig(max_iterations=4, length_multiple=8,
+                                 silence_bootstrap=False)
+    full = ContinuousTrainer(models(), cfg4)
+    full.train({k: [f.copy() for f in v] for k, v in labeled.items()})
+
+    # Train 2, checkpoint, resume into a FRESH trainer, finish to 4.
+    cfg2 = ContinuousTrainConfig(max_iterations=2, length_multiple=8,
+                                 silence_bootstrap=False)
+    first = ContinuousTrainer(models(), cfg2)
+    first.train(labeled, checkpoint_dir=ckpt)
+    second = ContinuousTrainer(models(), cfg4)
+    assert second.resume(ckpt) == 2
+    second.train(labeled)
+
+    for label in ("1", "S"):
+        np.testing.assert_allclose(
+            second.models()[label].means, full.models()[label].means,
+            rtol=1e-4, atol=1e-4,
+        )
