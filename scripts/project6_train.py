@@ -19,6 +19,8 @@ def main() -> None:
     parser.add_argument("--resume", action="store_true",
                         help="resume from --state-dir")
     args = parser.parse_args()
+    if args.resume and not args.state_dir:
+        raise SystemExit("--resume requires --state-dir")
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
     out_dir = args.out_dir or f"{cfg.checkpoint_dir}_continuous"
@@ -43,8 +45,6 @@ def main() -> None:
         ),
     )
     if args.resume:
-        if not args.state_dir:
-            raise SystemExit("--resume requires --state-dir")
         start = trainer.resume(args.state_dir)
         print(f"resuming from iteration {start}")
     try:
