@@ -144,6 +144,10 @@ class MFCCConfig:
     # ~75x more FLOPs — the MXU eats small matmuls; the FFT lowers poorly.
     # Both match librosa within fp32 tolerance.
     spectrogram: str = "matmul"
+    # Matmul precision: "highest" (6-pass f32-exact, bit-comparable features,
+    # default) or "high" (3-pass; measured max feature delta 0.033 — fine for
+    # accuracy, not for bitwise parity).
+    precision: str = "highest"
 
     @property
     def feature_dim(self) -> int:
@@ -181,6 +185,13 @@ def _cached_constants(cfg: MFCCConfig):
     return _CONST_CACHE[cfg]
 
 
+def _precision(cfg: MFCCConfig):
+    return (
+        jax.lax.Precision.HIGH if cfg.precision == "high"
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def _power_spectrogram(signal: jax.Array, cfg: MFCCConfig, dft_cos, dft_sin):
     """(L,) -> (T, n_bins) power spectrogram, centered, zero pad_mode.
 
@@ -199,10 +210,11 @@ def _power_spectrogram(signal: jax.Array, cfg: MFCCConfig, dft_cos, dft_sin):
         hann, *_ = _cached_constants(cfg)
         spec = jnp.fft.rfft(frames * hann[None, :], axis=-1)
         return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    # "matmul": explicit DFT. precision=HIGHEST because MXU bf16 rounding
-    # would break bit-comparability with the reference features.
-    re = jnp.dot(frames, dft_cos, precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(frames, dft_sin, precision=jax.lax.Precision.HIGHEST)
+    # "matmul": explicit DFT at cfg.precision (HIGHEST = f32-exact default;
+    # MXU bf16 rounding at lower settings costs bit-comparability).
+    prec = _precision(cfg)
+    re = jnp.dot(frames, dft_cos, precision=prec)
+    im = jnp.dot(frames, dft_sin, precision=prec)
     return re * re + im * im
 
 
@@ -283,9 +295,10 @@ def mfcc_features(
     t_total = power.shape[0]
     frame_mask = jnp.arange(t_total) < n_frames
 
-    mel_power = jnp.dot(power, mel_fb.T, precision=jax.lax.Precision.HIGHEST)
+    prec = _precision(cfg)
+    mel_power = jnp.dot(power, mel_fb.T, precision=prec)
     log_mel = _power_to_db(mel_power, frame_mask, cfg)
-    mfcc = jnp.dot(log_mel, dct_m.T, precision=jax.lax.Precision.HIGHEST)
+    mfcc = jnp.dot(log_mel, dct_m.T, precision=prec)
 
     delta1 = _savgol_interp(mfcc, n_frames, d1, cfg.delta_width)
     delta2 = _savgol_interp(mfcc, n_frames, d2, cfg.delta_width)
