@@ -149,7 +149,9 @@ def nbest_decode(composite, features, n: int = 4, beam_k: int | None = None):
     level (distinct state paths can share a transcription).
     """
     if beam_k is None:
-        beam_k = max(n, 2)
+        # Distinct state paths often share a transcription; a wider beam
+        # raises the chance of n DISTINCT strings surviving the dedupe.
+        beam_k = max(2 * n, 4)
     log_b = composite.log_likelihoods(features)
     alpha, backptrs = kbest_composite_forward(
         log_b, jnp.asarray(composite.log_a),

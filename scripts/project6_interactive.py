@@ -14,6 +14,8 @@ from cs304_tpu.utils.checkpoint import load_models
 def main() -> None:
     parser = base_parser(__doc__)
     parser.add_argument("--wav", default=None, help="decode this WAV instead of the mic")
+    parser.add_argument("--nbest", type=int, default=1,
+                        help="print the N best hypotheses with scores")
     parser.add_argument("--high", type=float, default=128.0)
     parser.add_argument("--low", type=float, default=16.0)
     parser.add_argument("--silence-duration", type=float, default=0.2)
@@ -28,7 +30,15 @@ def main() -> None:
 
         rate, signal = read_wav(args.wav)
         feats = mfcc_batch([signal], rate)
-        print("decoded:", decoder.predict(feats[0]))
+        if args.nbest > 1:
+            from cs304_tpu.ops.nbest import nbest_decode
+
+            for score, text in nbest_decode(
+                decoder.composite, feats[0], n=args.nbest
+            ):
+                print(f"{score:12.2f}  {text}")
+        else:
+            print("decoded:", decoder.predict(feats[0]))
         return
 
     from cs304_tpu.audio.capture import Segmentation
