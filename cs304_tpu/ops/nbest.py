@@ -57,7 +57,6 @@ def kbest_composite_forward(
     )
     diag_ne = jnp.where(~is_entry, diag, -jnp.inf)
     diag_e = jnp.where(is_entry, diag, -jnp.inf)
-    n_exit = s  # exit pool indexed over all states, masked by is_exit
 
     def step(carry, inputs):
         alpha, = carry
