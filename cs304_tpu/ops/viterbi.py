@@ -332,11 +332,16 @@ def viterbi_composite_batch_fast(
 
 def viterbi_composite_batch_pallas(
     log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
-    quirk_backtrace: bool = True, interpret: bool = False,
+    quirk_backtrace: bool = True, interpret: bool | None = None,
 ):
     """Composite batch decode with the fused Pallas forward-trellis kernel
     (ops/pallas/trellis.py); termination and backtrace identical to the scan
-    path. log_b (B, T, S), lengths (B,) -> (scores (B,), paths (B, T))."""
+    path. log_b (B, T, S), lengths (B,) -> (scores (B,), paths (B, T)).
+    interpret=None auto-selects interpreter mode off-TPU."""
+    import jax as _jax
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
     from .pallas.trellis import viterbi_forward_pallas
 
     b, t_total, s = log_b.shape
