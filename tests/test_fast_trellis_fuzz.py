@@ -10,7 +10,7 @@ from cs304_tpu.ops.viterbi import (
 )
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_fast_matches_scan_random_topologies(seed):
     rng = np.random.default_rng(seed)
     n_words = int(rng.integers(2, 6))
