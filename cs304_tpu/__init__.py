@@ -71,6 +71,9 @@ _EXPORTS = {
     "load_model": ".utils.checkpoint",
     "Config": ".utils.config",
     "sentence_hmm": ".models.hmm",
+    "plot_spectrogram": ".reporting.spectrograms",
+    "plot_mel_spectrogram": ".reporting.spectrograms",
+    "plot_mfcc": ".reporting.spectrograms",
     "nbest_decode": ".ops.nbest",
     "StreamingComposite": ".ops.streaming",
     "make_mesh": ".parallel.data_parallel",

@@ -103,3 +103,29 @@ def test_checkpoint_gmm_roundtrip(tmp_path, rng):
     assert isinstance(loaded, GMMWordHMM)
     np.testing.assert_array_equal(loaded.means, model.means)
     np.testing.assert_array_equal(loaded.weights, model.weights)
+
+
+def test_spectrogram_visualizations(tmp_path, rng):
+    from cs304_tpu.reporting.spectrograms import (
+        cepstrum,
+        mel_spectrogram_db,
+        mfcc_heatmap_data,
+        plot_mel_spectrogram,
+        plot_spectrogram,
+        power_spectrogram_db,
+    )
+
+    sig = (np.sin(np.arange(4000) * 0.2) * 3000 +
+           rng.normal(0, 50, 4000)).astype(np.float32)
+    db = power_spectrogram_db(sig)
+    assert db.shape == (1 + 4000 // 160, 161)
+    assert db.max() == pytest.approx(0.0)
+    mel = mel_spectrogram_db(sig)
+    assert mel.shape == (db.shape[0], 40)
+    cep = cepstrum(sig)
+    assert cep.shape[0] == db.shape[0]
+    feats = mfcc_heatmap_data(sig)
+    assert feats.shape == (db.shape[0], 39)
+    p1 = plot_spectrogram(sig, out_dir=str(tmp_path))
+    p2 = plot_mel_spectrogram(sig, out_dir=str(tmp_path))
+    assert os.path.exists(p1) and os.path.exists(p2)
