@@ -129,3 +129,23 @@ def test_spectrogram_visualizations(tmp_path, rng):
     p1 = plot_spectrogram(sig, out_dir=str(tmp_path))
     p2 = plot_mel_spectrogram(sig, out_dir=str(tmp_path))
     assert os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_phase_timer_and_timings():
+    from cs304_tpu.utils.profiling import phase_timer, reset_timings, timings
+
+    reset_timings()
+    with phase_timer("unit_phase"):
+        sum(range(1000))
+    t = timings()
+    assert "unit_phase" in t and t["unit_phase"] >= 0
+    reset_timings()
+    assert timings() == {}
+
+
+def test_progress_bar_noop():
+    from cs304_tpu.utils.progress import progress_bar
+
+    bar = progress_bar(10, "x", enabled=False)
+    bar.update()
+    bar.close()
