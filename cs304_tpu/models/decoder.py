@@ -84,6 +84,54 @@ class ContinuousDecoder:
             out.append("".join(labels))
         return out
 
+    def predict_batches(self, feature_batches, skip_silence: bool = True):
+        """Generator over BATCHES of feature lists with double buffering:
+        batch i+1 is dispatched to the device before batch i's results are
+        pulled to the host, so device execution overlaps the host-side
+        transfer + label walk (synchronous per-batch consumption costs ~2x in
+        serving loops — ROADMAP.md)."""
+        pending = None
+        for features in feature_batches:
+            handles = self._dispatch(features)
+            if pending is not None:
+                yield self._consume(*pending, skip_silence)
+            pending = (handles, [np.asarray(f).shape[0] for f in features])
+        if pending is not None:
+            yield self._consume(*pending, skip_silence)
+
+    def _dispatch(self, features: Sequence[np.ndarray]):
+        """Enqueue one batch; returns device handles without blocking."""
+        c = self.composite
+        padded = pad_batch(features, 128)
+        if self._gmm is not None:
+            means, covs, weights = self._gmm
+            return _decode_batch_gmm(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights),
+                jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+                jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
+                jnp.float32(c.penalty),
+                jnp.asarray(padded.data), jnp.asarray(padded.lengths),
+                self.backend,
+            )
+        return _decode_batch(
+            jnp.asarray(c.means), jnp.asarray(c.covariances),
+            jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+            jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
+            jnp.float32(c.penalty),
+            jnp.asarray(padded.data), jnp.asarray(padded.lengths),
+            self.backend,
+        )
+
+    def _consume(self, handles, lengths, skip_silence: bool):
+        _scores, paths = handles
+        paths = np.asarray(paths)
+        return [
+            "".join(
+                self.composite.path_to_labels(paths[i, :l], skip_silence)
+            )
+            for i, l in enumerate(lengths)
+        ]
+
     def viterbi_batch(self, features: Sequence[np.ndarray], bucket: bool = True):
         """Returns (scores (B,), paths (B, T) np.int32, lengths (B,)).
 

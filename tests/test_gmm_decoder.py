@@ -87,3 +87,16 @@ def test_bucketed_decode_matches_unbucketed(rng):
     assert dec.predict_batch(feats) == [
         dec.predict(f) for f in feats
     ]
+
+
+def test_predict_batches_double_buffered(rng):
+    gaussians = {l: mk_gaussian(l, rng) for l in "AB"}
+    dec = ContinuousDecoder(gaussians, penalty=-3.0)
+    batches = [
+        [rng.normal(size=(t, 4)).astype(np.float32) * 2 for t in lens]
+        for lens in ([20, 35], [40], [15, 25, 30])
+    ]
+    streamed = list(dec.predict_batches(iter(batches)))
+    assert len(streamed) == 3
+    for batch, preds in zip(batches, streamed):
+        assert preds == dec.predict_batch(batch)
