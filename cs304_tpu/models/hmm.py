@@ -108,6 +108,9 @@ class CompositeHMM:
         self.is_entry[self.lowers] = True
         self.is_exit = np.zeros(s, bool)
         self.is_exit[self.uppers] = True
+        self._silence_word = (
+            self.labels.index("S") if "S" in self.labels else None
+        )
 
     def emission_params(self) -> GaussianParams:
         if self._emission_cache is None:
@@ -130,34 +133,27 @@ class CompositeHMM:
         )
 
     # -- path decoding (host-side, mirrors ModelBoundary.get_labels,
-    #    model_boundary.py:107-139) ------------------------------------------
+    #    model_boundary.py:107-139; fully vectorized — the per-point Python
+    #    walk was the serving-loop bottleneck at ~1.6 ms/utterance) ----------
     def path_to_labels(self, path: np.ndarray, skip_silence: bool = True) -> List[str]:
         path = np.asarray(path)
-        # Run-length compress.
+        # Run-length compress to state-change points.
         keep = np.ones(len(path), bool)
         keep[1:] = path[1:] != path[:-1]
         points = path[keep]
-        labels: List[str] = []
-        word = int(self.word_of_state[points[0]])
-        self._append_label(word, skip_silence, labels)
-        lo, up = self.lowers[word], self.uppers[word]
-        for i in range(1, len(points)):
-            p = int(points[i])
-            if p < lo or p > up:
-                word = int(self.word_of_state[p])
-                lo, up = self.lowers[word], self.uppers[word]
-                self._append_label(word, skip_silence, labels)
-            elif points[i - 1] == up and p == lo:
-                # Repeated word: exit immediately followed by re-entry
-                # (model_boundary.py:131-135).
-                self._append_label(word, skip_silence, labels)
-        return labels
-
-    def _append_label(self, word: int, skip_silence: bool, labels: List[str]) -> None:
-        label = self.labels[word]
-        if skip_silence and label == "S":
-            return
-        labels.append(label)
+        words = self.word_of_state[points]
+        # A word is emitted at point i when the word changes, or when the same
+        # word is re-entered exit->entry (repeated word,
+        # model_boundary.py:131-135). Point 0 always emits.
+        emit = np.ones(len(points), bool)
+        emit[1:] = (words[1:] != words[:-1]) | (
+            (points[:-1] == self.uppers[words[1:]])
+            & (points[1:] == self.lowers[words[1:]])
+        )
+        emitted = words[emit]
+        if skip_silence and self._silence_word is not None:
+            emitted = emitted[emitted != self._silence_word]
+        return [self.labels[w] for w in emitted]
 
     def word_state_range(self, label: str) -> Tuple[int, int]:
         w = self.labels.index(label)
