@@ -87,9 +87,11 @@ class ContinuousDecoder:
     def predict_batches(self, feature_batches, skip_silence: bool = True):
         """Generator over BATCHES of feature lists with double buffering:
         batch i+1 is dispatched to the device before batch i's results are
-        pulled to the host, so device execution overlaps the host-side
-        transfer + label walk (synchronous per-batch consumption costs ~2x in
-        serving loops — ROADMAP.md)."""
+        pulled to the host, so device execution can overlap host-side
+        consumption. Note: in tunnel-attached environments the per-batch
+        host->device feature upload is synchronous and dominates (~40 MB/s
+        observed), so the overlap buys little there; on directly-attached
+        TPUs the dispatch-ahead pattern is the standard serving loop."""
         pending = None
         for features in feature_batches:
             handles = self._dispatch(features)
