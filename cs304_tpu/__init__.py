@@ -76,6 +76,7 @@ _EXPORTS = {
     "plot_mfcc": ".reporting.spectrograms",
     "nbest_decode": ".ops.nbest",
     "StreamingComposite": ".ops.streaming",
+    "StreamingMFCC": ".ops.streaming_mfcc",
     "make_mesh": ".parallel.data_parallel",
     "dp_kmeans_step": ".parallel.data_parallel",
     "dp_composite_decode": ".parallel.data_parallel",
