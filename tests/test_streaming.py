@@ -61,3 +61,56 @@ def test_partial_labels_progress(rng, composite):
     assert hyps[-1] != ""
     stream.reset()
     assert stream.partial_labels() == ""
+
+
+def test_full_streaming_pipeline_matches_offline(rng, composite):
+    """samples -> StreamingMFCC -> StreamingComposite == offline decode,
+    when the dB reference is calibrated to the utterance peak."""
+    from cs304_tpu.ops.streaming_mfcc import StreamingMFCC
+    from cs304_tpu.ops.mfcc import mfcc_features
+    from reference_mfcc import mel_fb, stft_power
+
+    # Synthetic audio; features of dimension 39 don't fit the 4-dim composite
+    # fixture, so build a 39-dim composite here.
+    from cs304_tpu.models.hmm import WordHMM, stack_word_models, uniform_forward_log_a
+
+    def mk(label, s):
+        a = rng.normal(size=(s, 39, 4)).astype(np.float32) * 0.3
+        covs = a @ a.transpose(0, 2, 1) + np.eye(39, dtype=np.float32)
+        return WordHMM(
+            label=label,
+            means=rng.normal(size=(s, 39)).astype(np.float32),
+            covariances=covs,
+            log_a=uniform_forward_log_a(s),
+        )
+
+    comp = stack_word_models([mk("A", 4), mk("B", 3)], penalty=-5.0)
+
+    n = 5600
+    t = np.arange(n) / 16000
+    sig = (np.sin(2 * np.pi * 500 * t) * 4000
+           + rng.normal(0, 50, n)).astype(np.float32)
+
+    # Offline: full-utterance features + offline viterbi.
+    offline_feats, t_valid = mfcc_features(jnp.asarray(sig))
+    offline_feats = np.asarray(offline_feats)[: int(t_valid)]
+    want_score, want_path = offline(comp, offline_feats)
+
+    # Online: chunked samples -> chunked features -> chunked trellis.
+    power = stft_power(np.asarray(sig, np.float64))
+    ref = float((mel_fb(16000, 320, 40, 133.33, 6855.4976) @ power).max())
+    sm = StreamingMFCC(ref_power=ref)
+    stream = StreamingComposite(comp, chunk_size=16)
+    for chunk in np.array_split(sig, 7):
+        frames = sm.feed(chunk)
+        if len(frames):
+            stream.feed(frames)
+    tail = sm.finalize()
+    if len(tail):
+        stream.feed(tail)
+    score, path = stream.finalize()
+
+    assert np.allclose(score, float(want_score), rtol=1e-3, atol=0.5)
+    # Paths match except possibly where feature fp differences flip ties.
+    agreement = np.mean(path == np.asarray(want_path))
+    assert agreement > 0.98, agreement
