@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Streaming decode demo: feed a WAV in small chunks through the causal MFCC
+front-end and the online trellis, printing the partial hypothesis as it grows.
+The final hypothesis matches the offline decoder (printed for comparison).
+
+(no reference equivalent — the reference decodes only after the endpointer
+closes the utterance, scripts/project6_interactive.py:29-39 there)
+"""
+from _common import run_main, base_parser, load_config
+
+import numpy as np
+
+from cs304_tpu.models.decoder import ContinuousDecoder
+from cs304_tpu.ops.mfcc import MFCCConfig, mfcc_batch
+from cs304_tpu.ops.streaming import StreamingComposite
+from cs304_tpu.ops.streaming_mfcc import StreamingMFCC
+from cs304_tpu.reporting.spectrograms import power_spectrogram_db
+from cs304_tpu.ops.mfcc import mel_filterbank
+from cs304_tpu.utils.checkpoint import load_models
+
+
+def mel_peak(signal: np.ndarray, cfg: MFCCConfig) -> float:
+    """dB reference = the utterance's mel-power peak (a live system would use
+    mic calibration or the endpointer's running peak instead)."""
+    db = power_spectrogram_db(signal, cfg)  # normalized to 0 dB peak
+    power = 10 ** (db / 10)
+    # De-normalize: power_spectrogram_db scales to max 0 dB, so recompute the
+    # absolute peak from the raw frames' energy via one direct frame.
+    fb = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    # absolute power spectrogram
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    sig = np.asarray(signal, np.float64)
+    padded = np.pad(sig, (n_fft // 2, n_fft // 2))
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    peak = 0.0
+    for t in range(1 + len(sig) // hop):
+        frame = padded[t * hop : t * hop + n_fft] * window
+        p = np.abs(np.fft.rfft(frame)) ** 2
+        peak = max(peak, float((fb @ p).max()))
+    return peak
+
+
+def main() -> None:
+    parser = base_parser(__doc__)
+    parser.add_argument("--wav", required=True)
+    parser.add_argument("--chunk-ms", type=float, default=100.0)
+    args = parser.parse_args()
+    cfg = load_config(args)
+    models = load_models(cfg.checkpoint_dir)
+    decoder = ContinuousDecoder(models, penalty=cfg.decode.word_penalty)
+
+    from cs304_tpu.audio.wav import read_wav
+
+    rate, signal = read_wav(args.wav)
+    mcfg = MFCCConfig(sample_rate=float(rate))
+    sm = StreamingMFCC(cfg=mcfg, ref_power=mel_peak(signal, mcfg))
+    stream = StreamingComposite(decoder.composite, chunk_size=32)
+
+    chunk = int(args.chunk_ms / 1000 * rate)
+    for start in range(0, len(signal), chunk):
+        frames = sm.feed(signal[start : start + chunk])
+        if len(frames):
+            stream.feed(frames)
+        print(f"t={min(start + chunk, len(signal)) / rate:6.2f}s  "
+              f"partial: {stream.partial_labels()!r}")
+    tail = sm.finalize()
+    if len(tail):
+        stream.feed(tail)
+    score, path = stream.finalize()
+    final = "".join(decoder.composite.path_to_labels(path))
+    print(f"\nstreaming final:  {final!r}  (score {score:.1f})")
+
+    offline = decoder.predict(mfcc_batch([signal], rate)[0])
+    print(f"offline decode:   {offline!r}")
+
+
+if __name__ == "__main__":
+    run_main(main)
