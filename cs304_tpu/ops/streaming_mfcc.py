@@ -17,11 +17,11 @@ samples -> features -> partial hypotheses, all online.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
-from .mfcc import MFCCConfig, _cached_constants, _savgol_operators
+from .mfcc import MFCCConfig, _cached_constants
 
 
 class StreamingMFCC:

@@ -32,7 +32,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def banded_transition_matrix(log_a: jax.Array, skip: int = 2) -> jax.Array:

@@ -11,7 +11,7 @@ imported lazily.
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import numpy as np
 
