@@ -6,7 +6,21 @@ continuous decoding, and prints exact-sequence accuracy per digit count and
 split as JSON lines. This is the accuracy analogue of bench.py (the
 reference's only published number is 85% exact-sequence accuracy after
 continuous training, its README.md:9). Takes several minutes end to end.
+
+Default corpus is the *hardened* synthetic corpus (SyntheticTIDigits.hard():
+10-20 dB SNR, per-speaker channel coloration, wide speaker spread, confusable
+templates), calibrated so accuracy on held-out speakers lands below saturation
+— a gate that cannot fail is not a gate. `--easy` reproduces the legacy
+near-clean corpus (saturates at 100%).
+
+Config divergence from the reference (explicit, also noted in
+ContinuousTrainConfig): embedded training here uses cov_reg=0.1 by default
+instead of the reference's 0.001 (hidden_markov_model.py:341-345). The
+synthetic corpus has far fewer takes per transcript than real TI-Digits, so
+per-state covariances need heavier regularization to stay well-conditioned;
+on a real-sized corpus use the reference's 0.001.
 """
+import argparse
 import json
 import os
 import sys
@@ -27,12 +41,15 @@ from cs304_tpu.models.train_kmeans import (
 )
 from cs304_tpu.ops.mfcc import mfcc_batch
 
+# North-star gates (reference README.md:9: 85% exact-sequence on TI-Digits
+# test). Held-out-speaker gate mirrors that; seen-speaker decoding should
+# stay above it.
+GATE_TEST = 0.85
+GATE_TRAIN = 0.90
 
-def main() -> None:
-    corpus = SyntheticTIDigits(
-        num_train_speakers=6, num_test_speakers=2, takes_per_digit=3,
-        with_sentences=True,
-    )
+
+def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
+        cov_reg: float = 0.1, penalty: float = -100.0) -> dict:
     sep = SignalSeparation()
     feats = {
         l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
@@ -53,10 +70,10 @@ def main() -> None:
         for tr, utts in corpus.train_dataset.get_all_n_digits(n).items():
             labeled[tr] = mfcc_batch(utts)
     trainer = ContinuousTrainer(
-        boot, ContinuousTrainConfig(max_iterations=5, cov_reg=0.1)
+        boot, ContinuousTrainConfig(max_iterations=max_iterations, cov_reg=cov_reg)
     )
     iters = trainer.train(labeled)
-    decoder = ContinuousDecoder(trainer.models(), penalty=-100.0)
+    decoder = ContinuousDecoder(trainer.models(), penalty=penalty)
 
     results = {"embedded_iterations": iters}
     for n in (2, 4, 7):
@@ -70,7 +87,51 @@ def main() -> None:
             preds = decoder.predict_batch(mfcc_batch(clips))
             acc = float(np.mean([p == t for p, t in zip(preds, truths)]))
             results[f"exact_seq_acc_n{n}_{split}"] = round(acc, 4)
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--easy", action="store_true",
+                    help="legacy near-clean corpus (saturates at 100%%)")
+    ap.add_argument("--no-gates", action="store_true",
+                    help="print results without asserting the accuracy gates")
+    args = ap.parse_args()
+
+    mk = SyntheticTIDigits if args.easy else SyntheticTIDigits.hard
+    corpus = mk(
+        num_train_speakers=6, num_test_speakers=2, takes_per_digit=3,
+        with_sentences=True,
+    )
+    results = run(corpus)
+    results["corpus"] = "easy" if args.easy else "hard"
     print(json.dumps(results))
+
+    if args.no_gates:
+        return
+    test_accs = [v for k, v in results.items() if k.endswith("_test")
+                 and isinstance(v, float)]
+    train_accs = [v for k, v in results.items() if k.endswith("_train")
+                  and isinstance(v, float)]
+    overall_test = float(np.mean(test_accs))
+    overall_train = float(np.mean(train_accs))
+    assert overall_test >= GATE_TEST, (
+        f"held-out exact-sequence accuracy {overall_test:.2%} < {GATE_TEST:.0%}"
+    )
+    assert overall_train >= GATE_TRAIN, (
+        f"seen-speaker exact-sequence accuracy {overall_train:.2%} < {GATE_TRAIN:.0%}"
+    )
+    if not args.easy:
+        # A saturated gate cannot regress: the hardened corpus must keep at
+        # least one split below 100%.
+        assert min(test_accs + train_accs) < 1.0, (
+            "hardened corpus saturated at 100% everywhere — raise difficulty"
+        )
+    print(json.dumps({
+        "gates": "pass",
+        "overall_test": round(overall_test, 4),
+        "overall_train": round(overall_train, 4),
+    }))
 
 
 if __name__ == "__main__":

@@ -44,7 +44,21 @@ _DIGIT_PHONES: Dict[str, tuple] = {
 
 @dataclass
 class SyntheticTIDigits:
-    """Generated corpus with the same surface as data.ti_digits.TIDigits."""
+    """Generated corpus with the same surface as data.ti_digits.TIDigits.
+
+    Difficulty knobs (all default to the easy legacy corpus; use ``hard()``
+    for a calibrated non-saturating benchmark corpus):
+
+    - ``snr_db``: per-utterance additive white noise at an SNR drawn uniformly
+      from this (lo, hi) range, measured against the speech RMS. None keeps
+      the legacy near-clean recordings.
+    - ``channel_filter``: per-speaker spectral coloration (a random one-pole
+      tilt + a mild resonance), simulating microphone/channel variation
+      between speakers.
+    - ``formant_scale_range`` / ``rate_range``: speaker variability spread.
+    - ``formant_jitter``: per-phone relative formant deviation per take;
+      larger values blur the templates into each other (confusability).
+    """
 
     num_train_speakers: int = 8
     num_test_speakers: int = 4
@@ -55,14 +69,42 @@ class SyntheticTIDigits:
     with_sentences: bool = False
     sentence_lengths: tuple = (2, 4, 7)
     sentences_per_length: int = 4
+    # Difficulty knobs.
+    snr_db: tuple | None = None
+    channel_filter: bool = False
+    formant_scale_range: tuple = (0.93, 1.08)
+    rate_range: tuple = (0.85, 1.2)
+    formant_jitter: float = 0.015
+
+    @classmethod
+    def hard(cls, **overrides) -> "SyntheticTIDigits":
+        """Calibrated hardened corpus: realistic SNR, channel coloration,
+        wide speaker spread, and confusable templates, tuned so the trained
+        reference pipeline lands below saturation on held-out speakers
+        (the 85% regime of /root/reference/README.md:9) instead of the
+        trivially-100% legacy corpus."""
+        defaults = dict(
+            snr_db=(10.0, 20.0),
+            channel_filter=True,
+            formant_scale_range=(0.82, 1.22),
+            rate_range=(0.65, 1.45),
+            formant_jitter=0.055,
+        )
+        defaults.update(overrides)
+        return cls(**defaults)
 
     def __post_init__(self) -> None:
         rng = np.random.default_rng(self.seed)
         self._speaker_params = [
             {
-                "formant_scale": float(rng.uniform(0.93, 1.08)),
-                "rate": float(rng.uniform(0.85, 1.2)),
+                "formant_scale": float(rng.uniform(*self.formant_scale_range)),
+                "rate": float(rng.uniform(*self.rate_range)),
                 "amp": float(rng.uniform(0.6, 1.0)),
+                # Channel: spectral tilt pole in [-0.4, 0.4] plus a mild
+                # resonance at a random frequency (applied in _channel).
+                "tilt": float(rng.uniform(-0.4, 0.4)),
+                "res_freq": float(rng.uniform(500.0, 3500.0)),
+                "res_gain": float(rng.uniform(0.05, 0.25)),
             }
             for _ in range(self.num_train_speakers + self.num_test_speakers)
         ]
@@ -114,7 +156,51 @@ class SyntheticTIDigits:
         rng = np.random.default_rng(take * 104729 + speaker * 7 + 13)
         lead = self.silence(rng.uniform(0.12, 0.22), seed=take * 3 + speaker)
         tail = self.silence(rng.uniform(0.12, 0.22), seed=take * 3 + speaker + 1)
-        return np.concatenate([lead, self.digit_audio(label, speaker, take), tail])
+        clip = np.concatenate([lead, self.digit_audio(label, speaker, take), tail])
+        import zlib
+
+        # Deterministic across processes (Python's hash() is salted).
+        return self._degrade(clip, speaker, take * 31 + zlib.crc32(label.encode()) % 997)
+
+    # -- degradation (difficulty knobs) --------------------------------------
+    def _channel(self, signal: np.ndarray, speaker: int) -> np.ndarray:
+        """Per-speaker channel coloration: one-pole spectral tilt plus a mild
+        two-pole resonance. Host-side scipy; the corpus is generated once."""
+        from scipy.signal import lfilter
+
+        p = self._speaker_params[speaker]
+        tilted = lfilter([1.0], [1.0, -p["tilt"]], signal)
+        w = 2 * np.pi * p["res_freq"] / SAMPLE_RATE
+        r = 0.95
+        resonant = lfilter(
+            [1.0], [1.0, -2 * r * np.cos(w), r * r], signal
+        )
+        out = tilted + p["res_gain"] * resonant * (1 - r)
+        # Keep overall level comparable to the dry signal.
+        dry_rms = float(np.sqrt(np.mean(signal**2))) + 1e-9
+        wet_rms = float(np.sqrt(np.mean(out**2))) + 1e-9
+        return (out * (dry_rms / wet_rms)).astype(np.float32)
+
+    def _degrade(self, clip: np.ndarray, speaker: int, noise_seed: int) -> np.ndarray:
+        """Apply channel coloration and SNR-calibrated additive noise."""
+        if self.channel_filter:
+            clip = self._channel(clip, speaker)
+        if self.snr_db is not None:
+            import zlib
+
+            key = zlib.crc32(
+                f"noise|{speaker}|{noise_seed}|{self.seed}".encode()
+            )
+            rng = np.random.default_rng(key)
+            snr = rng.uniform(*self.snr_db)
+            # Speech RMS estimated over the loud half of the clip so the
+            # leading/trailing room tone doesn't deflate the target SNR.
+            mag = np.abs(clip)
+            loud = clip[mag > np.percentile(mag, 50)]
+            speech_rms = float(np.sqrt(np.mean(loud**2))) + 1e-9
+            noise_rms = speech_rms / (10.0 ** (snr / 20.0))
+            clip = clip + rng.normal(0.0, noise_rms, clip.shape)
+        return clip.astype(np.float32)
 
     def digit_audio(self, label: str, speaker: int, jitter_seed: int = 0) -> np.ndarray:
         """One spoken digit: 3 formant phones + noise, int16-scale float32."""
@@ -129,8 +215,8 @@ class SyntheticTIDigits:
             dur = rng.uniform(0.055, 0.10) * params["rate"]
             n = max(int(dur * SAMPLE_RATE), 240)
             t = np.arange(n) / SAMPLE_RATE
-            s1 = params["formant_scale"] * (1 + rng.normal(0, 0.015))
-            s2 = params["formant_scale"] * (1 + rng.normal(0, 0.015))
+            s1 = params["formant_scale"] * (1 + rng.normal(0, self.formant_jitter))
+            s2 = params["formant_scale"] * (1 + rng.normal(0, self.formant_jitter))
             env = np.hanning(2 * n)[:n] * 0.5 + 0.5  # attack envelope
             # Vibrato + slow amplitude modulation: keeps per-state feature
             # variance realistic so trained covariances are not near-singular.
@@ -163,7 +249,11 @@ class SyntheticTIDigits:
         for i, label in enumerate(transcript):
             pieces.append(self.digit_audio(label, speaker, jitter_seed + i))
             pieces.append(self.silence(gap * rng.uniform(0.5, 1.5), seed=jitter_seed + i))
-        return np.concatenate(pieces)
+        sentence = np.concatenate(pieces)
+        import zlib
+
+        key = zlib.crc32(transcript.encode()) % 99991
+        return self._degrade(sentence, speaker, jitter_seed * 131 + key)
 
     def sentence_corpus(
         self,

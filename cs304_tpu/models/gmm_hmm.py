@@ -96,8 +96,9 @@ def _gmm_kmeans_step(
     oh_mix = jax.nn.one_hot(best_mix, k, dtype=jnp.float32)
     w = oh_state[..., :, None] * oh_mix[..., None, :]  # (B, T, S, K)
 
+    hi = jax.lax.Precision.HIGHEST
     counts = jnp.sum(w, axis=(0, 1))  # (S, K)
-    sums = jnp.einsum("btsk,btd->skd", w, batch)
+    sums = jnp.einsum("btsk,btd->skd", w, batch, precision=hi)
     safe = jnp.maximum(counts, 1.0)
     new_means = sums / safe[..., None]
 
@@ -107,7 +108,9 @@ def _gmm_kmeans_step(
 
     def m2_slot(slot):
         centered = batch - means_flat[slot]
-        return jnp.einsum("bt,btd,bte->de", w_flat[..., slot], centered, centered)
+        return jnp.einsum(
+            "bt,btd,bte->de", w_flat[..., slot], centered, centered, precision=hi
+        )
 
     m2 = jax.vmap(m2_slot)(jnp.arange(s * k)).reshape(s, k, d, d)
     denom = jnp.maximum(counts - 1.0, 1.0)
@@ -121,7 +124,7 @@ def _gmm_kmeans_step(
     pair_mask = jnp.arange(t - 1)[None, :] < (lengths[:, None] - 1)
     from_oh = jax.nn.one_hot(paths[:, :-1], s, dtype=jnp.float32) * pair_mask[..., None]
     to_oh = jax.nn.one_hot(paths[:, 1:], s, dtype=jnp.float32)
-    trans = jnp.einsum("bts,btu->su", from_oh, to_oh)
+    trans = jnp.einsum("bts,btu->su", from_oh, to_oh, precision=hi)
     row = jnp.sum(trans, axis=1, keepdims=True)
     probs = trans / jnp.maximum(row, 1.0)
     new_log_a = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)), -jnp.inf)
@@ -191,6 +194,9 @@ def _bw_stats(means, covs, weights, log_a, batch, lengths, cov_reg: float):
     params = make_gmm_params(means, covs, weights)
     log_init = jnp.full((s,), -jnp.inf).at[0].set(0.0)
 
+    hi = jax.lax.Precision.HIGHEST
+    means_flat = means.reshape(s * k, d)
+
     def per_clip(x, length):
         log_b, comp = gmm_log_pdf(params, x, return_components=True)
         gamma, xi, loglik = forward_backward(log_b, log_a, log_init, length)
@@ -198,22 +204,39 @@ def _bw_stats(means, covs, weights, log_a, batch, lengths, cov_reg: float):
         log_resp = comp - jax.scipy.special.logsumexp(comp, axis=-1, keepdims=True)
         gamma_k = gamma[..., None] * jnp.exp(log_resp)  # (T, S, K)
         counts = jnp.sum(gamma_k, axis=0)  # (S, K)
-        sums = jnp.einsum("tsk,td->skd", gamma_k, x)
-        raw_m2 = jnp.einsum("tsk,td,te->skde", gamma_k, x, x)
-        return counts, sums, raw_m2, xi, loglik
+        # Moments centered around the previous means: the raw one-pass form
+        # cancels catastrophically under default-precision (bf16) einsums.
+        g_flat = gamma_k.reshape(-1, s * k)
 
-    counts, sums, raw_m2, xi, loglik = jax.vmap(per_clip)(batch, lengths)
+        def slot_stats(slot):
+            centered = x - means_flat[slot]
+            c_sum = jnp.einsum("t,td->d", g_flat[:, slot], centered, precision=hi)
+            c_m2 = jnp.einsum(
+                "t,td,te->de", g_flat[:, slot], centered, centered, precision=hi
+            )
+            return c_sum, c_m2
+
+        c_sums, c_m2 = jax.vmap(slot_stats)(jnp.arange(s * k))
+        return (
+            counts, c_sums.reshape(s, k, d), c_m2.reshape(s, k, d, d), xi, loglik
+        )
+
+    counts, c_sums, c_m2, xi, loglik = jax.vmap(per_clip)(batch, lengths)
     counts = jnp.sum(counts, 0)
-    sums = jnp.sum(sums, 0)
-    raw_m2 = jnp.sum(raw_m2, 0)
+    c_sums = jnp.sum(c_sums, 0)
+    c_m2 = jnp.sum(c_m2, 0)
     xi = jnp.sum(xi, 0)
     total_ll = jnp.sum(loglik)
 
     safe = jnp.maximum(counts, 1e-6)
-    new_means = sums / safe[..., None]
-    outer = new_means[..., :, None] * new_means[..., None, :]
+    delta = c_sums / safe[..., None]  # new_mean - prev_mean
+    new_means = means + delta
+    # Recenter: sum g (x-mu_new)(x-mu_new)^T = c_m2 - counts * delta delta^T.
+    m2_new = c_m2 - counts[..., None, None] * (
+        delta[..., :, None] * delta[..., None, :]
+    )
     new_covs = (
-        raw_m2 / safe[..., None, None] - outer
+        m2_new / safe[..., None, None]
         + cov_reg * jnp.eye(d, dtype=jnp.float32)
     )
     state_tot = jnp.sum(counts, axis=1, keepdims=True)

@@ -57,6 +57,13 @@ class HMMTrainMeanFail(RuntimeError):
 @dataclass(frozen=True)
 class ContinuousTrainConfig:
     max_iterations: int = 100
+    # The reference regularizes covariances with 0.001*I
+    # (hidden_markov_model.py:341-345) and that is the default here. NOTE:
+    # the in-repo synthetic benchmarks/tests pass cov_reg=0.1 instead — the
+    # synthetic corpus has far fewer takes per transcript than real TI-Digits,
+    # so per-state covariances need heavier regularization to stay
+    # well-conditioned. This is a deliberate, surfaced divergence; keep 0.001
+    # for real-sized corpora.
     cov_reg: float = 0.001
     length_multiple: int = 128
     rtol: float = 1e-5

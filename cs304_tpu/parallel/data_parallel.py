@@ -38,10 +38,20 @@ def make_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
 
 
 def _local_kmeans_stats(means, covs, log_a, batch, lengths, num_states: int):
-    """Per-shard E-step statistics (counts, frame sums, centered-moment inputs,
-    transition counts). Mirrors models.train_kmeans.kmeans_step's E-step."""
+    """Per-shard E-step statistics (counts, centered frame sums, centered
+    second moments, transition counts). Mirrors models.train_kmeans.kmeans_step's
+    E-step.
+
+    Moments are centered around the *previous* means (gathered per frame via
+    the Viterbi path) and accumulated at Precision.HIGHEST: the naive one-pass
+    form (raw second moment minus counts x mean-outer) cancels two large terms,
+    and with default-precision einsums (bf16 matmuls on TPU) the rounding can
+    exceed the covariance regularizer and yield non-PSD covariances. Centering
+    first keeps every accumulated term small, so a single psum still suffices.
+    """
     s = num_states
     b, t, d = batch.shape
+    hi = jax.lax.Precision.HIGHEST
     params = make_gaussian_params(means, covs)
     log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)
     _scores, paths = viterbi_banded_batch(log_b, log_a, lengths)
@@ -49,14 +59,15 @@ def _local_kmeans_stats(means, covs, log_a, batch, lengths, num_states: int):
     mask = jnp.arange(t)[None, :] < lengths[:, None]
     oh = jax.nn.one_hot(paths, s, dtype=jnp.float32) * mask[..., None]
     counts = jnp.sum(oh, axis=(0, 1))
-    sums = jnp.einsum("bts,btd->sd", oh, batch)
-    raw_m2 = jnp.einsum("bts,btd,bte->sde", oh, batch, batch)
+    centered = batch - means[paths]  # (B, T, D), small residuals
+    c_sums = jnp.einsum("bts,btd->sd", oh, centered, precision=hi)
+    c_m2 = jnp.einsum("bts,btd,bte->sde", oh, centered, centered, precision=hi)
 
     pair_mask = jnp.arange(t - 1)[None, :] < (lengths[:, None] - 1)
     from_oh = jax.nn.one_hot(paths[:, :-1], s, dtype=jnp.float32) * pair_mask[..., None]
     to_oh = jax.nn.one_hot(paths[:, 1:], s, dtype=jnp.float32)
-    trans = jnp.einsum("bts,btu->su", from_oh, to_oh)
-    return counts, sums, raw_m2, trans
+    trans = jnp.einsum("bts,btu->su", from_oh, to_oh, precision=hi)
+    return counts, c_sums, c_m2, trans
 
 
 @partial(jax.jit, static_argnames=("mesh", "num_states", "cov_reg"))
@@ -70,27 +81,33 @@ def dp_kmeans_step(
     sufficient statistics cross the ICI once via psum; the (tiny) M-step
     runs replicated. B must be divisible by the mesh size.
 
-    The covariance here uses the one-pass moment form (raw second moment minus
-    mean outer product) so a single collective suffices; the single-host
+    The covariance uses moments centered around the previous means (see
+    _local_kmeans_stats) so a single collective suffices without the
+    catastrophic cancellation of the raw one-pass form; the single-host
     trainer (models.train_kmeans) keeps the two-pass np.cov-parity form.
     """
 
     def step(means, covs, log_a, batch, lengths):
-        counts, sums, raw_m2, trans = _local_kmeans_stats(
+        counts, c_sums, c_m2, trans = _local_kmeans_stats(
             means, covs, log_a, batch, lengths, num_states
         )
         counts = jax.lax.psum(counts, DATA_AXIS)
-        sums = jax.lax.psum(sums, DATA_AXIS)
-        raw_m2 = jax.lax.psum(raw_m2, DATA_AXIS)
+        c_sums = jax.lax.psum(c_sums, DATA_AXIS)
+        c_m2 = jax.lax.psum(c_m2, DATA_AXIS)
         trans = jax.lax.psum(trans, DATA_AXIS)
 
         safe = jnp.maximum(counts, 1.0)
-        new_means = sums / safe[:, None]
+        delta = c_sums / safe[:, None]  # new_mean - prev_mean
+        new_means = means + delta
         d = batch.shape[-1]
-        outer = new_means[:, :, None] * new_means[:, None, :]
+        # Recenter second moments from prev means to new means:
+        # sum (x-mu_new)(x-mu_new)^T = c_m2 - counts * delta delta^T.
+        m2_new = c_m2 - counts[:, None, None] * (
+            delta[:, :, None] * delta[:, None, :]
+        )
         denom = jnp.maximum(counts - 1.0, 1.0)
         new_covs = (
-            (raw_m2 - counts[:, None, None] * outer) / denom[:, None, None]
+            m2_new / denom[:, None, None]
             + cov_reg * jnp.eye(d, dtype=jnp.float32)
         )
         row = jnp.sum(trans, axis=1, keepdims=True)
