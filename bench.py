@@ -44,9 +44,8 @@ def tpu_pipeline():
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_params
-    from cs304_tpu.ops.gaussian import gaussian_log_pdf, make_gaussian_params
     from cs304_tpu.ops.mfcc import MFCCConfig, mfcc_features
-    from cs304_tpu.ops.viterbi import viterbi_composite_batch_fast
+    from cs304_tpu.ops.pallas.emission import decode_batch_fused
 
     comp = _flagship_params()
     cfg = MFCCConfig()
@@ -60,15 +59,19 @@ def tpu_pipeline():
 
     @jax.jit
     def decode(signals, num_samples):
-        params = make_gaussian_params(means, covs)
         feats, n_frames = jax.vmap(lambda s, n: mfcc_features(s, n, cfg))(
             signals, num_samples
         )
-        log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(feats)
-        # The structure-exploiting O(S)-per-frame trellis (1.5x end-to-end
-        # over the dense scan on this workload).
-        return viterbi_composite_batch_fast(
-            log_b, log_a, lower, is_entry, is_exit, penalty, n_frames
+        # Fused Pallas serving path: quadratic-form emission kernel (no
+        # (T, S, D) HBM intermediate, output pre-padded to 128 state lanes)
+        # feeding the scan-free trellis pair (forward + backtrace kernels —
+        # the XLA scans pay ~13-25 us/step of while-loop overhead for 2x150
+        # sequential steps; in-kernel the time loop is free). Emission drift
+        # vs the exact whitening path: 2.4e-4 absolute (ops/pallas/emission.py);
+        # trellis bitwise-identical (tests/test_pallas_scanfree.py).
+        return decode_batch_fused(
+            means, covs, log_a, lower, is_entry, is_exit, penalty,
+            feats, n_frames,
         )
 
     return decode

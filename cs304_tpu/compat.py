@@ -15,8 +15,13 @@ __init__.py:1-30) and get the TPU implementations underneath:
     ModelCollection.load_from_files(folder).predict(feats) -> "7"
     DynamicTimeWarping(sequences, sample).search() -> (index, distance)
 
-Checkpoints use the npz format (utils/checkpoint.py), not the reference's
-scipy pickles — the directory layout (<dir>/<label>/...) is the same.
+Checkpoint compatibility is ONE-WAY: this package saves/loads the npz format
+(utils/checkpoint.py) in the reference's directory layout (<dir>/<label>/...),
+and `import_reference_checkpoint()` below converts an existing reference
+`.cache/` of scipy pickles (log_trans_probs.pickle + multivariate_normals.pickle
+per label, reference hidden_markov_model.py:93-115) into live models / npz.
+The reverse direction (writing pickles the reference can read) is deliberately
+unsupported — it would re-introduce the pickle format this package replaces.
 """
 from __future__ import annotations
 
@@ -245,6 +250,86 @@ class DynamicTimeWarping:
 
     def search(self) -> Tuple[int, float]:
         return self._rec.search(self._sample)
+
+
+def import_reference_checkpoint(
+    folder_path: str,
+    labels: Sequence[str] | None = None,
+    save_npz_to: str | None = None,
+) -> Dict[str, "WordHMM"]:
+    """Best-effort importer for checkpoints written BY THE ACTUAL REFERENCE.
+
+    Reads each <folder>/<label>/{log_trans_probs,multivariate_normals}.pickle
+    (reference hidden_markov_model.py:93-115: a LogTransitionProbabilities
+    sparse dict and a list of scipy-frozen MultivariateNormal wrappers) and
+    converts them to WordHMMs. The reference's classes are not importable
+    here, so stub classes are registered under the pickled module paths —
+    dataclass pickles restore via __dict__, no reference code runs.
+
+    SECURITY NOTE: pickle.load executes arbitrary bytecode by design — only
+    point this at checkpoints you trust.
+
+    save_npz_to: optionally also write the converted models in this package's
+    npz format (utils/checkpoint.py) for future loads.
+    """
+    import os
+    import pickle
+    import sys
+    import types
+
+    from .models.hmm import WordHMM
+
+    # Stub modules matching the reference's pickled class paths.
+    for mod_name, cls_names in (
+        ("loe_speech_recognition.transition_probability",
+         ("SparseMatrix", "TransitionProbabilities", "LogTransitionProbabilities")),
+        ("loe_speech_recognition.hidden_markov_model", ("MultivariateNormal",)),
+    ):
+        if mod_name not in sys.modules:
+            pkg_name = mod_name.rsplit(".", 1)[0]
+            if pkg_name not in sys.modules:
+                sys.modules[pkg_name] = types.ModuleType(pkg_name)
+            mod = types.ModuleType(mod_name)
+            for cls_name in cls_names:
+                stub = type(cls_name, (), {})
+                setattr(mod, cls_name, stub)
+            sys.modules[mod_name] = mod
+
+    if labels is None:
+        labels = sorted(
+            d for d in os.listdir(folder_path)
+            if os.path.isdir(os.path.join(folder_path, d))
+        )
+    out: Dict[str, WordHMM] = {}
+    for label in labels:
+        model_dir = os.path.join(folder_path, label)
+        with open(os.path.join(model_dir, "log_trans_probs.pickle"), "rb") as f:
+            ltp = pickle.load(f)
+        with open(os.path.join(model_dir, "multivariate_normals.pickle"), "rb") as f:
+            mns = pickle.load(f)
+        s = int(ltp.num_of_states)
+        log_a = np.full((s, s), -np.inf, np.float32)
+        for (i, j), v in ltp._core.items():
+            log_a[i, j] = v
+        means, covs = [], []
+        for mn in mns:
+            frozen = mn._core  # scipy multivariate_normal_frozen
+            means.append(np.asarray(frozen.mean, np.float32))
+            cov = getattr(frozen, "cov", None)
+            if cov is None or not isinstance(cov, np.ndarray):
+                cov = np.asarray(frozen.cov_object.covariance)
+            covs.append(np.asarray(cov, np.float32))
+        out[label] = WordHMM(
+            label=label,
+            means=np.stack(means),
+            covariances=np.stack(covs),
+            log_a=log_a,
+        )
+    if save_npz_to:
+        from .utils import checkpoint as _ckpt_mod
+
+        _ckpt_mod.save_models(out, save_npz_to)
+    return out
 
 
 # The reference package's full export list (src/loe_speech_recognition/

@@ -69,8 +69,13 @@ class SyntheticTIDigits:
     with_sentences: bool = False
     sentence_lengths: tuple = (2, 4, 7)
     sentences_per_length: int = 4
-    # Difficulty knobs.
+    # Difficulty knobs. snr_db applies to multi-digit sentences (the decode
+    # path); snr_db_isolated applies to isolated digit clips (the training
+    # path, which runs through energy endpointing whose max-relative low
+    # threshold of 1% needs >~30 dB SNR to ever see trailing silence —
+    # matching real TI-Digits' quiet-booth recordings).
     snr_db: tuple | None = None
+    snr_db_isolated: tuple | None = None
     channel_filter: bool = False
     formant_scale_range: tuple = (0.93, 1.08)
     rate_range: tuple = (0.85, 1.2)
@@ -85,6 +90,7 @@ class SyntheticTIDigits:
         trivially-100% legacy corpus."""
         defaults = dict(
             snr_db=(10.0, 20.0),
+            snr_db_isolated=(30.0, 40.0),
             channel_filter=True,
             formant_scale_range=(0.82, 1.22),
             rate_range=(0.65, 1.45),
@@ -160,7 +166,10 @@ class SyntheticTIDigits:
         import zlib
 
         # Deterministic across processes (Python's hash() is salted).
-        return self._degrade(clip, speaker, take * 31 + zlib.crc32(label.encode()) % 997)
+        return self._degrade(
+            clip, speaker, take * 31 + zlib.crc32(label.encode()) % 997,
+            snr_db=self.snr_db_isolated, _use_default=False,
+        )
 
     # -- degradation (difficulty knobs) --------------------------------------
     def _channel(self, signal: np.ndarray, speaker: int) -> np.ndarray:
@@ -181,18 +190,23 @@ class SyntheticTIDigits:
         wet_rms = float(np.sqrt(np.mean(out**2))) + 1e-9
         return (out * (dry_rms / wet_rms)).astype(np.float32)
 
-    def _degrade(self, clip: np.ndarray, speaker: int, noise_seed: int) -> np.ndarray:
+    def _degrade(
+        self, clip: np.ndarray, speaker: int, noise_seed: int,
+        snr_db: tuple | None = None, _use_default: bool = True,
+    ) -> np.ndarray:
         """Apply channel coloration and SNR-calibrated additive noise."""
+        if snr_db is None and _use_default:
+            snr_db = self.snr_db
         if self.channel_filter:
             clip = self._channel(clip, speaker)
-        if self.snr_db is not None:
+        if snr_db is not None:
             import zlib
 
             key = zlib.crc32(
                 f"noise|{speaker}|{noise_seed}|{self.seed}".encode()
             )
             rng = np.random.default_rng(key)
-            snr = rng.uniform(*self.snr_db)
+            snr = rng.uniform(*snr_db)
             # Speech RMS estimated over the loud half of the clip so the
             # leading/trailing room tone doesn't deflate the target SNR.
             mag = np.abs(clip)

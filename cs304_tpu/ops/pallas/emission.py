@@ -1,0 +1,166 @@
+"""Fused Gaussian-emission Pallas kernel: (frames, 39) -> (frames, S) log-pdfs.
+
+The XLA whitening path (ops/gaussian.py:gaussian_log_pdf) materializes the
+(T, S, D) whitened tensor in HBM — 1.4 GB per B=1024 batch — before reducing
+it; that HBM round-trip is ~70% of its 6.8 ms. This kernel computes the
+quadratic form
+
+    logpdf[t, s] = const_s + x_t . lin_s + x2_t . vec(-0.5 P_s),
+    x2_t = vec(x_t x_t^T)                       (ops/gaussian.py:96-143)
+
+entirely in VMEM: the (F_BLK, D^2=1521) x2 block is built with a lane-repeat
+and a lane-tile (no cross-lane relayouts), and the heavy term is ONE
+(F_BLK, 1521) x (1521, S) matmul — K=1521 fills the MXU's full depth, unlike
+the whitening form's K=39. Output states are padded to 128 lanes, which is
+exactly the layout the scan-free trellis kernel consumes.
+
+Numerics: the one-pass quadratic form carries ~1e-3..1e-2 absolute drift vs
+the subtract-then-square whitening path (catastrophic-cancellation residual at
+f32; see GaussianQuadParams). That is far below emission contrasts between
+states (O(1-10)) and does not move decode output in practice, but it is NOT
+bit-comparable — serving uses it (ContinuousDecoder backend "fused"), parity
+tests keep gaussian_log_pdf. Replaces per-frame scipy logpdf calls at
+reference hidden_markov_model.py:189,526.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _emission_kernel(nhp_ref, lin_ref, const_ref, frames_ref, out_ref,
+                     *, precision):
+    """nhp (D*D, S_pad) f32, lin (D, S_pad), const (8, S_pad) row 0,
+    frames (F_BLK, D) -> out (F_BLK, S_pad)."""
+    frames = frames_ref[:]
+    f_blk, d = frames.shape
+    # x2[t, i*D + j] = x[t, i] * x[t, j]:
+    #   stretch = [x0 x0 ... x0, x1 x1 ...]  (element i broadcast over chunk i)
+    #   tiled   = [x0 x1 ... xD, x0 x1 ...]  (the row tiled D times)
+    # NB pltpu.repeat TILES (concat copies) — it cannot build `stretch`; the
+    # chunk-broadcast loop below is static lane-selects, no relayout.
+    stretch = jnp.concatenate(
+        [jnp.broadcast_to(frames[:, i:i + 1], (f_blk, d)) for i in range(d)],
+        axis=1,
+    )  # (F_BLK, D*D)
+    tiled = jnp.concatenate([frames] * d, axis=1)  # (F_BLK, D*D)
+    x2 = stretch * tiled
+    quad = jax.lax.dot_general(
+        x2, nhp_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    lin = jax.lax.dot_general(
+        frames, lin_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    out_ref[:] = quad + lin + const_ref[0:1, :]
+
+
+def _pack_quad_params(means, covariances, s_pad: int):
+    """Quadratic-form parameters padded to s_pad state lanes.
+
+    Padded states get log-density 0 everywhere (harmless: the trellis keeps
+    their alpha at -inf via -inf transition coefficients)."""
+    from ..gaussian import make_gaussian_quad_params
+
+    qp = make_gaussian_quad_params(means, covariances)
+    s, dd = qp.neg_half_p.shape
+    d = qp.lin.shape[0]
+    nhp = jnp.zeros((dd, s_pad), jnp.float32).at[:, :s].set(qp.neg_half_p.T)
+    lin = jnp.zeros((d, s_pad), jnp.float32).at[:, :s].set(qp.lin)
+    const = jnp.zeros((8, s_pad), jnp.float32).at[0, :s].set(qp.const)
+    return nhp, lin, const
+
+
+@partial(jax.jit, static_argnames=("s_pad", "interpret", "f_blk", "precision"))
+def gaussian_log_pdf_fused(
+    means, covariances, frames_flat, s_pad: int = LANES,
+    interpret: bool = False, f_blk: int = 512, precision: str = "highest",
+):
+    """(N, D) frames -> (N, s_pad) emission log-densities, states padded.
+
+    N must be a multiple of 8. precision: "default" (Mosaic's native f32
+    matmul path) or "highest" (explicit 6-pass). Mosaic supports no HIGH
+    tier in-kernel; measured error/speed for both is in the kernel tests.
+    """
+    n, d = frames_flat.shape
+    prec = (jax.lax.Precision.DEFAULT if precision == "default"
+            else jax.lax.Precision.HIGHEST)
+    from functools import partial as _partial
+    kernel = _partial(_emission_kernel, precision=prec)
+    nhp, lin, const = _pack_quad_params(means, covariances, s_pad)
+    while n % f_blk:
+        f_blk //= 2
+    grid = (n // f_blk,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d * d, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_blk, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((f_blk, s_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, s_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(nhp, lin, const, frames_flat)
+
+
+def decode_batch_fused(
+    means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,
+    batch_feats, lengths, quirk_backtrace: bool = True,
+    interpret: bool | None = None,
+):
+    """Serving fast path: fused emission kernel + scan-free trellis pair.
+
+    batch_feats (B, T, D) float32 features, lengths (B,) -> (scores, paths).
+    Emissions never touch HBM in (T, S, D) form and arrive already padded to
+    the trellis kernel's 128-lane layout.
+    """
+    from .trellis_scanfree import _choose_tiles, _scanfree_impl
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t_total, d = batch_feats.shape
+    s = means.shape[0]
+    if (
+        s > LANES or t_total < 2 or (b * t_total) % 8
+        or _choose_tiles(b, t_total - 1) is None
+    ):
+        from ..gaussian import gaussian_log_pdf, make_gaussian_params
+        from ..viterbi import viterbi_composite_batch_fast
+
+        params = make_gaussian_params(means, covs)
+        log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch_feats)
+        return viterbi_composite_batch_fast(
+            log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
+            quirk_backtrace=quirk_backtrace,
+        )
+
+    frames_flat = batch_feats.reshape(b * t_total, d)
+    log_b_pad = gaussian_log_pdf_fused(
+        means, covs, frames_flat, s_pad=LANES, interpret=interpret
+    ).reshape(b, t_total, LANES)
+    return _scanfree_impl(
+        log_b_pad, log_a, lower_of_state, is_entry, is_exit, penalty,
+        jnp.asarray(lengths, jnp.int32), quirk_backtrace, interpret,
+        states_prepadded=np.asarray(means).shape[0],
+    )

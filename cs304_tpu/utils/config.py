@@ -42,6 +42,8 @@ class ContinuousConfig:
     cov_reg: float = 0.001
     silence_bootstrap: bool = True
     insert_silence: bool = True
+    # "viterbi" (reference segmental update) or "baum_welch" (soft EM).
+    update: str = "viterbi"
 
 
 @dataclass

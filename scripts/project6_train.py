@@ -42,6 +42,7 @@ def main() -> None:
             cov_reg=cfg.continuous.cov_reg,
             silence_bootstrap=cfg.continuous.silence_bootstrap,
             insert_silence=cfg.continuous.insert_silence,
+            update=cfg.continuous.update,
         ),
     )
     if args.resume:

@@ -1,5 +1,7 @@
 """Endpointing state machines and WAV I/O."""
+import os
 import queue
+import time
 
 import numpy as np
 import pytest
@@ -70,3 +72,66 @@ def test_live_capture_requires_sounddevice():
     seg = Segmentation(stream=None)
     with pytest.raises(RuntimeError, match="sounddevice"):
         seg.main()
+
+
+def test_capture_main_loop_with_fake_stream(tmp_path, monkeypatch):
+    """Drive Segmentation.main()'s FULL loop (not just routine()) with a
+    scripted frame stream standing in for the PortAudio callback (VERDICT
+    item #9; reference segmentation.py:129-152,229-250). The saved WAV must
+    equal the speech segment minus the trailing-silence trim."""
+    import queue
+    import threading
+
+    import scipy.io.wavfile
+
+    from cs304_tpu.audio.capture import Segmentation
+
+    rng = np.random.default_rng(5)
+    frame = 320
+    lead = rng.normal(0, 10.0, 10 * frame).astype(np.float32)
+    speech = (np.sin(np.arange(20 * frame) / 4.0) * 3000.0).astype(np.float32)
+    tail = rng.normal(0, 10.0, 30 * frame).astype(np.float32)
+
+    cache: queue.Queue = queue.Queue()
+
+    class FakeStream:
+        """Context manager standing in for sd.InputStream: starts a feeder
+        thread on enter, like PortAudio starting the callback."""
+
+        def __enter__(self):
+            def feed():
+                # noise-floor chunk first, then the take in chunks
+                cache.put(lead[: 2 * frame])
+                time.sleep(0.05)
+                for chunk in np.array_split(
+                    np.concatenate([lead[2 * frame:], speech, tail]), 12
+                ):
+                    cache.put(chunk)
+                    time.sleep(0.01)
+
+            self._t = threading.Thread(target=feed, daemon=True)
+            self._t.start()
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    seg = Segmentation(
+        stream=FakeStream(), audio_cache=cache, save_path=str(tmp_path),
+        silence_duration_threshold=0.1,
+    )
+    monkeypatch.setattr("builtins.input", lambda *a: "")
+    path = seg.main()
+    assert path is not None and os.path.exists(path)
+    sr, saved = scipy.io.wavfile.read(path)
+    assert sr == 16000
+    expected = seg.result_signal()
+    np.testing.assert_array_equal(
+        saved.astype(np.float32),
+        np.clip(expected, -32768, 32767).astype(np.int16).astype(np.float32),
+    )
+    # The capture must contain the speech burst and not the full 30-frame
+    # trailing silence (trim: frames beyond the silence threshold dropped).
+    assert len(saved) >= len(speech)
+    assert len(saved) < len(lead) + len(speech) + len(tail)
+    assert np.abs(saved).max() >= 2000

@@ -114,3 +114,83 @@ def test_signal_container():
     assert segs[2].shape == (1, 2)
     assert segs[3] is None
     assert len(s.order_by_signal) == 6
+
+
+def test_import_reference_checkpoint(tmp_path):
+    """Round-trip a reference-format pickle checkpoint (advisor finding r1:
+    the compat layer could not read the reference's .cache/ pickles). The
+    fixture fabricates the exact pickle structure the reference writes
+    (hidden_markov_model.py:93-115) under its module paths."""
+    import pickle
+    import sys
+    import types
+
+    import scipy.stats
+
+    # Fabricate the reference's classes under its module paths, as its own
+    # pickles reference them.
+    tp_mod = types.ModuleType("loe_speech_recognition.transition_probability")
+    hmm_mod = types.ModuleType("loe_speech_recognition.hidden_markov_model")
+    pkg = types.ModuleType("loe_speech_recognition")
+
+    class LogTransitionProbabilities:
+        pass
+
+    class MultivariateNormal:
+        pass
+
+    LogTransitionProbabilities.__module__ = tp_mod.__name__
+    MultivariateNormal.__module__ = hmm_mod.__name__
+    LogTransitionProbabilities.__qualname__ = "LogTransitionProbabilities"
+    MultivariateNormal.__qualname__ = "MultivariateNormal"
+    tp_mod.LogTransitionProbabilities = LogTransitionProbabilities
+    hmm_mod.MultivariateNormal = MultivariateNormal
+    saved = {k: sys.modules.get(k) for k in
+             (pkg.__name__, tp_mod.__name__, hmm_mod.__name__)}
+    sys.modules[pkg.__name__] = pkg
+    sys.modules[tp_mod.__name__] = tp_mod
+    sys.modules[hmm_mod.__name__] = hmm_mod
+    try:
+        rng = np.random.default_rng(0)
+        want_means = rng.normal(size=(3, 5)).astype(np.float32)
+        want_covs = np.tile(np.eye(5, dtype=np.float32) * 0.5, (3, 1, 1))
+        ltp = LogTransitionProbabilities()
+        ltp.num_of_states = 3
+        ltp._core = {(0, 0): -0.5, (0, 1): -1.0, (1, 1): -0.3, (1, 2): -1.2,
+                     (2, 2): 0.0}
+        mns = []
+        for i in range(3):
+            mn = MultivariateNormal()
+            mn.dim_of_features = 5
+            mn._core = scipy.stats.multivariate_normal(
+                mean=want_means[i], cov=want_covs[i])
+            mns.append(mn)
+        d = tmp_path / "ckpt" / "7"
+        d.mkdir(parents=True)
+        with open(d / "log_trans_probs.pickle", "wb") as f:
+            pickle.dump(ltp, f, pickle.HIGHEST_PROTOCOL)
+        with open(d / "multivariate_normals.pickle", "wb") as f:
+            pickle.dump(mns, f, pickle.HIGHEST_PROTOCOL)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = v
+
+    from cs304_tpu.compat import import_reference_checkpoint
+
+    npz_dir = str(tmp_path / "npz")
+    models = import_reference_checkpoint(str(tmp_path / "ckpt"),
+                                         save_npz_to=npz_dir)
+    assert set(models) == {"7"}
+    m = models["7"]
+    np.testing.assert_allclose(m.means, want_means, atol=1e-6)
+    np.testing.assert_allclose(m.covariances, want_covs, atol=1e-6)
+    assert m.log_a[0, 1] == pytest.approx(-1.0)
+    assert m.log_a[2, 0] == -np.inf
+    # npz copy loads through the normal checkpoint path.
+    from cs304_tpu.utils.checkpoint import load_models
+
+    re = load_models(npz_dir)
+    np.testing.assert_allclose(re["7"].means, want_means, atol=1e-6)

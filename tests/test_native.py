@@ -49,3 +49,30 @@ def test_endpoint_frames_semantics():
     # Trailing silence inside the result region: result + noise bits.
     assert labels[8] == 1  # drop-below-low frame: result, not noise
     assert labels[9] == 3  # fully silent frame: result + noise
+
+
+def test_wav_read_truncated_data_chunk(tmp_path, rng):
+    """A data chunk shorter than its header claims must return an error code
+    (-5), not the full frame count over an uninitialized buffer (advisor
+    finding r1: silent garbage audio)."""
+    import ctypes
+
+    from cs304_tpu.native.loader import _load
+
+    lib = _load()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    path = tmp_path / "trunc.wav"
+    sig = (rng.normal(0, 3000, 4000)).astype(np.int16)
+    write_wav_int16(str(path), sig, 16000)
+    raw = path.read_bytes()
+    path.write_bytes(raw[: len(raw) - 1000])  # chop the tail
+
+    out = np.empty(96000, np.float32)
+    rate = ctypes.c_int(0)
+    n = lib.wav_read(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        96000, ctypes.byref(rate),
+    )
+    assert n == -5, n

@@ -94,3 +94,73 @@ def test_nbest_decode_strings(rng):
     score, path = comp.viterbi(feats)
     best_text = "".join(comp.path_to_labels(np.asarray(path)[: feats.shape[0]]))
     assert hyps[0][1] == best_text
+
+
+def test_nbest_top1_matches_decoder_paths():
+    """The n-best top-1 STATE PATH must equal ContinuousDecoder.predict's
+    path frame-for-frame, including the reference backtrace quirk at the
+    final frame (advisor finding r1)."""
+    import jax.numpy as jnp
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.hmm import WordHMM, uniform_forward_log_a
+    from cs304_tpu.ops.nbest import kbest_composite_forward, nbest_paths
+
+    rng = np.random.default_rng(11)
+    models = {}
+    for lab in ("1", "2", "S"):
+        s = 3 if lab == "S" else 5
+        models[lab] = WordHMM(
+            label=lab, means=rng.normal(size=(s, 8)).astype(np.float32) * 2,
+            covariances=np.tile(np.eye(8, dtype=np.float32), (s, 1, 1)),
+            log_a=uniform_forward_log_a(s),
+        )
+    dec = ContinuousDecoder(models, penalty=-40.0)
+    comp = dec.composite
+    feats = rng.normal(size=(30, 8)).astype(np.float32)
+    _scores, paths, _lengths = dec.viterbi_batch([feats])
+    log_b = comp.log_likelihoods(feats)
+    alpha, bps = kbest_composite_forward(
+        log_b, jnp.asarray(comp.log_a), jnp.asarray(comp.lower_of_state),
+        jnp.asarray(comp.is_entry), jnp.asarray(comp.is_exit),
+        comp.penalty, k=4,
+    )
+    hyps = nbest_paths(np.asarray(alpha), np.asarray(bps), comp.is_exit, 30, 1)
+    np.testing.assert_array_equal(hyps[0][1], paths[0, :30])
+
+
+def test_nbest_single_state_word_no_duplicate_prefixes():
+    """Single-state words (entry == exit) must not fill two beam slots with
+    the identical path prefix via the penalty and self-loop candidates."""
+    import jax.numpy as jnp
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.hmm import WordHMM, uniform_forward_log_a
+    from cs304_tpu.ops.nbest import kbest_composite_forward, nbest_paths
+
+    rng = np.random.default_rng(3)
+    models = {
+        "A": WordHMM(label="A", means=rng.normal(size=(1, 6)).astype(np.float32),
+                     covariances=np.eye(6, dtype=np.float32)[None],
+                     log_a=uniform_forward_log_a(1)),
+        "B": WordHMM(label="B", means=rng.normal(size=(2, 6)).astype(np.float32),
+                     covariances=np.tile(np.eye(6, dtype=np.float32), (2, 1, 1)),
+                     log_a=uniform_forward_log_a(2)),
+    }
+    dec = ContinuousDecoder(models, penalty=-5.0)
+    comp = dec.composite
+    feats = rng.normal(size=(12, 6)).astype(np.float32)
+    log_b = comp.log_likelihoods(feats)
+    alpha, bps = kbest_composite_forward(
+        log_b, jnp.asarray(comp.log_a), jnp.asarray(comp.lower_of_state),
+        jnp.asarray(comp.is_entry), jnp.asarray(comp.is_exit),
+        comp.penalty, k=4,
+    )
+    # quirk_backtrace=False: the quirk legitimately maps distinct state paths
+    # onto the same final-frame-overwritten sequence; duplicates must be
+    # absent on the raw paths.
+    hyps = nbest_paths(np.asarray(alpha), np.asarray(bps), comp.is_exit, 12, 8,
+                       quirk_backtrace=False)
+    seen = set()
+    for _score, path in hyps:
+        key = tuple(path.tolist())
+        assert key not in seen, f"duplicate state path in beam: {key}"
+        seen.add(key)
