@@ -66,10 +66,13 @@ def composite_transition_matrix(
     Word-internal column s: M[s', s] = log_a[s', s] iff
     max(s - skip, lower(s)) <= s' <= s  (hidden_markov_model.py:518).
     Word-entry column e: self-loop log_a[e, e] plus penalty from every word-exit
-    state (hidden_markov_model.py:533-544). Tie-breaking between an exit state
-    and the self-loop differs from the reference only on exact float ties
-    (reference orders exits before the self-loop; the dense argmax orders by
-    state index) — a measure-zero divergence, documented here.
+    state (hidden_markov_model.py:533-544). Tie-breaking caveat (DENSE scan
+    only): on an exact float tie between an entry's self-loop and an exit at a
+    HIGHER state index, the dense argmax picks the self-loop while the
+    reference orders exits first. The default backends — the banded fast path
+    below and the Pallas scan-free pair — implement the reference's order
+    exactly; tests/test_tie_break.py constructs the exact-tie cases and
+    asserts them against the reference oracle.
     """
     s = log_a.shape[0]
     frm = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
