@@ -97,6 +97,14 @@ class ContinuousTrainConfig:
     # near-deterministic limit (tight covariances) the two coincide
     # (tests/test_embedded_baum_welch.py).
     update: str = "viterbi"
+    # Run each iteration as ONE jitted XLA program (models/train_fused.py):
+    # alignment of every transcript, statistics, M-step, and convergence test
+    # fused into a single device dispatch with one host sync — vs 2+ dispatches
+    # per transcript per iteration on the legacy path. Semantics are identical
+    # (parity-tested); statistics accumulate in f32 HIGHEST-precision einsums
+    # on-device instead of float64 on the host. Applies to update="viterbi"
+    # without a mesh; other modes fall back to the legacy per-transcript path.
+    fused: bool = True
     # Cross-word transition topology of the training sentence HMM.
     # "exit_only" (default): words connect ONLY exit -> next entry, matching
     # the decoder's composite topology, so every word instance traverses its
@@ -318,6 +326,7 @@ class ContinuousTrainer:
         self.cfg = cfg
         self.mesh = mesh
         self._iterations_done = 0
+        self._dev_state = None  # device-resident (means, covs, log_a) cache
         self.labels: List[str] = sorted(models)
         self.label_index = {l: i for i, l in enumerate(self.labels)}
         self.state_counts = {l: models[l].num_states for l in self.labels}
@@ -338,6 +347,7 @@ class ContinuousTrainer:
 
     # -- public ---------------------------------------------------------
     def models(self) -> Dict[str, WordHMM]:
+        self._sync_from_device()
         out = {}
         for label in self.labels:
             i = self.label_index[label]
@@ -364,27 +374,52 @@ class ContinuousTrainer:
         `resume(checkpoint_dir)` — surviving interrupts mid-run instead of
         only at the reference's KeyboardInterrupt save point
         (scripts/project6_train.py:38-41 there)."""
-        batches = self._prepare_batches(labeled_features)
+        use_fused = (
+            self.cfg.fused and self.cfg.update == "viterbi" and self.mesh is None
+        )
+        if use_fused:
+            from .train_fused import prepare_fused_corpus
+
+            # Frame padding at 32 granularity: the fused program is topology-
+            # independent (one compile per (T, chunk) shape, not per
+            # transcript), so the coarse 128-multiple the legacy path uses to
+            # limit recompiles would only waste trellis steps here.
+            batches = prepare_fused_corpus(
+                labeled_features, self.state_counts, self.label_index,
+                insert_silence if self.cfg.insert_silence else (lambda s: s),
+                min(self.cfg.length_multiple, 32),
+            )
+        else:
+            batches = self._prepare_batches(labeled_features)
         if self._iterations_done == 0 and (
             self.cfg.silence_bootstrap
             and self.cfg.insert_silence
             and self.cfg.silence_label in self.label_index
         ):
-            self._bootstrap_silence(batches)
+            if use_fused:
+                self._bootstrap_silence_fused(batches)
+            else:
+                self._bootstrap_silence(batches)
         it = self._iterations_done
         for it in range(self._iterations_done + 1, self.cfg.max_iterations + 1):
-            all_converged = self._iteration(batches)
+            all_converged = (
+                self._iteration_fused(batches) if use_fused
+                else self._iteration(batches)
+            )
             self._iterations_done = it
             if checkpoint_dir and (it % checkpoint_every == 0 or all_converged):
                 self.save_state(checkpoint_dir)
             if all_converged:
                 logger.info("continuous training converged after %d iterations", it)
                 break
+        self._sync_from_device()
         return it
 
     # -- resumable state ---------------------------------------------------
     def save_state(self, folder: str) -> None:
         from ..utils.checkpoint import save_trainer_state
+
+        self._sync_from_device()
 
         save_trainer_state(
             {
@@ -410,6 +445,7 @@ class ContinuousTrainer:
         self.means_g = np.asarray(state["means_g"], np.float32)
         self.covs_g = np.asarray(state["covs_g"], np.float32)
         self.log_a_g = np.asarray(state["log_a_g"], np.float32)
+        self._invalidate_device_state()
         self._iterations_done = int(state["iterations_done"])
         logger.info("resumed continuous training at iteration %d",
                     self._iterations_done)
@@ -462,6 +498,116 @@ class ContinuousTrainer:
         self.means_g[i_s, :n_s] = result.model.means
         self.covs_g[i_s, :n_s] = result.model.covariances
         self.log_a_g[i_s, :n_s, :n_s] = result.model.log_a
+        self._invalidate_device_state()
+        logger.info("silence bootstrap: retrained %s on %d runs", sil, len(runs))
+
+    # -- fused single-program path (models/train_fused.py) -----------------
+    #
+    # Parameters live ON DEVICE across fused iterations (self._dev_state);
+    # each iteration feeds the previous iteration's device outputs straight
+    # back in and the host reads only the per-slot counts and per-label
+    # convergence flags (one small sync). The numpy mirrors (means_g/covs_g/
+    # log_a_g) are refreshed lazily via _sync_from_device — any code that
+    # writes the numpy arrays directly must call _invalidate_device_state.
+    def _slot_used(self) -> np.ndarray:
+        l, s = len(self.labels), self.s_max
+        slot_used = np.zeros((l, s), bool)
+        for label, i in self.label_index.items():
+            slot_used[i, : self.state_counts[label]] = True
+        return slot_used
+
+    def _device_state(self):
+        if self._dev_state is None:
+            self._dev_state = (
+                jnp.asarray(self.means_g),
+                jnp.asarray(self.covs_g),
+                jnp.asarray(self.log_a_g),
+            )
+        return self._dev_state
+
+    def _invalidate_device_state(self) -> None:
+        self._dev_state = None
+
+    def _sync_from_device(self) -> None:
+        if self._dev_state is not None:
+            means, covs, log_a = self._dev_state
+            self.means_g = np.asarray(means, np.float32)
+            self.covs_g = np.asarray(covs, np.float32)
+            self.log_a_g = np.asarray(log_a, np.float32)
+
+    def _run_fused(self, fused):
+        from .train_fused import fused_viterbi_iteration
+
+        l, s = len(self.labels), self.s_max
+        means, covs, log_a = self._device_state()
+        return fused_viterbi_iteration(
+            means, covs, log_a, jnp.asarray(self._slot_used()),
+            fused.lab_tab, fused.loc_tab, fused.pos_tab,
+            fused.samew_tab, fused.cross_tab, fused.n_states_t,
+            fused.batch, fused.lengths, fused.topo_id,
+            cov_reg=float(self.cfg.cov_reg), rtol=float(self.cfg.rtol),
+            atol=float(self.cfg.atol),
+            num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
+        )
+
+    def _iteration_fused(self, fused) -> bool:
+        new_means, new_covs, new_log_a, counts, converged_l, _paths = (
+            self._run_fused(fused)
+        )
+        counts, converged_l = jax.device_get((counts, converged_l))
+        empty = self._slot_used() & (counts < 1)
+        if np.any(empty):
+            bad = np.argwhere(empty).tolist()
+            if self.cfg.on_empty_state == "fail":
+                raise HMMTrainMeanFail(f"(label, state) slots with no frames: {bad}")
+            logger.warning("keeping previous params for empty slots: %s", bad)
+        if converged_l.all():
+            return True
+        # Keep-old masks (empty slots, converged labels) are already applied
+        # in-jit; the outputs ARE the next iteration's state.
+        self._dev_state = (new_means, new_covs, new_log_a)
+        return False
+
+    def _bootstrap_silence_fused(self, fused) -> None:
+        """Fused-path silence bootstrap: one alignment program, then the same
+        long-run harvesting as _bootstrap_silence."""
+        from .train_kmeans import SegmentalKMeansConfig, train_word_hmm
+
+        sil = self.cfg.silence_label
+        i_s = self.label_index[sil]
+        n_s = self.state_counts[sil]
+        min_run = self.cfg.silence_bootstrap_min_run
+        *_rest, paths = self._run_fused(fused)
+        paths = np.asarray(paths)
+        n_chunks, c, t = paths.shape
+        paths = paths.reshape(n_chunks * c, t)
+        batch_np = np.asarray(fused.batch).reshape(n_chunks * c, t, -1)
+        lengths_np = np.asarray(fused.lengths).reshape(-1)
+        topo_id = np.asarray(fused.topo_id).reshape(-1)
+        lab_tab = np.asarray(fused.lab_tab)
+        runs: List[np.ndarray] = []
+        for b in range(fused.num_utts):
+            lab_path = lab_tab[topo_id[b]][paths[b, : lengths_np[b]]]
+            is_sil = lab_path == i_s
+            bounds = np.where(np.diff(is_sil.astype(int)) != 0)[0] + 1
+            for seg in np.split(np.arange(lengths_np[b]), bounds):
+                if len(seg) >= min_run and is_sil[seg[0]]:
+                    runs.append(batch_np[b, seg])
+        if len(runs) < 3:
+            logger.warning("silence bootstrap skipped: only %d runs", len(runs))
+            return
+        result = train_word_hmm(
+            sil, runs,
+            SegmentalKMeansConfig(
+                num_states=n_s,
+                max_iterations=min(self.cfg.max_iterations, 15),
+                length_multiple=32,
+            ),
+        )
+        self.means_g[i_s, :n_s] = result.model.means
+        self.covs_g[i_s, :n_s] = result.model.covariances
+        self.log_a_g[i_s, :n_s, :n_s] = result.model.log_a
+        self._invalidate_device_state()
         logger.info("silence bootstrap: retrained %s on %d runs", sil, len(runs))
 
     # -- internals --------------------------------------------------------

@@ -1,0 +1,398 @@
+"""Single-program embedded-training iteration (the round-trip-free trainer).
+
+The legacy ContinuousTrainer._iteration dispatches 2+ jitted calls PER
+TRANSCRIPT per iteration (alignment/stats pass + centered covariance pass) and
+accumulates statistics on the host. That is correct but round-trip-bound: each
+device sync costs ~26 ms through this environment's TPU tunnel (and is never
+free anywhere), so a 7-transcript corpus pays ~14 syncs/iteration — >95% of
+the measured iteration time at flagship scale.
+
+This module runs the ENTIRE iteration — sentence-HMM Viterbi alignment of
+every utterance of every transcript, sufficient statistics, the M-step, and
+the convergence test — as ONE jitted XLA program with one host sync. The
+reference semantics are unchanged (same quantities as _stats_pass /
+_centered_m2_pass / ContinuousTrainer._iteration, which themselves replicate
+reference hidden_markov_model.py:584-797):
+
+  - topologies become runtime DATA: per-transcript sentence state tables
+    (label, local state, word position) padded to the longest sentence, with
+    per-utterance topology ids — so ONE compiled program serves every
+    transcript shape, instead of one XLA program per (sentence length,
+    utterance count, frame count) combination;
+  - emissions are scored once against ALL (label, state) slots (one whitening
+    matmul per frame chunk) and gathered per sentence state, instead of
+    re-whitening per transcript;
+  - the sentence trellis is purely banded (left-to-right skip-2; cross-word
+    exit->entry edges are adjacent states, so they live inside the band) and
+    runs as a 3-diagonal lax.scan over the WHOLE utterance batch at once
+    (first-max tie-breaks identical to the dense scan's argmax);
+  - the centered covariance pass exploits the hard Viterbi assignment: each
+    frame belongs to exactly one (label, state) slot, so centering is ONE
+    gather of that slot's new mean per frame, and the second moment is one
+    (slots, frames) x (frames, D^2) matmul per chunk — no per-slot vmap that
+    would materialize a (slots, B, T, D) tensor;
+  - the M-step (mean/cov/transition re-estimation with empty-slot keep,
+    np.cov ddof=1 denominator, cov_reg*I) and the per-label allclose
+    convergence test run on-device; the host reads back only the new
+    parameters, counts, and convergence flags.
+
+Frame chunking (lax.scan over utterance chunks) bounds the two big
+intermediates — the (frames, slots, D) whitened tensor and the (frames, D^2)
+centered outer products — so corpus size scales without HBM blowup.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gaussian import gaussian_log_pdf, make_gaussian_params
+from ..ops.viterbi import _backtrace
+
+logger = logging.getLogger(__name__)
+
+NEG = -jnp.inf
+
+
+@dataclass
+class FusedCorpus:
+    """Device-resident corpus + topology tables for fused_viterbi_iteration."""
+
+    batch: jax.Array      # (n_chunks, C, T, D) f32
+    lengths: jax.Array    # (n_chunks, C) i32
+    topo_id: jax.Array    # (n_chunks, C) i32
+    lab_tab: jax.Array    # (n_topo, S_sent) i32
+    loc_tab: jax.Array    # (n_topo, S_sent) i32
+    pos_tab: jax.Array    # (n_topo, S_sent) i32 (pads hold distinct negatives)
+    samew_tab: jax.Array  # (n_topo, S_sent, S_sent) bool
+    cross_tab: jax.Array  # (n_topo, S_sent, S_sent) bool (exit -> next entry)
+    n_states_t: jax.Array  # (n_topo,) i32
+    num_utts: int         # real (non-padding) utterance count
+    num_frames: int       # real frame count
+    sentences: list       # topo index -> sentence string (debug/bootstrap)
+
+
+def prepare_fused_corpus(
+    labeled_features: Dict[str, Sequence[np.ndarray]],
+    state_counts: Dict[str, int],
+    label_index: Dict[str, int],
+    insert_silence_fn,
+    length_multiple: int = 128,
+    chunk_utts: int = 64,
+) -> FusedCorpus:
+    """Pack every transcript's utterances into one padded corpus.
+
+    All utterances share one global T (padded to length_multiple) and one
+    global sentence-state budget S_sent (the longest sentence); shorter
+    sentences are padded with unreachable states (-inf columns)."""
+    from .train_continuous import _topology
+
+    sentences, topo_of_sentence = [], {}
+    feats_all, lengths_all, topo_ids = [], [], []
+    for transcript, feats in labeled_features.items():
+        sentence = insert_silence_fn(transcript)
+        if sentence not in topo_of_sentence:
+            topo_of_sentence[sentence] = len(sentences)
+            sentences.append(sentence)
+        tid = topo_of_sentence[sentence]
+        for x in feats:
+            x = np.asarray(x, np.float32)
+            feats_all.append(x)
+            lengths_all.append(x.shape[0])
+            topo_ids.append(tid)
+    if not feats_all:
+        raise ValueError("empty corpus")
+
+    d = feats_all[0].shape[1]
+    t_max = -(-max(lengths_all) // length_multiple) * length_multiple
+    b = len(feats_all)
+    c = min(chunk_utts, -(-b // 8) * 8)
+    b_pad = -(-b // c) * c
+    batch = np.zeros((b_pad, t_max, d), np.float32)
+    for i, x in enumerate(feats_all):
+        batch[i, : x.shape[0]] = x
+    lengths = np.zeros(b_pad, np.int32)
+    lengths[:b] = lengths_all
+    topo_id = np.zeros(b_pad, np.int32)
+    topo_id[:b] = topo_ids
+
+    topos = [_topology(s, state_counts, label_index) for s in sentences]
+    s_sent = max(len(t.lab_of_state) for t in topos)
+    n_topo = len(topos)
+    lab_tab = np.zeros((n_topo, s_sent), np.int32)
+    loc_tab = np.zeros((n_topo, s_sent), np.int32)
+    # Pad positions with distinct negatives so padded states never compare
+    # equal to anything (not to real positions, not to each other).
+    pos_tab = -1 - np.tile(np.arange(s_sent, dtype=np.int32), (n_topo, 1))
+    n_states_t = np.zeros(n_topo, np.int32)
+    samew_tab = np.zeros((n_topo, s_sent, s_sent), bool)
+    cross_tab = np.zeros((n_topo, s_sent, s_sent), bool)
+    for k, topo in enumerate(topos):
+        n = len(topo.lab_of_state)
+        n_states_t[k] = n
+        lab_tab[k, :n] = topo.lab_of_state
+        loc_tab[k, :n] = topo.loc_of_state
+        pos_tab[k, :n] = topo.pos_of_state
+        pos = topo.pos_of_state
+        samew_tab[k, :n, :n] = pos[:, None] == pos[None, :]
+        is_entry = np.zeros(n, bool)
+        is_exit = np.zeros(n, bool)
+        for p in range(pos.max() + 1):
+            idx = np.where(pos == p)[0]
+            is_entry[idx[0]] = True
+            is_exit[idx[-1]] = True
+        cross_tab[k, :n, :n] = (
+            is_exit[:, None] & is_entry[None, :] & (pos[None, :] == pos[:, None] + 1)
+        )
+
+    n_chunks = b_pad // c
+    return FusedCorpus(
+        batch=jnp.asarray(batch.reshape(n_chunks, c, t_max, d)),
+        lengths=jnp.asarray(lengths.reshape(n_chunks, c)),
+        topo_id=jnp.asarray(topo_id.reshape(n_chunks, c)),
+        lab_tab=jnp.asarray(lab_tab),
+        loc_tab=jnp.asarray(loc_tab),
+        pos_tab=jnp.asarray(pos_tab),
+        samew_tab=jnp.asarray(samew_tab),
+        cross_tab=jnp.asarray(cross_tab),
+        n_states_t=jnp.asarray(n_states_t),
+        num_utts=b,
+        num_frames=int(sum(lengths_all)),
+        sentences=sentences,
+    )
+
+
+def _sentence_trans_diagonals(log_a_g, lab_u, loc_u, samew_u, cross_u,
+                              cross_word: str):
+    """Per-utterance banded transition coefficients (c0=self, c1=prev, c2=skip).
+
+    Build the full per-utterance sentence transition rule — word-internal
+    entries gathered from the global (L, S, S) bank, cross-word entries free
+    per the cross_word mode (train_continuous._sentence_log_a) — restricted to
+    the 3 diagonals the skip-2 band can ever read."""
+    b, ss = lab_u.shape
+    gathered = log_a_g[lab_u[:, :, None], loc_u[:, :, None], loc_u[:, None, :]]
+    if cross_word == "band":
+        la = jnp.where(samew_u, gathered, 0.0)
+    else:
+        la = jnp.where(samew_u, gathered, jnp.where(cross_u, 0.0, NEG))
+    j = jnp.arange(ss)
+    c0 = la[:, j, j]
+    c1 = jnp.where(j >= 1, la[:, jnp.maximum(j - 1, 0), j], NEG)
+    c2 = jnp.where(j >= 2, la[:, jnp.maximum(j - 2, 0), j], NEG)
+    return c0, c1, c2
+
+
+def _banded_trellis_batch(log_b, c0, c1, c2, lengths, n_states):
+    """Whole-batch banded sentence Viterbi.
+
+    log_b (B, T, S_sent), coefficients (B, S_sent), lengths (B,),
+    n_states (B,) -> (scores (B,), paths (B, T) i32). Tie-breaks match the
+    dense scan's first-max argmax (smallest predecessor index wins), and the
+    backtrace applies the reference's final-frame quirk — so paths are
+    identical to viterbi_banded_batch over the same sentence, which is what
+    the legacy _stats_pass uses (itself replicating hidden_markov_model.py
+    :160-208 run over the concatenated sentence states)."""
+    b, t_total, ss = log_b.shape
+    # Degenerate-safe init (see ops.viterbi.viterbi_banded): a zero-probability
+    # entry self-loop must not bar the sentence from starting.
+    a00 = jnp.where(jnp.isfinite(c0[:, 0]), c0[:, 0], 0.0)
+    alpha0 = jnp.full((b, ss), NEG, log_b.dtype).at[:, 0].set(log_b[:, 0, 0] + a00)
+
+    neg_col = jnp.full((b, 1), NEG, log_b.dtype)
+
+    def step(alpha, inputs):
+        t, lb_t = inputs
+        a1 = jnp.concatenate([neg_col, alpha[:, :-1]], axis=1)
+        a2 = jnp.concatenate([neg_col, neg_col, alpha[:, :-2]], axis=1)
+        idx = jnp.arange(ss)[None, :]
+        # Candidates in ascending predecessor order; strict > keeps the
+        # earliest on ties (the dense argmax's first-max semantics).
+        best = a2 + c2
+        bp = jnp.broadcast_to(jnp.maximum(idx - 2, 0), (b, ss))
+        cand = a1 + c1
+        take = cand > best
+        best = jnp.where(take, cand, best)
+        bp = jnp.where(take, jnp.maximum(idx - 1, 0), bp)
+        cand = alpha + c0
+        take = cand > best
+        best = jnp.where(take, cand, best)
+        bp = jnp.where(take, idx, bp)
+        new_alpha = best + lb_t
+        live = t < lengths[:, None]
+        return jnp.where(live, new_alpha, alpha), bp.astype(jnp.int32)
+
+    ts = jnp.arange(1, t_total, dtype=jnp.int32)
+    alpha, bps = jax.lax.scan(step, alpha0, (ts, jnp.moveaxis(log_b[:, 1:], 1, 0)))
+    bps = jnp.concatenate(
+        [jnp.full((1, b, ss), -1, jnp.int32), bps], axis=0
+    )  # tracer[0] = -1, reference hidden_markov_model.py:175
+    final = jnp.maximum(n_states - 1, 0).astype(jnp.int32)
+    scores = jnp.take_along_axis(alpha, final[:, None], axis=1)[:, 0]
+    bt = partial(_backtrace, quirk=True)
+    paths = jax.vmap(lambda bp, f, ln: bt(bp, f, ln))(
+        jnp.moveaxis(bps, 0, 1), final, lengths
+    )
+    return scores, paths
+
+
+@partial(jax.jit, static_argnames=(
+    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+def fused_viterbi_iteration(
+    means_g, covs_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str = "exit_only",
+):
+    """One embedded-training iteration as one XLA program.
+
+    Returns (new_means, new_covs, new_log_a, counts, converged_l, paths):
+    the COMMITTED M-step result — empty-slot/no-outgoing keep-old applied AND
+    the per-label converged mask applied (converged models keep their
+    parameters, matching ContinuousTrainer._iteration / reference
+    hidden_markov_model.py:333-335) — per-slot frame counts, per-label
+    convergence flags (reference allclose on means), and the Viterbi paths
+    (n_chunks, C, T). The returned parameter arrays can therefore be fed
+    straight back in as the next iteration's state without any host logic;
+    the host only reads counts (empty-slot policy) and converged_l (stop).
+    """
+    l, s, d = means_g.shape
+    f = num_labels * s_max
+    n_chunks, c, t, _ = batch.shape
+    b = n_chunks * c
+    params = make_gaussian_params(means_g.reshape(f, d), covs_g.reshape(f, d, d))
+
+    # ---- emissions: chunked all-slot scoring, gathered per sentence state.
+    # Chunked because the whitened (frames, slots, D) intermediate is the
+    # biggest tensor of the program; the gathered (B, T, S_sent) result is
+    # small enough to keep whole.
+    def emit_chunk(_, inp):
+        bc, tidc = inp
+        lb_all = gaussian_log_pdf(params, bc.reshape(c * t, d)).reshape(c, t, f)
+        flat_slot = lab_tab[tidc] * s_max + loc_tab[tidc]  # (C, S_sent)
+        return None, jax.vmap(lambda lb, fs: lb[:, fs])(lb_all, flat_slot)
+
+    _, lb_sent = jax.lax.scan(emit_chunk, None, (batch, topo_id))
+    s_sent = lb_sent.shape[-1]
+
+    # ---- trellis: ONE whole-batch scan (a chunked trellis would multiply
+    # the sequential per-step while-loop overhead by the chunk count).
+    topo_flat = topo_id.reshape(b)
+    c0, c1, c2 = _sentence_trans_diagonals(
+        log_a_g, lab_tab[topo_flat], loc_tab[topo_flat],
+        samew_tab[topo_flat], cross_tab[topo_flat], cross_word,
+    )
+    _scores, paths_flat = _banded_trellis_batch(
+        lb_sent.reshape(b, t, s_sent), c0, c1, c2,
+        lengths.reshape(b), n_states_t[topo_flat],
+    )
+    paths = paths_flat.reshape(n_chunks, c, t)
+
+    # ---- pass A: zeroth/first-order stats + transition counts (chunked:
+    # the (C, T, slots) one-hots are the memory hog here).
+    def pass_a(carry, inp):
+        counts, sums, trans = carry
+        bc, lc, tidc, path = inp
+        lab_u = lab_tab[tidc]
+        loc_u = loc_tab[tidc]
+        pos_u = pos_tab[tidc]
+        mask = jnp.arange(t)[None, :] < lc[:, None]
+        lab_p = jnp.take_along_axis(lab_u, path, axis=1)
+        loc_p = jnp.take_along_axis(loc_u, path, axis=1)
+        pos_p = jnp.take_along_axis(pos_u, path, axis=1)
+        flat = lab_p * s_max + loc_p
+        oh = jax.nn.one_hot(flat, f, dtype=jnp.float32) * mask[..., None]
+        counts = counts + jnp.sum(oh, axis=(0, 1))
+        sums = sums + jnp.einsum(
+            "btf,btd->fd", oh, bc, precision=jax.lax.Precision.HIGHEST
+        )
+        pair_live = (jnp.arange(t - 1)[None, :] < (lc[:, None] - 1)) & (
+            pos_p[:, :-1] == pos_p[:, 1:]
+        )
+        from_flat = (
+            lab_p[:, :-1] * (s_max * s_max)
+            + loc_p[:, :-1] * s_max
+            + loc_p[:, 1:]
+        )
+        ohp = jax.nn.one_hot(
+            from_flat, f * s_max, dtype=jnp.float32
+        ) * pair_live[..., None]
+        trans = trans + jnp.sum(ohp, axis=(0, 1))
+        return (counts, sums, trans), None
+
+    init = (
+        jnp.zeros((f,), jnp.float32),
+        jnp.zeros((f, d), jnp.float32),
+        jnp.zeros((f * s_max,), jnp.float32),
+    )
+    (counts_f, sums, trans_f), _ = jax.lax.scan(
+        pass_a, init, (batch, lengths, topo_id, paths)
+    )
+    counts = counts_f.reshape(l, s)
+    trans = trans_f.reshape(l, s, s)
+
+    # ---- M-step: means + convergence ----
+    empty = slot_used & (counts < 1.0)
+    new_means = (sums / jnp.maximum(counts_f, 1.0)[:, None]).reshape(l, s, d)
+    new_means = jnp.where(empty[..., None], means_g, new_means)
+    # np.allclose(new, old): |new - old| <= atol + rtol * |old|.
+    close = jnp.abs(new_means - means_g) <= atol + rtol * jnp.abs(means_g)
+    converged_l = jnp.all(close.all(-1) | ~slot_used, axis=-1)  # (L,)
+
+    # ---- pass B: covariance centered on the NEW means (np.cov parity) ----
+    new_means_flat = new_means.reshape(f, d)
+
+    def pass_b(m2, inp):
+        bc, lc, path, tidc = inp
+        c, t, _d = bc.shape
+        lab_u = lab_tab[tidc]
+        loc_u = loc_tab[tidc]
+        lab_p = jnp.take_along_axis(lab_u, path, axis=1)
+        loc_p = jnp.take_along_axis(loc_u, path, axis=1)
+        flat = lab_p * s_max + loc_p
+        mask = jnp.arange(t)[None, :] < lc[:, None]
+        oh = jax.nn.one_hot(flat, f, dtype=jnp.float32) * mask[..., None]
+        # Hard assignment: each frame has exactly one slot, so centering is a
+        # single per-frame gather of that slot's new mean.
+        xc = bc - new_means_flat[flat]
+        x2 = (xc[..., :, None] * xc[..., None, :]).reshape(c * t, d * d)
+        m2 = m2 + jax.lax.dot_general(
+            oh.reshape(c * t, f), x2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m2, None
+
+    m2_flat, _ = jax.lax.scan(
+        pass_b, jnp.zeros((f, d * d), jnp.float32),
+        (batch, lengths, paths, topo_id),
+    )
+    m2 = m2_flat.reshape(l, s, d, d)
+    denom = jnp.maximum(counts - 1.0, 1.0)[..., None, None]  # np.cov ddof=1
+    eye = jnp.eye(d, dtype=jnp.float32)
+    new_covs = m2 / denom + cov_reg * eye
+    new_covs = jnp.where(empty[..., None, None], covs_g, new_covs)
+    # Padded slots keep identity covariance so the next Cholesky stays valid.
+    new_covs = jnp.where(slot_used[..., None, None], new_covs, eye)
+
+    # ---- transitions ----
+    row_sums = trans.sum(axis=2, keepdims=True)
+    probs = trans / jnp.maximum(row_sums, 1.0)
+    new_log_a = jnp.where(probs > 0, jnp.log(probs), NEG)
+    no_out = (row_sums[..., 0] < 1.0) & slot_used
+    new_log_a = jnp.where(no_out[..., None], log_a_g, new_log_a)
+
+    # Converged labels keep their parameters this iteration (reference raises
+    # HMMTrainConverge before assignment, hidden_markov_model.py:333-335).
+    keep = converged_l[:, None, None]
+    new_means = jnp.where(keep, means_g, new_means)
+    new_covs = jnp.where(keep[..., None], covs_g, new_covs)
+    new_log_a = jnp.where(keep, log_a_g, new_log_a)
+
+    return new_means, new_covs, new_log_a, counts, converged_l, paths

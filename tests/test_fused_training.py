@@ -1,0 +1,146 @@
+"""Parity tests: fused single-program embedded training vs the legacy path.
+
+The fused iteration (cs304_tpu/models/train_fused.py) must produce the same
+trained parameters, the same convergence iteration, and the same failure
+behavior as the legacy per-transcript path (train_continuous._iteration),
+which is itself the reference-parity implementation of
+hidden_markov_model.py:584-797."""
+import numpy as np
+import pytest
+
+from cs304_tpu.models.hmm import WordHMM, uniform_forward_log_a
+from cs304_tpu.models.train_continuous import (
+    ContinuousTrainConfig,
+    ContinuousTrainer,
+    HMMTrainMeanFail,
+)
+
+D = 6
+
+
+def _models(rng, labels=("1", "2", "3", "S")):
+    out = {}
+    for label in labels:
+        s = 3 if label == "S" else 5
+        means = rng.normal(size=(s, D)).astype(np.float32) * 3
+        a = rng.normal(size=(s, D, 3)).astype(np.float32) * 0.2
+        covs = a @ np.transpose(a, (0, 2, 1)) + 0.4 * np.eye(D, dtype=np.float32)
+        out[label] = WordHMM(
+            label=label, means=means, covariances=covs,
+            log_a=uniform_forward_log_a(s),
+        )
+    return out
+
+
+def _copy(models):
+    return {
+        k: WordHMM(label=v.label, means=v.means.copy(),
+                   covariances=v.covariances.copy(), log_a=v.log_a.copy())
+        for k, v in models.items()
+    }
+
+
+def _corpus(models, transcripts, n_per, seed=1, spread=0.5):
+    r = np.random.default_rng(seed)
+    labeled = {}
+    for tr in transcripts:
+        sentence = "S" + "S".join(tr) + "S"
+        feats = []
+        for _ in range(n_per):
+            frames = []
+            for w in sentence:
+                m = models[w]
+                for si in range(m.num_states):
+                    n = r.integers(2, 5)
+                    frames.append(
+                        m.means[si] + r.normal(0, spread, size=(n, D)).astype(np.float32)
+                    )
+            feats.append(np.concatenate(frames).astype(np.float32))
+        labeled[tr] = feats
+    return labeled
+
+
+def _train(models, labeled, fused, **kw):
+    cfg = ContinuousTrainConfig(
+        max_iterations=kw.pop("max_iterations", 4),
+        silence_bootstrap=kw.pop("silence_bootstrap", False),
+        cov_reg=0.05, fused=fused, length_multiple=16, **kw,
+    )
+    tr = ContinuousTrainer(_copy(models), cfg)
+    n_it = tr.train(labeled)
+    return n_it, tr
+
+
+def _assert_params_match(a, b, tol=2e-5):
+    for name in ("means_g", "covs_g", "log_a_g"):
+        x, y = getattr(a, name), getattr(b, name)
+        assert (np.isfinite(x) == np.isfinite(y)).all(), name
+        fin = np.isfinite(x)
+        np.testing.assert_allclose(x[fin], y[fin], atol=tol, rtol=1e-4,
+                                   err_msg=name)
+
+
+def test_fused_matches_legacy_params_and_iterations(rng):
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321", "13"], 5)
+    n_legacy, tr_legacy = _train(models, labeled, fused=False)
+    n_fused, tr_fused = _train(models, labeled, fused=True)
+    assert n_legacy == n_fused
+    _assert_params_match(tr_legacy, tr_fused)
+
+
+def test_fused_matches_legacy_with_bootstrap(rng):
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321"], 6, seed=3)
+    n_legacy, tr_legacy = _train(models, labeled, fused=False,
+                                 silence_bootstrap=True)
+    n_fused, tr_fused = _train(models, labeled, fused=True,
+                               silence_bootstrap=True)
+    assert n_legacy == n_fused
+    _assert_params_match(tr_legacy, tr_fused)
+
+
+def test_fused_matches_legacy_band_topology(rng):
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321"], 4, seed=5)
+    n_legacy, tr_legacy = _train(models, labeled, fused=False,
+                                 cross_word="band")
+    n_fused, tr_fused = _train(models, labeled, fused=True, cross_word="band")
+    assert n_legacy == n_fused
+    _assert_params_match(tr_legacy, tr_fused)
+
+
+def test_fused_ragged_sentences_and_odd_utterance_counts(rng):
+    """Mixed sentence lengths + utterance counts that don't divide the chunk."""
+    models = _models(rng)
+    labeled = _corpus(models, ["1", "32", "123", "2131"], 3, seed=7)
+    # drop one utterance to make the total odd
+    labeled["1"] = labeled["1"][:2]
+    n_legacy, tr_legacy = _train(models, labeled, fused=False)
+    n_fused, tr_fused = _train(models, labeled, fused=True)
+    assert n_legacy == n_fused
+    _assert_params_match(tr_legacy, tr_fused)
+
+
+def test_fused_empty_state_fail(rng):
+    """A label that never appears in any transcript must trigger the
+    reference's HMMTrainMeanFail under on_empty_state='fail'."""
+    models = _models(rng)
+    labeled = _corpus(models, ["12"], 3, seed=9)  # label "3" gets no frames
+    with pytest.raises(HMMTrainMeanFail):
+        _train(models, labeled, fused=True, on_empty_state="fail",
+               max_iterations=1)
+
+
+def test_fused_models_and_checkpoint_reflect_device_state(rng, tmp_path):
+    """models()/save_state() must expose the device-resident parameters."""
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "31"], 4, seed=11)
+    _, tr = _train(models, labeled, fused=True, max_iterations=2)
+    out = tr.models()
+    assert np.allclose(out["1"].means, tr.means_g[tr.label_index["1"], :5])
+    # save/resume round trip
+    tr.save_state(str(tmp_path / "ckpt"))
+    _, tr2 = _train(models, labeled, fused=True, max_iterations=0)
+    tr2.resume(str(tmp_path / "ckpt"))
+    _assert_params_match(tr, tr2, tol=0)
