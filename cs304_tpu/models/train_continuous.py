@@ -374,9 +374,7 @@ class ContinuousTrainer:
         `resume(checkpoint_dir)` — surviving interrupts mid-run instead of
         only at the reference's KeyboardInterrupt save point
         (scripts/project6_train.py:38-41 there)."""
-        use_fused = (
-            self.cfg.fused and self.cfg.update == "viterbi" and self.mesh is None
-        )
+        use_fused = self.cfg.fused and self.cfg.update == "viterbi"
         if use_fused:
             from .train_fused import prepare_fused_corpus
 
@@ -388,6 +386,9 @@ class ContinuousTrainer:
                 labeled_features, self.state_counts, self.label_index,
                 insert_silence if self.cfg.insert_silence else (lambda s: s),
                 min(self.cfg.length_multiple, 32),
+                num_shards=(
+                    self.mesh.devices.size if self.mesh is not None else 1
+                ),
             )
         else:
             batches = self._prepare_batches(labeled_features)
@@ -536,19 +537,27 @@ class ContinuousTrainer:
             self.log_a_g = np.asarray(log_a, np.float32)
 
     def _run_fused(self, fused):
-        from .train_fused import fused_viterbi_iteration
+        from .train_fused import (
+            fused_viterbi_iteration,
+            fused_viterbi_iteration_sharded,
+        )
 
         l, s = len(self.labels), self.s_max
         means, covs, log_a = self._device_state()
-        return fused_viterbi_iteration(
+        args = (
             means, covs, log_a, jnp.asarray(self._slot_used()),
             fused.lab_tab, fused.loc_tab, fused.pos_tab,
             fused.samew_tab, fused.cross_tab, fused.n_states_t,
             fused.batch, fused.lengths, fused.topo_id,
+        )
+        kwargs = dict(
             cov_reg=float(self.cfg.cov_reg), rtol=float(self.cfg.rtol),
             atol=float(self.cfg.atol),
             num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
         )
+        if self.mesh is not None:
+            return fused_viterbi_iteration_sharded(*args, self.mesh, **kwargs)
+        return fused_viterbi_iteration(*args, **kwargs)
 
     def _iteration_fused(self, fused) -> bool:
         new_means, new_covs, new_log_a, counts, converged_l, _paths = (

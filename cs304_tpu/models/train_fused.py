@@ -84,12 +84,17 @@ def prepare_fused_corpus(
     insert_silence_fn,
     length_multiple: int = 128,
     chunk_utts: int = 64,
+    num_shards: int = 1,
 ) -> FusedCorpus:
     """Pack every transcript's utterances into one padded corpus.
 
     All utterances share one global T (padded to length_multiple) and one
     global sentence-state budget S_sent (the longest sentence); shorter
-    sentences are padded with unreachable states (-inf columns)."""
+    sentences are padded with unreachable states (-inf columns).
+
+    num_shards > 1 pads the chunk count to a multiple of the mesh size so the
+    leading (n_chunks) axis can be sharded over the data axis; padding
+    utterances have length 0 and contribute nothing to the statistics."""
     from .train_continuous import _topology
 
     sentences, topo_of_sentence = [], {}
@@ -112,7 +117,7 @@ def prepare_fused_corpus(
     t_max = -(-max(lengths_all) // length_multiple) * length_multiple
     b = len(feats_all)
     c = min(chunk_utts, -(-b // 8) * 8)
-    b_pad = -(-b // c) * c
+    b_pad = -(-b // (c * num_shards)) * (c * num_shards)
     batch = np.zeros((b_pad, t_max, d), np.float32)
     for i, x in enumerate(feats_all):
         batch[i, : x.shape[0]] = x
@@ -241,26 +246,25 @@ def _banded_trellis_batch(log_b, c0, c1, c2, lengths, n_states):
     return scores, paths
 
 
-@partial(jax.jit, static_argnames=(
-    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
-def fused_viterbi_iteration(
+def _identity(x):
+    return x
+
+
+def _iteration_body(
     means_g, covs_g, log_a_g, slot_used,
     lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
     batch, lengths, topo_id,
-    cov_reg: float, rtol: float, atol: float,
-    num_labels: int, s_max: int, cross_word: str = "exit_only",
+    *, cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str,
+    reduce_fn=_identity,
 ):
-    """One embedded-training iteration as one XLA program.
+    """Shared body of the fused iteration (single-device and mesh-sharded).
 
-    Returns (new_means, new_covs, new_log_a, counts, converged_l, paths):
-    the COMMITTED M-step result — empty-slot/no-outgoing keep-old applied AND
-    the per-label converged mask applied (converged models keep their
-    parameters, matching ContinuousTrainer._iteration / reference
-    hidden_markov_model.py:333-335) — per-slot frame counts, per-label
-    convergence flags (reference allclose on means), and the Viterbi paths
-    (n_chunks, C, T). The returned parameter arrays can therefore be fed
-    straight back in as the next iteration's state without any host logic;
-    the host only reads counts (empty-slot policy) and converged_l (stop).
+    reduce_fn is applied to every sufficient statistic before the M-step:
+    identity on a single device, psum over the data axis under shard_map —
+    the only difference between the two deployments, so the M-step (and
+    therefore the trained parameters) are bitwise-identical by construction
+    modulo the reduction order.
     """
     l, s, d = means_g.shape
     f = num_labels * s_max
@@ -334,6 +338,9 @@ def fused_viterbi_iteration(
     (counts_f, sums, trans_f), _ = jax.lax.scan(
         pass_a, init, (batch, lengths, topo_id, paths)
     )
+    counts_f = reduce_fn(counts_f)
+    sums = reduce_fn(sums)
+    trans_f = reduce_fn(trans_f)
     counts = counts_f.reshape(l, s)
     trans = trans_f.reshape(l, s, s)
 
@@ -373,7 +380,7 @@ def fused_viterbi_iteration(
         pass_b, jnp.zeros((f, d * d), jnp.float32),
         (batch, lengths, paths, topo_id),
     )
-    m2 = m2_flat.reshape(l, s, d, d)
+    m2 = reduce_fn(m2_flat).reshape(l, s, d, d)
     denom = jnp.maximum(counts - 1.0, 1.0)[..., None, None]  # np.cov ddof=1
     eye = jnp.eye(d, dtype=jnp.float32)
     new_covs = m2 / denom + cov_reg * eye
@@ -396,3 +403,83 @@ def fused_viterbi_iteration(
     new_log_a = jnp.where(keep, log_a_g, new_log_a)
 
     return new_means, new_covs, new_log_a, counts, converged_l, paths
+
+
+@partial(jax.jit, static_argnames=(
+    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+def fused_viterbi_iteration(
+    means_g, covs_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str = "exit_only",
+):
+    """One embedded-training iteration as one XLA program.
+
+    Returns (new_means, new_covs, new_log_a, counts, converged_l, paths):
+    the COMMITTED M-step result — empty-slot/no-outgoing keep-old applied AND
+    the per-label converged mask applied (converged models keep their
+    parameters, matching ContinuousTrainer._iteration / reference
+    hidden_markov_model.py:333-335) — per-slot frame counts, per-label
+    convergence flags (reference allclose on means), and the Viterbi paths
+    (n_chunks, C, T). The returned parameter arrays can therefore be fed
+    straight back in as the next iteration's state without any host logic;
+    the host only reads counts (empty-slot policy) and converged_l (stop).
+    """
+    return _iteration_body(
+        means_g, covs_g, log_a_g, slot_used,
+        lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+        batch, lengths, topo_id,
+        cov_reg=cov_reg, rtol=rtol, atol=atol,
+        num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+def fused_viterbi_iteration_sharded(
+    means_g, covs_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id, mesh,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str = "exit_only",
+):
+    """The fused iteration over a data-parallel mesh — still ONE program.
+
+    The corpus (batch/lengths/topo_id, leading n_chunks axis) is sharded over
+    the mesh's data axis; parameters and topology tables are replicated (the
+    flagship model is ~350 KB — replication IS the right sharding, SURVEY.md
+    §2.4). Each device aligns its shard and the four sufficient statistics
+    cross the ICI once via psum; the tiny M-step runs replicated, so every
+    device finishes the iteration holding identical new parameters. This is
+    the multi-chip form of the reference's per-utterance ProcessPoolExecutor
+    E-step (hidden_markov_model.py:746-750) with the whole pickle-over-fork
+    machinery replaced by one collective.
+
+    Requires batch.shape[0] (chunk count) divisible by the mesh size — use
+    prepare_fused_corpus(num_shards=mesh.devices.size). Returned parameters/
+    counts/flags are replicated; paths keep the corpus sharding.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.data_parallel import DATA_AXIS
+
+    body = partial(
+        _iteration_body,
+        cov_reg=cov_reg, rtol=rtol, atol=atol,
+        num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+        reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
+    )
+    rep, sh = P(), P(DATA_AXIS)
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep,) * 10 + (sh, sh, sh),
+        out_specs=(rep, rep, rep, rep, rep, sh),
+        check_vma=False,
+    )(
+        means_g, covs_g, log_a_g, slot_used,
+        lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+        batch, lengths, topo_id,
+    )

@@ -122,6 +122,46 @@ def test_fused_ragged_sentences_and_odd_utterance_counts(rng):
     _assert_params_match(tr_legacy, tr_fused)
 
 
+def test_fused_sharded_matches_single_device(rng):
+    """The mesh-sharded fused iteration (psum'd statistics over an 8-device
+    virtual mesh) must train to the same parameters in the same number of
+    iterations as the single-device fused program."""
+    from cs304_tpu.parallel.data_parallel import make_mesh
+
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321", "13"], 5, seed=13)
+    n_single, tr_single = _train(models, labeled, fused=True)
+
+    cfg = ContinuousTrainConfig(
+        max_iterations=4, silence_bootstrap=False, cov_reg=0.05,
+        fused=True, length_multiple=16,
+    )
+    tr_mesh = ContinuousTrainer(_copy(models), cfg, mesh=make_mesh())
+    n_mesh = tr_mesh.train(labeled)
+    assert n_single == n_mesh
+    tr_mesh.models()  # force device->host sync
+    _assert_params_match(tr_single, tr_mesh)
+
+
+def test_fused_sharded_bootstrap(rng):
+    """Silence bootstrap reads back sharded paths; must match single-device."""
+    from cs304_tpu.parallel.data_parallel import make_mesh
+
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321"], 6, seed=3)
+    n_single, tr_single = _train(models, labeled, fused=True,
+                                 silence_bootstrap=True)
+    cfg = ContinuousTrainConfig(
+        max_iterations=4, silence_bootstrap=True, cov_reg=0.05,
+        fused=True, length_multiple=16,
+    )
+    tr_mesh = ContinuousTrainer(_copy(models), cfg, mesh=make_mesh())
+    n_mesh = tr_mesh.train(labeled)
+    assert n_single == n_mesh
+    tr_mesh.models()
+    _assert_params_match(tr_single, tr_mesh)
+
+
 def test_fused_empty_state_fail(rng):
     """A label that never appears in any transcript must trigger the
     reference's HMMTrainMeanFail under on_empty_state='fail'."""
