@@ -80,12 +80,13 @@ def sample_corpus(models, seed: int = 1):
     return labeled
 
 
-def time_tpu_iteration(models, labeled, fused: bool):
+def time_tpu_iteration(models, labeled, fused: bool, update: str = "viterbi"):
     """Time one full embedded-training iteration (align + stats + M-step).
 
     fused=True: the single-program path (models/train_fused.py, one device
     sync per iteration). fused=False: the legacy per-transcript path (2+
-    dispatches per transcript per iteration)."""
+    dispatches per transcript per iteration). update="baum_welch" times the
+    soft-count (forward-backward) variant of the same iteration."""
     from cs304_tpu.models.train_continuous import (
         ContinuousTrainConfig,
         ContinuousTrainer,
@@ -93,7 +94,7 @@ def time_tpu_iteration(models, labeled, fused: bool):
 
     cfg = ContinuousTrainConfig(
         max_iterations=3, silence_bootstrap=False, cov_reg=0.1,
-        on_empty_state="keep", fused=fused,
+        on_empty_state="keep", fused=fused, update=update,
     )
     trainer = ContinuousTrainer(models, cfg)
     n_utts = sum(len(v) for v in labeled.values())
@@ -194,6 +195,9 @@ def main():
     labeled = sample_corpus(models)
     fused_rate, n_utts, n_frames, dt = time_tpu_iteration(models, labeled, True)
     legacy_rate, _, _, legacy_dt = time_tpu_iteration(models, labeled, False)
+    bw_rate, _, _, bw_dt = time_tpu_iteration(
+        models, labeled, True, update="baum_welch"
+    )
     base_rate = baseline_iteration_rate(models, labeled)
     print(json.dumps({
         "metric": (
@@ -207,6 +211,7 @@ def main():
         "tpu_iteration_sec": round(dt, 4),
         "legacy_path_utt_per_s": round(legacy_rate, 1),
         "legacy_iteration_sec": round(legacy_dt, 4),
+        "fused_baum_welch_iteration_sec": round(bw_dt, 4),
         "baseline_utt_per_s": round(base_rate, 2),
     }))
 

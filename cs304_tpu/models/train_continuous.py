@@ -102,8 +102,10 @@ class ContinuousTrainConfig:
     # fused into a single device dispatch with one host sync — vs 2+ dispatches
     # per transcript per iteration on the legacy path. Semantics are identical
     # (parity-tested); statistics accumulate in f32 HIGHEST-precision einsums
-    # on-device instead of float64 on the host. Applies to update="viterbi"
-    # without a mesh; other modes fall back to the legacy per-transcript path.
+    # on-device instead of float64 on the host. Covers update="viterbi" AND
+    # "baum_welch", single-device and mesh-sharded (the statistics psum over
+    # the data axis); fused=False falls back to the legacy per-transcript
+    # dispatch path.
     fused: bool = True
     # Cross-word transition topology of the training sentence HMM.
     # "exit_only" (default): words connect ONLY exit -> next entry, matching
@@ -374,7 +376,9 @@ class ContinuousTrainer:
         `resume(checkpoint_dir)` — surviving interrupts mid-run instead of
         only at the reference's KeyboardInterrupt save point
         (scripts/project6_train.py:38-41 there)."""
-        use_fused = self.cfg.fused and self.cfg.update == "viterbi"
+        use_fused = self.cfg.fused and self.cfg.update in (
+            "viterbi", "baum_welch"
+        )
         if use_fused:
             from .train_fused import prepare_fused_corpus
 
@@ -559,12 +563,39 @@ class ContinuousTrainer:
             return fused_viterbi_iteration_sharded(*args, self.mesh, **kwargs)
         return fused_viterbi_iteration(*args, **kwargs)
 
-    def _iteration_fused(self, fused) -> bool:
-        new_means, new_covs, new_log_a, counts, converged_l, _paths = (
-            self._run_fused(fused)
+    def _run_fused_bw(self, fused):
+        from .train_fused import fused_bw_iteration, fused_bw_iteration_sharded
+
+        l, s = len(self.labels), self.s_max
+        means, covs, log_a = self._device_state()
+        args = (
+            means, covs, log_a, jnp.asarray(self._slot_used()),
+            fused.lab_tab, fused.loc_tab, fused.pos_tab,
+            fused.samew_tab, fused.cross_tab, fused.n_states_t,
+            fused.batch, fused.lengths, fused.topo_id,
         )
+        kwargs = dict(
+            cov_reg=float(self.cfg.cov_reg), rtol=float(self.cfg.rtol),
+            atol=float(self.cfg.atol),
+            num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
+        )
+        if self.mesh is not None:
+            return fused_bw_iteration_sharded(*args, self.mesh, **kwargs)
+        return fused_bw_iteration(*args, **kwargs)
+
+    def _iteration_fused(self, fused) -> bool:
+        if self.cfg.update == "baum_welch":
+            new_means, new_covs, new_log_a, counts, converged_l, ll = (
+                self._run_fused_bw(fused)
+            )
+            count_floor = 1e-4
+        else:
+            new_means, new_covs, new_log_a, counts, converged_l, _paths = (
+                self._run_fused(fused)
+            )
+            count_floor = 1.0
         counts, converged_l = jax.device_get((counts, converged_l))
-        empty = self._slot_used() & (counts < 1)
+        empty = self._slot_used() & (counts < count_floor)
         if np.any(empty):
             bad = np.argwhere(empty).tolist()
             if self.cfg.on_empty_state == "fail":

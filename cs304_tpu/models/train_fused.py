@@ -250,6 +250,96 @@ def _identity(x):
     return x
 
 
+def _gather_sentence_emissions(means_g, covs_g, lab_tab, loc_tab,
+                               batch, topo_id, s_max: int):
+    """All-slot Gaussian scoring, gathered per sentence state.
+
+    Chunked (lax.scan over the leading chunk axis) because the whitened
+    (frames, slots, D) intermediate is the biggest tensor of the program; the
+    gathered (n_chunks, C, T, S_sent) result is small enough to keep whole."""
+    l, s, d = means_g.shape
+    f = l * s
+    n_chunks, c, t, _ = batch.shape
+    params = make_gaussian_params(means_g.reshape(f, d), covs_g.reshape(f, d, d))
+
+    def emit_chunk(_, inp):
+        bc, tidc = inp
+        lb_all = gaussian_log_pdf(params, bc.reshape(c * t, d)).reshape(c, t, f)
+        flat_slot = lab_tab[tidc] * s_max + loc_tab[tidc]  # (C, S_sent)
+        return None, jax.vmap(lambda lb, fs: lb[:, fs])(lb_all, flat_slot)
+
+    _, lb_sent = jax.lax.scan(emit_chunk, None, (batch, topo_id))
+    return lb_sent
+
+
+def _lse3(a, b, c):
+    """Elementwise logsumexp of three stacked operands, -inf-safe."""
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    )
+    return jnp.where(jnp.isfinite(m), out, NEG)
+
+
+def _banded_fb_batch(log_b, c0, c1, c2, lengths, n_states):
+    """Whole-batch banded forward-backward over the sentence band.
+
+    log_b (B, T, S_sent), banded coefficients (B, S_sent) indexed by
+    DESTINATION state (c0 self, c1 from prev, c2 skip), lengths (B,),
+    n_states (B,). Matches ops.forward_backward.{forward,backward} run over
+    the banded sentence transition matrix with log_init pinned to state 0 and
+    log_final pinned to the sentence's last real state.
+
+    Returns (log_alpha (B, T, S), log_beta (B, T, S), ll (B,))."""
+    b, t_total, ss = log_b.shape
+    neg_col = jnp.full((b, 1), NEG, log_b.dtype)
+    alpha0 = jnp.full((b, ss), NEG, log_b.dtype).at[:, 0].set(log_b[:, 0, 0])
+
+    def fstep(alpha, inputs):
+        t, lb_t = inputs
+        a1 = jnp.concatenate([neg_col, alpha[:, :-1]], axis=1)
+        a2 = jnp.concatenate([neg_col, neg_col, alpha[:, :-2]], axis=1)
+        new_alpha = _lse3(alpha + c0, a1 + c1, a2 + c2) + lb_t
+        alpha = jnp.where(t < lengths[:, None], new_alpha, alpha)
+        return alpha, alpha
+
+    ts = jnp.arange(1, t_total, dtype=jnp.int32)
+    alpha_last, alphas = jax.lax.scan(
+        fstep, alpha0, (ts, jnp.moveaxis(log_b[:, 1:], 1, 0))
+    )
+    log_alpha = jnp.concatenate([alpha0[None], alphas], axis=0)  # (T, B, S)
+    final = jnp.maximum(n_states - 1, 0).astype(jnp.int32)
+    ll = jnp.take_along_axis(alpha_last, final[:, None], axis=1)[:, 0]
+
+    beta_end = jnp.where(
+        jnp.arange(ss)[None, :] == final[:, None], 0.0, NEG
+    ).astype(log_b.dtype)
+
+    def bstep(beta, inputs):
+        t, lb_next = inputs
+        z = lb_next + beta
+        k0 = z + c0
+        k1 = jnp.concatenate([(z + c1)[:, 1:], neg_col], axis=1)
+        k2 = jnp.concatenate([(z + c2)[:, 2:], neg_col, neg_col], axis=1)
+        new_beta = _lse3(k0, k1, k2)
+        # Frames at/after length-1 restart from the final-state pin (matches
+        # ops.forward_backward.backward's padded-frame handling).
+        beta = jnp.where(t + 1 < lengths[:, None], new_beta, beta_end)
+        return beta, beta
+
+    ts_b = jnp.arange(t_total - 2, -1, -1, dtype=jnp.int32)
+    _, betas = jax.lax.scan(
+        bstep, beta_end, (ts_b, jnp.moveaxis(log_b[:, :0:-1], 1, 0))
+    )
+    log_beta = jnp.concatenate([betas[::-1], beta_end[None]], axis=0)
+    return (
+        jnp.moveaxis(log_alpha, 0, 1),
+        jnp.moveaxis(log_beta, 0, 1),
+        ll,
+    )
+
+
 def _iteration_body(
     means_g, covs_g, log_a_g, slot_used,
     lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
@@ -270,19 +360,10 @@ def _iteration_body(
     f = num_labels * s_max
     n_chunks, c, t, _ = batch.shape
     b = n_chunks * c
-    params = make_gaussian_params(means_g.reshape(f, d), covs_g.reshape(f, d, d))
 
-    # ---- emissions: chunked all-slot scoring, gathered per sentence state.
-    # Chunked because the whitened (frames, slots, D) intermediate is the
-    # biggest tensor of the program; the gathered (B, T, S_sent) result is
-    # small enough to keep whole.
-    def emit_chunk(_, inp):
-        bc, tidc = inp
-        lb_all = gaussian_log_pdf(params, bc.reshape(c * t, d)).reshape(c, t, f)
-        flat_slot = lab_tab[tidc] * s_max + loc_tab[tidc]  # (C, S_sent)
-        return None, jax.vmap(lambda lb, fs: lb[:, fs])(lb_all, flat_slot)
-
-    _, lb_sent = jax.lax.scan(emit_chunk, None, (batch, topo_id))
+    lb_sent = _gather_sentence_emissions(
+        means_g, covs_g, lab_tab, loc_tab, batch, topo_id, s_max
+    )
     s_sent = lb_sent.shape[-1]
 
     # ---- trellis: ONE whole-batch scan (a chunked trellis would multiply
@@ -403,6 +484,252 @@ def _iteration_body(
     new_log_a = jnp.where(keep, log_a_g, new_log_a)
 
     return new_means, new_covs, new_log_a, counts, converged_l, paths
+
+
+_BW_FLOOR = 1e-4  # soft-count floor (train_continuous._iteration's BW branch)
+
+
+def _bw_body(
+    means_g, covs_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id,
+    *, cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str,
+    reduce_fn=_identity,
+):
+    """Baum-Welch analogue of _iteration_body: one XLA program per iteration.
+
+    Soft forward-backward posteriors over the banded sentence topology replace
+    the hard Viterbi one-hots (same quantities as train_continuous's
+    _stats_pass_bw + _centered_m2_pass_weighted + the BW branch of
+    _iteration). Cross-word xi mass is excluded from the transition counts
+    (within-word pairs only), termination is pinned to the sentence's last
+    state — both matching the legacy path.
+
+    The covariance uses the König decomposition around the global weighted
+    mean c: sum_t w_tf (x - mu_f)(x - mu_f)^T = sum_t w_tf (x - c)(x - c)^T
+    - counts_f d_f d_f^T with d_f = mu_f - c. Both accumulated terms are
+    centered (residuals of the corpus spread, not raw magnitudes), so one
+    HIGHEST-precision f32 einsum per chunk suffices — same conditioning
+    rationale as parallel.data_parallel._local_kmeans_stats.
+
+    Returns (new_means, new_covs, new_log_a, counts, converged_l, ll_sum).
+    """
+    l, s, d = means_g.shape
+    f = num_labels * s_max
+    n_chunks, c, t, _ = batch.shape
+    b = n_chunks * c
+    hi = jax.lax.Precision.HIGHEST
+
+    lb_sent = _gather_sentence_emissions(
+        means_g, covs_g, lab_tab, loc_tab, batch, topo_id, s_max
+    )
+    s_sent = lb_sent.shape[-1]
+
+    topo_flat = topo_id.reshape(b)
+    c0, c1, c2 = _sentence_trans_diagonals(
+        log_a_g, lab_tab[topo_flat], loc_tab[topo_flat],
+        samew_tab[topo_flat], cross_tab[topo_flat], cross_word,
+    )
+    log_alpha, log_beta, ll = _banded_fb_batch(
+        lb_sent.reshape(b, t, s_sent), c0, c1, c2,
+        lengths.reshape(b), n_states_t[topo_flat],
+    )
+    # Padding utterances (length 0) have ll = -inf; exclude them everywhere.
+    ll_valid = jnp.isfinite(ll)
+    ll_sum = reduce_fn(jnp.sum(jnp.where(ll_valid, ll, 0.0)))
+
+    shape_c = (n_chunks, c, t, s_sent)
+    la_c = log_alpha.reshape(shape_c)
+    be_c = log_beta.reshape(shape_c)
+    ll_c = jnp.where(ll_valid, ll, 0.0).reshape(n_chunks, c)
+    valid_c = ll_valid.reshape(n_chunks, c)
+    c0_c = c0.reshape(n_chunks, c, s_sent)
+    c1_c = c1.reshape(n_chunks, c, s_sent)
+    c2_c = c2.reshape(n_chunks, c, s_sent)
+
+    def gamma_of(la, be, llc, lc, vc):
+        """Posterior state occupancies for one chunk, padding-safe."""
+        mask = (jnp.arange(t)[None, :] < lc[:, None]) & vc[:, None]
+        g = jnp.exp(la + be - llc[:, None, None])
+        return jnp.where(mask[..., None], g, 0.0)
+
+    # ---- pass A: soft counts / frame sums / within-word transition mass ----
+    def pass_a(carry, inp):
+        counts, sums, trans = carry
+        (bc, lc, tidc, la, be, llc, vc, lb, c0k, c1k, c2k) = inp
+        gam = gamma_of(la, be, llc, lc, vc)  # (C, T, S_sent)
+        flat_slot = lab_tab[tidc] * s_max + loc_tab[tidc]
+        oh = jax.nn.one_hot(flat_slot, f, dtype=jnp.float32)  # (C, S_sent, F)
+        gam_f = jnp.einsum("cts,csf->ctf", gam, oh, precision=hi)
+        counts = counts + jnp.sum(gam_f, axis=(0, 1))
+        sums = sums + jnp.einsum("ctf,ctd->fd", gam_f, bc, precision=hi)
+
+        # xi over the three band diagonals, within-word pairs only.
+        lab_u = lab_tab[tidc]
+        loc_u = loc_tab[tidc]
+        samew_u = samew_tab[tidc]
+        pair_mask = (
+            (jnp.arange(t - 1)[None, :, None] + 1 < lc[:, None, None])
+            & vc[:, None, None]
+        )
+        zb = lb[:, 1:] + be[:, 1:]  # (C, T-1, S_sent)
+        for k, ck in ((0, c0k), (1, c1k), (2, c2k)):
+            if k == 0:
+                a_shift = la[:, :-1]
+                samew_k = jnp.ones((c, s_sent), bool)  # self-loop: same state
+                loc_from = loc_u
+            else:
+                # destination-indexed shifts: value at state v comes from v-k
+                a_shift = jnp.concatenate(
+                    [jnp.full((c, t - 1, k), NEG), la[:, :-1, :-k]], axis=2
+                )
+                samew_k = jnp.concatenate(
+                    [jnp.zeros((c, k), bool),
+                     jnp.diagonal(samew_u, offset=k, axis1=1, axis2=2)],
+                    axis=1,
+                )
+                loc_from = jnp.concatenate(
+                    [jnp.zeros((c, k), jnp.int32), loc_u[:, : s_sent - k]],
+                    axis=1,
+                )
+            log_xi = a_shift + ck[:, None, :] + zb - llc[:, None, None]
+            xi = jnp.where(
+                pair_mask & samew_k[:, None, :], jnp.exp(log_xi), 0.0
+            )
+            xi_sum = jnp.sum(xi, axis=1)  # (C, S_sent)
+            from_flat = lab_u * (s_max * s_max) + loc_from * s_max + loc_u
+            ohp = jax.nn.one_hot(from_flat, f * s_max, dtype=jnp.float32)
+            trans = trans + jnp.einsum("cv,cvq->q", xi_sum, ohp, precision=hi)
+        return (counts, sums, trans), None
+
+    init = (
+        jnp.zeros((f,), jnp.float32),
+        jnp.zeros((f, d), jnp.float32),
+        jnp.zeros((f * s_max,), jnp.float32),
+    )
+    (counts_f, sums, trans_f), _ = jax.lax.scan(
+        pass_a, init,
+        (batch, lengths, topo_id, la_c, be_c, ll_c, valid_c, lb_sent,
+         c0_c, c1_c, c2_c),
+    )
+    counts_f = reduce_fn(counts_f)
+    sums = reduce_fn(sums)
+    trans_f = reduce_fn(trans_f)
+    counts = counts_f.reshape(l, s)
+    trans = trans_f.reshape(l, s, s)
+
+    # ---- M-step: means + convergence (BW floors) ----
+    empty = slot_used & (counts < _BW_FLOOR)
+    new_means = (
+        sums / jnp.maximum(counts_f, _BW_FLOOR)[:, None]
+    ).reshape(l, s, d)
+    new_means = jnp.where(empty[..., None], means_g, new_means)
+    close = jnp.abs(new_means - means_g) <= atol + rtol * jnp.abs(means_g)
+    converged_l = jnp.all(close.all(-1) | ~slot_used, axis=-1)
+
+    # ---- pass B: covariance via König around the global weighted mean ----
+    new_means_flat = new_means.reshape(f, d)
+    total = jnp.maximum(jnp.sum(counts_f), _BW_FLOOR)
+    c_glob = jnp.sum(sums, axis=0) / total  # (D,)
+    d_f = new_means_flat - c_glob
+
+    def pass_b(sxx, inp):
+        bc, lc, tidc, la, be, llc, vc = inp
+        gam = gamma_of(la, be, llc, lc, vc)
+        flat_slot = lab_tab[tidc] * s_max + loc_tab[tidc]
+        oh = jax.nn.one_hot(flat_slot, f, dtype=jnp.float32)
+        gam_f = jnp.einsum("cts,csf->ctf", gam, oh, precision=hi)
+        xc = (bc - c_glob).reshape(c * t, d)
+        x2 = (xc[:, :, None] * xc[:, None, :]).reshape(c * t, d * d)
+        sxx = sxx + jax.lax.dot_general(
+            gam_f.reshape(c * t, f), x2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        return sxx, None
+
+    sxx_flat, _ = jax.lax.scan(
+        pass_b, jnp.zeros((f, d * d), jnp.float32),
+        (batch, lengths, topo_id, la_c, be_c, ll_c, valid_c),
+    )
+    sxx = reduce_fn(sxx_flat).reshape(f, d, d)
+    m2 = (
+        sxx - counts_f[:, None, None] * (d_f[:, :, None] * d_f[:, None, :])
+    ).reshape(l, s, d, d)
+    denom = jnp.maximum(counts, _BW_FLOOR)[..., None, None]
+    eye = jnp.eye(d, dtype=jnp.float32)
+    new_covs = m2 / denom + cov_reg * eye
+    new_covs = jnp.where(empty[..., None, None], covs_g, new_covs)
+    new_covs = jnp.where(slot_used[..., None, None], new_covs, eye)
+
+    # ---- transitions ----
+    row_sums = trans.sum(axis=2, keepdims=True)
+    probs = trans / jnp.maximum(row_sums, _BW_FLOOR)
+    new_log_a = jnp.where(probs > 0, jnp.log(probs), NEG)
+    no_out = (row_sums[..., 0] < _BW_FLOOR) & slot_used
+    new_log_a = jnp.where(no_out[..., None], log_a_g, new_log_a)
+
+    keep = converged_l[:, None, None]
+    new_means = jnp.where(keep, means_g, new_means)
+    new_covs = jnp.where(keep[..., None], covs_g, new_covs)
+    new_log_a = jnp.where(keep, log_a_g, new_log_a)
+
+    return new_means, new_covs, new_log_a, counts, converged_l, ll_sum
+
+
+@partial(jax.jit, static_argnames=(
+    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+def fused_bw_iteration(
+    means_g, covs_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str = "exit_only",
+):
+    """One embedded Baum-Welch iteration as one XLA program (see _bw_body)."""
+    return _bw_body(
+        means_g, covs_g, log_a_g, slot_used,
+        lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+        batch, lengths, topo_id,
+        cov_reg=cov_reg, rtol=rtol, atol=atol,
+        num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+def fused_bw_iteration_sharded(
+    means_g, covs_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id, mesh,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str = "exit_only",
+):
+    """Mesh-sharded fused Baum-Welch (psum'd soft statistics; see
+    fused_viterbi_iteration_sharded for the sharding layout)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.data_parallel import DATA_AXIS
+
+    body = partial(
+        _bw_body,
+        cov_reg=cov_reg, rtol=rtol, atol=atol,
+        num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+        reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
+    )
+    rep, sh = P(), P(DATA_AXIS)
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep,) * 10 + (sh, sh, sh),
+        out_specs=(rep,) * 6,
+        check_vma=False,
+    )(
+        means_g, covs_g, log_a_g, slot_used,
+        lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+        batch, lengths, topo_id,
+    )
 
 
 @partial(jax.jit, static_argnames=(

@@ -162,6 +162,38 @@ def test_fused_sharded_bootstrap(rng):
     _assert_params_match(tr_single, tr_mesh)
 
 
+def test_fused_baum_welch_matches_legacy(rng):
+    """Fused Baum-Welch (banded whole-batch forward-backward, soft counts)
+    must match the legacy per-transcript BW path (_stats_pass_bw +
+    _centered_m2_pass_weighted)."""
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321", "13"], 5, seed=17)
+    n_legacy, tr_legacy = _train(models, labeled, fused=False,
+                                 update="baum_welch")
+    n_fused, tr_fused = _train(models, labeled, fused=True,
+                               update="baum_welch")
+    assert n_legacy == n_fused
+    _assert_params_match(tr_legacy, tr_fused, tol=5e-5)
+
+
+def test_fused_baum_welch_sharded_matches_single(rng):
+    from cs304_tpu.parallel.data_parallel import make_mesh
+
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321"], 5, seed=19)
+    n_single, tr_single = _train(models, labeled, fused=True,
+                                 update="baum_welch")
+    cfg = ContinuousTrainConfig(
+        max_iterations=4, silence_bootstrap=False, cov_reg=0.05,
+        fused=True, length_multiple=16, update="baum_welch",
+    )
+    tr_mesh = ContinuousTrainer(_copy(models), cfg, mesh=make_mesh())
+    n_mesh = tr_mesh.train(labeled)
+    assert n_single == n_mesh
+    tr_mesh.models()
+    _assert_params_match(tr_single, tr_mesh)
+
+
 def test_fused_empty_state_fail(rng):
     """A label that never appears in any transcript must trigger the
     reference's HMMTrainMeanFail under on_empty_state='fail'."""
