@@ -65,6 +65,9 @@ _EXPORTS = {
     "GMMWordHMM": ".models.gmm_hmm",
     "train_gmm_hmm": ".models.gmm_hmm",
     "train_gmm_hmm_baum_welch": ".models.gmm_hmm",
+    "GMMContinuousTrainer": ".models.train_continuous_gmm",
+    "GMMContinuousTrainConfig": ".models.train_continuous_gmm",
+    "promote_to_gmm": ".models.train_continuous_gmm",
     "save_models": ".utils.checkpoint",
     "load_models": ".utils.checkpoint",
     "save_model": ".utils.checkpoint",

@@ -18,6 +18,10 @@ def main() -> None:
                         help="save resumable trainer state here each iteration")
     parser.add_argument("--resume", action="store_true",
                         help="resume from --state-dir")
+    parser.add_argument("--gmm-mixtures", type=int, default=0,
+                        help="after embedded K=1 training, split each state "
+                             "into K mixtures and refine with the embedded "
+                             "GMM trainer (beyond-reference capability)")
     args = parser.parse_args()
     if args.resume and not args.state_dir:
         raise SystemExit("--resume requires --state-dir")
@@ -54,7 +58,27 @@ def main() -> None:
     except KeyboardInterrupt:
         print("interrupted — saving current models")
     finally:
-        save_models(trainer.models(), out_dir)
+        final_models = trainer.models()
+        if args.gmm_mixtures > 1:
+            from cs304_tpu.models.train_continuous_gmm import (
+                GMMContinuousTrainConfig,
+                GMMContinuousTrainer,
+                promote_to_gmm,
+            )
+
+            gmm_trainer = GMMContinuousTrainer(
+                promote_to_gmm(final_models, args.gmm_mixtures),
+                GMMContinuousTrainConfig(
+                    max_iterations=cfg.continuous.max_iterations,
+                    cov_reg=cfg.continuous.cov_reg,
+                    insert_silence=cfg.continuous.insert_silence,
+                ),
+            )
+            gmm_iters = gmm_trainer.train(labeled)
+            print(f"GMM refinement (K={args.gmm_mixtures}) finished after "
+                  f"{gmm_iters} iterations")
+            final_models = gmm_trainer.models()
+        save_models(final_models, out_dir)
         print(f"saved to {out_dir}")
 
 
