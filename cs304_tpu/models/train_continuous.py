@@ -405,6 +405,14 @@ class ContinuousTrainer:
                 self._bootstrap_silence_fused(batches)
             else:
                 self._bootstrap_silence(batches)
+        # Whole-run device loop: when no per-iteration host work is needed
+        # (no checkpointing, empty-slot policy "keep"), the ENTIRE remaining
+        # run executes as one dispatch (lax.while_loop with the convergence
+        # test on-device) — zero host syncs between iterations.
+        if use_fused and checkpoint_dir is None and (
+            self.cfg.on_empty_state == "keep"
+        ):
+            return self._train_device_loop(batches)
         it = self._iterations_done
         for it in range(self._iterations_done + 1, self.cfg.max_iterations + 1):
             all_converged = (
@@ -419,6 +427,49 @@ class ContinuousTrainer:
                 break
         self._sync_from_device()
         return it
+
+    def _train_device_loop(self, fused) -> int:
+        from .train_fused import fused_train_run, fused_train_run_sharded
+
+        remaining = self.cfg.max_iterations - self._iterations_done
+        if remaining <= 0:
+            return self._iterations_done
+        l, s = len(self.labels), self.s_max
+        means, covs, log_a = self._device_state()
+        args = (
+            means, covs, log_a, jnp.asarray(self._slot_used()),
+            fused.lab_tab, fused.loc_tab, fused.pos_tab,
+            fused.samew_tab, fused.cross_tab, fused.n_states_t,
+            fused.batch, fused.lengths, fused.topo_id,
+        )
+        kwargs = dict(
+            cov_reg=float(self.cfg.cov_reg), rtol=float(self.cfg.rtol),
+            atol=float(self.cfg.atol),
+            num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
+            max_iterations=int(remaining), update=self.cfg.update,
+        )
+        if self.mesh is not None:
+            out = fused_train_run_sharded(*args, self.mesh, **kwargs)
+        else:
+            out = fused_train_run(*args, **kwargs)
+        means, covs, log_a, counts, n_it, converged = out
+        self._dev_state = (means, covs, log_a)
+        counts, n_it, converged = jax.device_get((counts, n_it, converged))
+        floor = 1e-4 if self.cfg.update == "baum_welch" else 1.0
+        empty = self._slot_used() & (counts < floor)
+        if np.any(empty):
+            logger.warning(
+                "final iteration left empty (label, state) slots (kept "
+                "previous params): %s", np.argwhere(empty).tolist(),
+            )
+        self._iterations_done += int(n_it)
+        if converged:
+            logger.info(
+                "continuous training converged after %d iterations",
+                self._iterations_done,
+            )
+        self._sync_from_device()
+        return self._iterations_done
 
     # -- resumable state ---------------------------------------------------
     def save_state(self, folder: str) -> None:

@@ -762,6 +762,133 @@ def fused_viterbi_iteration(
     )
 
 
+def _train_loop_body(iteration_body, max_iterations: int):
+    """Wrap a single-iteration body into a whole-run lax.while_loop.
+
+    The loop carry is (means, covs, log_a, counts, it, converged): the
+    ENTIRE multi-iteration training run — every alignment, every M-step,
+    every convergence test — executes as one device dispatch with zero host
+    round trips. Iteration counting matches the host-driven loop exactly:
+    the body runs until the iteration that detects convergence (whose
+    parameter updates are already suppressed in-jit by the converged-label
+    keep mask), or until max_iterations.
+    """
+
+    def cond(carry):
+        _means, _covs, _log_a, _counts, it, converged = carry
+        return jnp.logical_and(it < max_iterations, ~converged)
+
+    def body(carry):
+        means, covs, log_a, _counts, it, _conv = carry
+        new_means, new_covs, new_log_a, counts, converged_l, _ = (
+            iteration_body(means, covs, log_a)
+        )
+        return (
+            new_means, new_covs, new_log_a, counts, it + 1,
+            jnp.all(converged_l),
+        )
+
+    def run(means, covs, log_a, counts0):
+        init = (means, covs, log_a, counts0, jnp.int32(0), jnp.bool_(False))
+        means, covs, log_a, counts, it, converged = jax.lax.while_loop(
+            cond, body, init
+        )
+        return means, covs, log_a, counts, it, converged
+
+    return run
+
+
+@partial(jax.jit, static_argnames=(
+    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol",
+    "max_iterations", "update"))
+def fused_train_run(
+    means_g, covs_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str,
+    max_iterations: int, update: str = "viterbi",
+):
+    """The ENTIRE embedded training run as ONE XLA program.
+
+    lax.while_loop over fused iterations (Viterbi or Baum-Welch bodies) with
+    the convergence test on-device: the host dispatches once and reads back
+    only the final parameters, final counts, and the iteration count. Use
+    when no per-iteration host work is needed (no checkpointing, empty-slot
+    policy "keep"); the per-iteration entry points remain for resumable runs.
+
+    Returns (means, covs, log_a, counts, iterations, converged).
+    """
+    body_fn = _iteration_body if update == "viterbi" else _bw_body
+
+    def one_iter(means, covs, log_a):
+        return body_fn(
+            means, covs, log_a, slot_used,
+            lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+            batch, lengths, topo_id,
+            cov_reg=cov_reg, rtol=rtol, atol=atol,
+            num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+        )
+
+    run = _train_loop_body(one_iter, max_iterations)
+    counts0 = jnp.zeros((num_labels, s_max), jnp.float32)
+    return run(means_g, covs_g, log_a_g, counts0)
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol",
+    "max_iterations", "update"))
+def fused_train_run_sharded(
+    means_g, covs_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id, mesh,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, cross_word: str,
+    max_iterations: int, update: str = "viterbi",
+):
+    """Whole-run device loop over a data-parallel mesh: the psums ride the
+    ICI inside the while_loop, so N chips complete the full multi-iteration
+    training with a single host dispatch."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.data_parallel import DATA_AXIS
+
+    body_fn = _iteration_body if update == "viterbi" else _bw_body
+
+    def run_shard(
+        means_g, covs_g, log_a_g, slot_used,
+        lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+        batch, lengths, topo_id,
+    ):
+        def one_iter(means, covs, log_a):
+            return body_fn(
+                means, covs, log_a, slot_used,
+                lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+                batch, lengths, topo_id,
+                cov_reg=cov_reg, rtol=rtol, atol=atol,
+                num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+                reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
+            )
+
+        run = _train_loop_body(one_iter, max_iterations)
+        counts0 = jnp.zeros((num_labels, s_max), jnp.float32)
+        return run(means_g, covs_g, log_a_g, counts0)
+
+    rep, sh = P(), P(DATA_AXIS)
+    return shard_map(
+        run_shard,
+        mesh=mesh,
+        in_specs=(rep,) * 10 + (sh, sh, sh),
+        out_specs=(rep,) * 6,
+        check_vma=False,
+    )(
+        means_g, covs_g, log_a_g, slot_used,
+        lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+        batch, lengths, topo_id,
+    )
+
+
 @partial(jax.jit, static_argnames=(
     "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
 def fused_viterbi_iteration_sharded(

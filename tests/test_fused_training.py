@@ -194,6 +194,24 @@ def test_fused_baum_welch_sharded_matches_single(rng):
     _assert_params_match(tr_single, tr_mesh)
 
 
+def test_device_loop_matches_per_iteration_path(rng, tmp_path):
+    """train() without checkpointing uses the whole-run lax.while_loop
+    (one dispatch); with a checkpoint_dir it must fall back to the
+    per-iteration path — both must produce identical results."""
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321"], 5, seed=21)
+    cfg = ContinuousTrainConfig(
+        max_iterations=4, silence_bootstrap=False, cov_reg=0.05,
+        fused=True, length_multiple=16,
+    )
+    tr_loop = ContinuousTrainer(_copy(models), cfg)
+    n_loop = tr_loop.train(labeled)  # device loop
+    tr_step = ContinuousTrainer(_copy(models), cfg)
+    n_step = tr_step.train(labeled, checkpoint_dir=str(tmp_path / "ck"))
+    assert n_loop == n_step
+    _assert_params_match(tr_loop, tr_step, tol=0)
+
+
 def test_fused_empty_state_fail(rng):
     """A label that never appears in any transcript must trigger the
     reference's HMMTrainMeanFail under on_empty_state='fail'."""
