@@ -373,7 +373,7 @@ def _iteration_body(
         log_a_g, lab_tab[topo_flat], loc_tab[topo_flat],
         samew_tab[topo_flat], cross_tab[topo_flat], cross_word,
     )
-    _scores, paths_flat = _banded_trellis_batch(
+    _scores, paths_flat = _training_trellis(
         lb_sent.reshape(b, t, s_sent), c0, c1, c2,
         lengths.reshape(b), n_states_t[topo_flat],
     )
@@ -730,6 +730,29 @@ def fused_bw_iteration_sharded(
         lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
         batch, lengths, topo_id,
     )
+
+
+# "scan" (XLA scan, default) | "scanfree" (Pallas, ops/pallas/trellis_banded).
+# Measured on the v5e: inside the whole-run device loop the kernel saves only
+# ~1.4 ms/iteration over the scan (the training trellis is NOT dispatch-
+# overhead-bound the way the standalone serving trellis was), while compiling
+# the Pallas-in-while_loop program through this environment's remote compiler
+# takes many minutes. The kernel stays in-tree (bitwise-exact, tested) for
+# environments with local compilers / larger topologies; flip here to use it.
+_TRELLIS_BACKEND = "scan"
+
+
+def _training_trellis(log_b, c0, c1, c2, lengths, n_states):
+    """Dispatch the training trellis: the XLA scan (default) or the scan-free
+    Pallas kernel (ops/pallas/trellis_banded.py, bitwise-identical,
+    auto-falls back to the scan off-TPU or on untileable shapes)."""
+    if _TRELLIS_BACKEND == "scanfree":
+        from ..ops.pallas.trellis_banded import viterbi_banded_batch_scanfree
+
+        return viterbi_banded_batch_scanfree(
+            log_b, c0, c1, c2, lengths, n_states
+        )
+    return _banded_trellis_batch(log_b, c0, c1, c2, lengths, n_states)
 
 
 @partial(jax.jit, static_argnames=(
