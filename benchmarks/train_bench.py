@@ -153,7 +153,15 @@ def time_device_loop(models, labeled, iters: int = 3):
         cfg.length_multiple,
     )
 
+    init = (tr.means_g.copy(), tr.covs_g.copy(), tr.log_a_g.copy())
+
     def run():
+        # Restore the INITIAL parameters: _train_device_loop syncs trained
+        # params back into the trainer, so without this later runs would
+        # start near-converged and the per-iteration figure would be
+        # dominated by the fixed dispatch/readback overhead divided by 1-2
+        # iterations.
+        tr.means_g, tr.covs_g, tr.log_a_g = (a.copy() for a in init)
         tr._iterations_done = 0
         tr._dev_state = None
         t0 = time.perf_counter()

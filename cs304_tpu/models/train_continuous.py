@@ -107,6 +107,16 @@ class ContinuousTrainConfig:
     # the data axis); fused=False falls back to the legacy per-transcript
     # dispatch path.
     fused: bool = True
+    # Emission layout inside the fused programs. "whiten" (default):
+    # HIGHEST-precision whitening matmul, f32-exact, legacy-parity. "quad":
+    # the serving path's quadratic-form layout — one full-K=1521 MXU matmul,
+    # no (frames, slots, D) HBM intermediate; ~1e-2 absolute emission error
+    # that only perturbs exact near-ties in the alignment argmax. Measured
+    # A/B at flagship scale on the v5e: NEUTRAL in the training loop
+    # (8.7 vs 9.2 ms/iteration emission slice — training emissions are not
+    # the bottleneck the serving path's were), so "whiten" stays default;
+    # "quad" may pay off at much larger slot counts.
+    emissions: str = "whiten"
     # Cross-word transition topology of the training sentence HMM.
     # "exit_only" (default): words connect ONLY exit -> next entry, matching
     # the decoder's composite topology, so every word instance traverses its
@@ -447,6 +457,7 @@ class ContinuousTrainer:
             atol=float(self.cfg.atol),
             num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
             max_iterations=int(remaining), update=self.cfg.update,
+            emissions=self.cfg.emissions,
         )
         if self.mesh is not None:
             out = fused_train_run_sharded(*args, self.mesh, **kwargs)
@@ -609,6 +620,7 @@ class ContinuousTrainer:
             cov_reg=float(self.cfg.cov_reg), rtol=float(self.cfg.rtol),
             atol=float(self.cfg.atol),
             num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
+            emissions=self.cfg.emissions,
         )
         if self.mesh is not None:
             return fused_viterbi_iteration_sharded(*args, self.mesh, **kwargs)
@@ -629,6 +641,7 @@ class ContinuousTrainer:
             cov_reg=float(self.cfg.cov_reg), rtol=float(self.cfg.rtol),
             atol=float(self.cfg.atol),
             num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
+            emissions=self.cfg.emissions,
         )
         if self.mesh is not None:
             return fused_bw_iteration_sharded(*args, self.mesh, **kwargs)

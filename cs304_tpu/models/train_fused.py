@@ -251,15 +251,45 @@ def _identity(x):
 
 
 def _gather_sentence_emissions(means_g, covs_g, lab_tab, loc_tab,
-                               batch, topo_id, s_max: int):
+                               batch, topo_id, s_max: int,
+                               form: str = "whiten"):
     """All-slot Gaussian scoring, gathered per sentence state.
 
     Chunked (lax.scan over the leading chunk axis) because the whitened
     (frames, slots, D) intermediate is the biggest tensor of the program; the
-    gathered (n_chunks, C, T, S_sent) result is small enough to keep whole."""
+    gathered (n_chunks, C, T, S_sent) result is small enough to keep whole.
+
+    form="whiten": HIGHEST-precision whitening matmul (f32-exact, legacy
+    parity) — but its K=D=39 contraction under-fills the 128-deep MXU and its
+    (frames, slots, D) intermediate is the program's biggest HBM tensor; this
+    is the fused iteration's largest single cost. form="quad": the serving
+    path's quadratic-form layout (ops.gaussian.GaussianQuadParams) — ONE
+    (frames, D^2) x (D^2, slots) matmul at full K=1521 MXU depth; ~1e-2
+    absolute emission error (one-pass form), which only perturbs exact
+    near-ties in the alignment argmax."""
     l, s, d = means_g.shape
     f = l * s
     n_chunks, c, t, _ = batch.shape
+    if form == "quad":
+        from ..ops.gaussian import (
+            gaussian_log_pdf_quad,
+            make_gaussian_quad_params,
+        )
+
+        qparams = make_gaussian_quad_params(
+            means_g.reshape(f, d), covs_g.reshape(f, d, d)
+        )
+
+        def emit_chunk(_, inp):
+            bc, tidc = inp
+            lb_all = gaussian_log_pdf_quad(
+                qparams, bc.reshape(c * t, d)
+            ).reshape(c, t, f)
+            flat_slot = lab_tab[tidc] * s_max + loc_tab[tidc]
+            return None, jax.vmap(lambda lb, fs: lb[:, fs])(lb_all, flat_slot)
+
+        _, lb_sent = jax.lax.scan(emit_chunk, None, (batch, topo_id))
+        return lb_sent
     params = make_gaussian_params(means_g.reshape(f, d), covs_g.reshape(f, d, d))
 
     def emit_chunk(_, inp):
@@ -346,6 +376,7 @@ def _iteration_body(
     batch, lengths, topo_id,
     *, cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str,
+    emissions: str = "whiten",
     reduce_fn=_identity,
 ):
     """Shared body of the fused iteration (single-device and mesh-sharded).
@@ -362,7 +393,8 @@ def _iteration_body(
     b = n_chunks * c
 
     lb_sent = _gather_sentence_emissions(
-        means_g, covs_g, lab_tab, loc_tab, batch, topo_id, s_max
+        means_g, covs_g, lab_tab, loc_tab, batch, topo_id, s_max,
+        form=emissions,
     )
     s_sent = lb_sent.shape[-1]
 
@@ -495,6 +527,7 @@ def _bw_body(
     batch, lengths, topo_id,
     *, cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str,
+    emissions: str = "whiten",
     reduce_fn=_identity,
 ):
     """Baum-Welch analogue of _iteration_body: one XLA program per iteration.
@@ -522,7 +555,8 @@ def _bw_body(
     hi = jax.lax.Precision.HIGHEST
 
     lb_sent = _gather_sentence_emissions(
-        means_g, covs_g, lab_tab, loc_tab, batch, topo_id, s_max
+        means_g, covs_g, lab_tab, loc_tab, batch, topo_id, s_max,
+        form=emissions,
     )
     s_sent = lb_sent.shape[-1]
 
@@ -678,13 +712,15 @@ def _bw_body(
 
 
 @partial(jax.jit, static_argnames=(
-    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol",
+    "emissions"))
 def fused_bw_iteration(
     means_g, covs_g, log_a_g, slot_used,
     lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
     batch, lengths, topo_id,
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str = "exit_only",
+    emissions: str = "whiten",
 ):
     """One embedded Baum-Welch iteration as one XLA program (see _bw_body)."""
     return _bw_body(
@@ -693,17 +729,20 @@ def fused_bw_iteration(
         batch, lengths, topo_id,
         cov_reg=cov_reg, rtol=rtol, atol=atol,
         num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+        emissions=emissions,
     )
 
 
 @partial(jax.jit, static_argnames=(
-    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol",
+    "atol", "emissions"))
 def fused_bw_iteration_sharded(
     means_g, covs_g, log_a_g, slot_used,
     lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
     batch, lengths, topo_id, mesh,
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str = "exit_only",
+    emissions: str = "whiten",
 ):
     """Mesh-sharded fused Baum-Welch (psum'd soft statistics; see
     fused_viterbi_iteration_sharded for the sharding layout)."""
@@ -716,6 +755,7 @@ def fused_bw_iteration_sharded(
         _bw_body,
         cov_reg=cov_reg, rtol=rtol, atol=atol,
         num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+        emissions=emissions,
         reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
     )
     rep, sh = P(), P(DATA_AXIS)
@@ -756,13 +796,15 @@ def _training_trellis(log_b, c0, c1, c2, lengths, n_states):
 
 
 @partial(jax.jit, static_argnames=(
-    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+    "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol",
+    "emissions"))
 def fused_viterbi_iteration(
     means_g, covs_g, log_a_g, slot_used,
     lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
     batch, lengths, topo_id,
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str = "exit_only",
+    emissions: str = "whiten",
 ):
     """One embedded-training iteration as one XLA program.
 
@@ -782,6 +824,7 @@ def fused_viterbi_iteration(
         batch, lengths, topo_id,
         cov_reg=cov_reg, rtol=rtol, atol=atol,
         num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+        emissions=emissions,
     )
 
 
@@ -823,7 +866,7 @@ def _train_loop_body(iteration_body, max_iterations: int):
 
 @partial(jax.jit, static_argnames=(
     "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol",
-    "max_iterations", "update"))
+    "max_iterations", "update", "emissions"))
 def fused_train_run(
     means_g, covs_g, log_a_g, slot_used,
     lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
@@ -831,6 +874,7 @@ def fused_train_run(
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str,
     max_iterations: int, update: str = "viterbi",
+    emissions: str = "whiten",
 ):
     """The ENTIRE embedded training run as ONE XLA program.
 
@@ -851,6 +895,7 @@ def fused_train_run(
             batch, lengths, topo_id,
             cov_reg=cov_reg, rtol=rtol, atol=atol,
             num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+            emissions=emissions,
         )
 
     run = _train_loop_body(one_iter, max_iterations)
@@ -859,8 +904,8 @@ def fused_train_run(
 
 
 @partial(jax.jit, static_argnames=(
-    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol",
-    "max_iterations", "update"))
+    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol",
+    "atol", "max_iterations", "update", "emissions"))
 def fused_train_run_sharded(
     means_g, covs_g, log_a_g, slot_used,
     lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
@@ -868,6 +913,7 @@ def fused_train_run_sharded(
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str,
     max_iterations: int, update: str = "viterbi",
+    emissions: str = "whiten",
 ):
     """Whole-run device loop over a data-parallel mesh: the psums ride the
     ICI inside the while_loop, so N chips complete the full multi-iteration
@@ -891,6 +937,7 @@ def fused_train_run_sharded(
                 batch, lengths, topo_id,
                 cov_reg=cov_reg, rtol=rtol, atol=atol,
                 num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+                emissions=emissions,
                 reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
             )
 
@@ -913,13 +960,15 @@ def fused_train_run_sharded(
 
 
 @partial(jax.jit, static_argnames=(
-    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol", "atol"))
+    "mesh", "num_labels", "s_max", "cross_word", "cov_reg", "rtol",
+    "atol", "emissions"))
 def fused_viterbi_iteration_sharded(
     means_g, covs_g, log_a_g, slot_used,
     lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
     batch, lengths, topo_id, mesh,
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str = "exit_only",
+    emissions: str = "whiten",
 ):
     """The fused iteration over a data-parallel mesh — still ONE program.
 
@@ -946,6 +995,7 @@ def fused_viterbi_iteration_sharded(
         _iteration_body,
         cov_reg=cov_reg, rtol=rtol, atol=atol,
         num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+        emissions=emissions,
         reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
     )
     rep, sh = P(), P(DATA_AXIS)

@@ -194,6 +194,19 @@ def test_fused_baum_welch_sharded_matches_single(rng):
     _assert_params_match(tr_single, tr_mesh)
 
 
+def test_quad_emissions_trains_close_to_whiten(rng):
+    """emissions='quad' (full-MXU-depth quadratic form, ~1e-2 emission
+    error) must train to parameters close to the exact whitening path —
+    alignment argmax decisions only differ on exact near-ties."""
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "321", "13"], 5, seed=23)
+    _, tr_w = _train(models, labeled, fused=True)
+    _, tr_q = _train(models, labeled, fused=True, emissions="quad")
+    for name in ("means_g", "covs_g"):
+        x, y = getattr(tr_w, name), getattr(tr_q, name)
+        np.testing.assert_allclose(x, y, atol=5e-2, rtol=5e-2, err_msg=name)
+
+
 def test_device_loop_matches_per_iteration_path(rng, tmp_path):
     """train() without checkpointing uses the whole-run lax.while_loop
     (one dispatch); with a checkpoint_dir it must fall back to the
