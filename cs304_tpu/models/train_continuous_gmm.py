@@ -344,6 +344,111 @@ def fused_gmm_iteration_sharded(
     )
 
 
+def _gmm_train_loop(one_iter, max_iterations: int):
+    """Whole-run lax.while_loop over GMM iterations (train_fused._train_loop_body
+    analogue with the weights array in the carry)."""
+
+    def cond(carry):
+        *_params, _counts, it, converged = carry
+        return jnp.logical_and(it < max_iterations, ~converged)
+
+    def body(carry):
+        means, covs, weights, log_a, _counts, it, _conv = carry
+        nm, nc, nw, nla, counts, converged_l, _paths = one_iter(
+            means, covs, weights, log_a
+        )
+        return (nm, nc, nw, nla, counts, it + 1, jnp.all(converged_l))
+
+    def run(means, covs, weights, log_a, counts0):
+        init = (means, covs, weights, log_a, counts0, jnp.int32(0),
+                jnp.bool_(False))
+        return jax.lax.while_loop(cond, body, init)
+
+    return run
+
+
+@partial(jax.jit, static_argnames=(
+    "num_labels", "s_max", "num_mix", "cross_word", "cov_reg", "rtol",
+    "atol", "max_iterations"))
+def fused_gmm_train_run(
+    means_g, covs_g, weights_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, num_mix: int, cross_word: str,
+    max_iterations: int,
+):
+    """The ENTIRE embedded GMM refinement as ONE XLA program (whole-run
+    device loop; see train_fused.fused_train_run). Returns
+    (means, covs, weights, log_a, counts, iterations, converged)."""
+
+    def one_iter(means, covs, weights, log_a):
+        return _gmm_body(
+            means, covs, weights, log_a, slot_used,
+            lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+            batch, lengths, topo_id,
+            cov_reg=cov_reg, rtol=rtol, atol=atol,
+            num_labels=num_labels, s_max=s_max, num_mix=num_mix,
+            cross_word=cross_word,
+        )
+
+    run = _gmm_train_loop(one_iter, max_iterations)
+    counts0 = jnp.zeros((num_labels, s_max, num_mix), jnp.float32)
+    return run(means_g, covs_g, weights_g, log_a_g, counts0)
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "num_labels", "s_max", "num_mix", "cross_word", "cov_reg",
+    "rtol", "atol", "max_iterations"))
+def fused_gmm_train_run_sharded(
+    means_g, covs_g, weights_g, log_a_g, slot_used,
+    lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+    batch, lengths, topo_id, mesh,
+    cov_reg: float, rtol: float, atol: float,
+    num_labels: int, s_max: int, num_mix: int, cross_word: str,
+    max_iterations: int,
+):
+    """Whole-run GMM device loop over a data-parallel mesh (psums inside the
+    while_loop ride the ICI)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.data_parallel import DATA_AXIS
+
+    def run_shard(
+        means_g, covs_g, weights_g, log_a_g, slot_used,
+        lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+        batch, lengths, topo_id,
+    ):
+        def one_iter(means, covs, weights, log_a):
+            return _gmm_body(
+                means, covs, weights, log_a, slot_used,
+                lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+                batch, lengths, topo_id,
+                cov_reg=cov_reg, rtol=rtol, atol=atol,
+                num_labels=num_labels, s_max=s_max, num_mix=num_mix,
+                cross_word=cross_word,
+                reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
+            )
+
+        run = _gmm_train_loop(one_iter, max_iterations)
+        counts0 = jnp.zeros((num_labels, s_max, num_mix), jnp.float32)
+        return run(means_g, covs_g, weights_g, log_a_g, counts0)
+
+    rep, sh = P(), P(DATA_AXIS)
+    return shard_map(
+        run_shard,
+        mesh=mesh,
+        in_specs=(rep,) * 11 + (sh, sh, sh),
+        out_specs=(rep,) * 7,
+        check_vma=False,
+    )(
+        means_g, covs_g, weights_g, log_a_g, slot_used,
+        lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
+        batch, lengths, topo_id,
+    )
+
+
 @dataclass(frozen=True)
 class GMMContinuousTrainConfig:
     """Embedded GMM refinement configuration (subset of
@@ -432,6 +537,12 @@ class GMMContinuousTrainer:
             num_shards=(self.mesh.devices.size if self.mesh is not None else 1),
         )
         l, s = len(self.labels), self.s_max
+        if cfg.on_empty_state == "keep":
+            # Whole-run device loop: every refinement iteration in ONE
+            # dispatch, convergence on-device (same contract as
+            # ContinuousTrainer's device loop; "fail" needs the
+            # per-iteration counts on the host, so it keeps the step loop).
+            return self._train_device_loop(fused)
         it = self._iterations_done
         for it in range(self._iterations_done + 1, cfg.max_iterations + 1):
             args = (
@@ -472,3 +583,48 @@ class GMMContinuousTrainer:
             self.weights_g = np.asarray(new_weights, np.float32)
             self.log_a_g = np.asarray(new_log_a, np.float32)
         return it
+
+    def _train_device_loop(self, fused) -> int:
+        cfg = self.cfg
+        remaining = cfg.max_iterations - self._iterations_done
+        if remaining <= 0:
+            return self._iterations_done
+        l, s = len(self.labels), self.s_max
+        args = (
+            jnp.asarray(self.means_g), jnp.asarray(self.covs_g),
+            jnp.asarray(self.weights_g), jnp.asarray(self.log_a_g),
+            jnp.asarray(self._slot_used()),
+            fused.lab_tab, fused.loc_tab, fused.pos_tab,
+            fused.samew_tab, fused.cross_tab, fused.n_states_t,
+            fused.batch, fused.lengths, fused.topo_id,
+        )
+        kwargs = dict(
+            cov_reg=float(cfg.cov_reg), rtol=float(cfg.rtol),
+            atol=float(cfg.atol), num_labels=l, s_max=s,
+            num_mix=self.k, cross_word=cfg.cross_word,
+            max_iterations=int(remaining),
+        )
+        if self.mesh is not None:
+            out = fused_gmm_train_run_sharded(*args, self.mesh, **kwargs)
+        else:
+            out = fused_gmm_train_run(*args, **kwargs)
+        means, covs, weights, log_a, counts, n_it, converged = out
+        counts, n_it, converged = jax.device_get((counts, n_it, converged))
+        state_tot = counts.sum(axis=-1)
+        empty_states = self._slot_used() & (state_tot < 1)
+        if np.any(empty_states):
+            logger.warning(
+                "final iteration left empty (label, state) slots: %s",
+                np.argwhere(empty_states).tolist(),
+            )
+        self.means_g = np.asarray(means, np.float32)
+        self.covs_g = np.asarray(covs, np.float32)
+        self.weights_g = np.asarray(weights, np.float32)
+        self.log_a_g = np.asarray(log_a, np.float32)
+        self._iterations_done += int(n_it)
+        if converged:
+            logger.info(
+                "GMM embedded training converged after %d iterations",
+                self._iterations_done,
+            )
+        return self._iterations_done

@@ -6,6 +6,7 @@ continuous decoder, sharded==single parity, and empty-state failure."""
 import numpy as np
 import pytest
 
+from cs304_tpu.models.gmm_hmm import GMMWordHMM
 from cs304_tpu.models.hmm import WordHMM, uniform_forward_log_a
 from cs304_tpu.models.train_continuous import (
     ContinuousTrainConfig,
@@ -178,6 +179,35 @@ def test_gmm_sharded_matches_single(rng):
     np.testing.assert_allclose(
         tr_mesh.weights_g, tr_single.weights_g, atol=2e-5, rtol=1e-4
     )
+
+
+def test_gmm_device_loop_matches_step_loop(rng):
+    """on_empty_state='keep' routes through the whole-run device loop;
+    'fail' (on a corpus with no empty states) uses the per-iteration step
+    loop — both must produce identical results."""
+    models = _models(rng)
+    labeled = _corpus(models, ["12", "21"], 6, seed=25)
+    gmm = promote_to_gmm(_embedded_k1(models, labeled), 2, seed=4)
+
+    def train(mode):
+        tr = GMMContinuousTrainer(
+            {k: GMMWordHMM(label=v.label, means=v.means.copy(),
+                           covariances=v.covariances.copy(),
+                           weights=v.weights.copy(), log_a=v.log_a.copy())
+             for k, v in gmm.items()},
+            GMMContinuousTrainConfig(max_iterations=3, cov_reg=0.05,
+                                     length_multiple=16,
+                                     on_empty_state=mode))
+        n = tr.train(labeled)
+        return n, tr
+
+    n_loop, tr_loop = train("keep")
+    n_step, tr_step = train("fail")
+    assert n_loop == n_step
+    for name in ("means_g", "covs_g", "weights_g"):
+        np.testing.assert_array_equal(
+            getattr(tr_loop, name), getattr(tr_step, name), err_msg=name
+        )
 
 
 def test_gmm_empty_state_fail(rng):
