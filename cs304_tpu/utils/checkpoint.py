@@ -96,6 +96,12 @@ def load_models(
 ) -> Dict[str, WordHMM]:
     """Load all (or the selected) models from a checkpoint directory, walking
     subfolders in sorted order like the reference (hidden_markov_model.py:431)."""
+    if not folder or not os.path.isdir(folder):
+        raise FileNotFoundError(
+            f"checkpoint directory {folder!r} does not exist — train first "
+            "(scripts/project3_train.py or project5_train_no_empty.py), or "
+            "pass --checkpoint-dir pointing at a saved model tree"
+        )
     out: Dict[str, WordHMM] = {}
     for name in sorted(os.listdir(folder)):
         sub = os.path.join(folder, name)
@@ -104,6 +110,12 @@ def load_models(
         if labels is not None and name not in labels:
             continue
         out[name] = load_model(sub)
+    if not out:
+        raise FileNotFoundError(
+            f"no model checkpoints under {folder!r} (expected "
+            f"<label>/{_PARAMS} subfolders) — is this a checkpoint "
+            "directory saved by the training scripts?"
+        )
     if labels is not None:
         missing = set(labels) - set(out)
         if missing:

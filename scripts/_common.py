@@ -59,6 +59,12 @@ def load_corpus(args, cfg: Config):
                                  takes_per_digit=3, with_sentences=True)
     from cs304_tpu.data.ti_digits import TIDigits
 
+    if not cfg.data_root or not os.path.isdir(cfg.data_root):
+        raise FileNotFoundError(
+            f"TI-Digits root {cfg.data_root!r} not found — pass --data-root "
+            "pointing at the corpus (…/Adults/TIDIGITS above TRAIN/TEST), or "
+            "use --synthetic to run on the generated corpus"
+        )
     return TIDigits(cfg.data_root)
 
 

@@ -43,6 +43,20 @@ def test_checkpoint_collection(tmp_path, rng):
         load_models(str(tmp_path), labels=["9"])
 
 
+def test_load_models_friendly_errors(tmp_path):
+    """Missing/empty checkpoint dirs produce actionable messages (ROADMAP
+    quality item; surfaced as one-liners by scripts/_common.run_main)."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="train first"):
+        load_models(str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError, match="train first"):
+        load_models(None)
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError, match="no model checkpoints"):
+        load_models(str(tmp_path / "empty"))
+
+
 def test_config_overrides(tmp_path):
     cfg = Config()
     assert cfg.decode.word_penalty == -100.0
