@@ -49,7 +49,8 @@ GATE_TRAIN = 0.90
 
 
 def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
-        cov_reg: float = 0.1, penalty: float = -100.0) -> dict:
+        cov_reg: float = 0.1, penalty: float = -100.0,
+        update: str = "viterbi", gmm_mixtures: int = 0) -> dict:
     sep = SignalSeparation()
     feats = {
         l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
@@ -70,10 +71,26 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
         for tr, utts in corpus.train_dataset.get_all_n_digits(n).items():
             labeled[tr] = mfcc_batch(utts)
     trainer = ContinuousTrainer(
-        boot, ContinuousTrainConfig(max_iterations=max_iterations, cov_reg=cov_reg)
+        boot, ContinuousTrainConfig(max_iterations=max_iterations,
+                                    cov_reg=cov_reg, update=update)
     )
     iters = trainer.train(labeled)
-    decoder = ContinuousDecoder(trainer.models(), penalty=penalty)
+    final_models = trainer.models()
+    if gmm_mixtures > 1:
+        from cs304_tpu.models.train_continuous_gmm import (
+            GMMContinuousTrainConfig,
+            GMMContinuousTrainer,
+            promote_to_gmm,
+        )
+
+        gtr = GMMContinuousTrainer(
+            promote_to_gmm(final_models, gmm_mixtures),
+            GMMContinuousTrainConfig(max_iterations=max_iterations,
+                                     cov_reg=cov_reg),
+        )
+        gtr.train(labeled)
+        final_models = gtr.models()
+    decoder = ContinuousDecoder(final_models, penalty=penalty)
 
     results = {"embedded_iterations": iters}
     for n in (2, 4, 7):
@@ -96,6 +113,12 @@ def main() -> None:
                     help="legacy near-clean corpus (saturates at 100%%)")
     ap.add_argument("--no-gates", action="store_true",
                     help="print results without asserting the accuracy gates")
+    ap.add_argument("--update", default="viterbi",
+                    choices=["viterbi", "baum_welch"],
+                    help="embedded-training statistics (fused either way)")
+    ap.add_argument("--gmm-mixtures", type=int, default=0,
+                    help="refine with K-mixture embedded GMM training after "
+                         "the K=1 stage before decoding")
     args = ap.parse_args()
 
     mk = SyntheticTIDigits if args.easy else SyntheticTIDigits.hard
@@ -103,8 +126,12 @@ def main() -> None:
         num_train_speakers=6, num_test_speakers=2, takes_per_digit=3,
         with_sentences=True,
     )
-    results = run(corpus)
+    results = run(corpus, update=args.update,
+                  gmm_mixtures=args.gmm_mixtures)
     results["corpus"] = "easy" if args.easy else "hard"
+    results["update"] = args.update
+    if args.gmm_mixtures > 1:
+        results["gmm_mixtures"] = args.gmm_mixtures
     print(json.dumps(results))
 
     if args.no_gates:

@@ -101,6 +101,28 @@ class ContinuousDecoder:
         if pending is not None:
             yield self._consume(*pending, skip_silence)
 
+    def predict_nbest(self, features, n: int = 4, beam_k: int | None = None):
+        """N-best word strings for one utterance: [(score, text), ...].
+
+        Uses the decoder's ACTUAL emission densities — for K-mixture models
+        the GMM log-densities, not the composite's single-Gaussian view
+        (nbest_decode's default log_b would silently score with mixture 0
+        only on a GMM checkpoint)."""
+        from ..ops.nbest import nbest_decode
+
+        log_b = None
+        if self._gmm is not None:
+            from ..ops.gaussian import gmm_log_pdf, make_gmm_params
+
+            means, covs, weights = self._gmm
+            params = make_gmm_params(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
+            )
+            log_b = gmm_log_pdf(params, jnp.asarray(features))
+        return nbest_decode(
+            self.composite, features, n=n, beam_k=beam_k, log_b=log_b
+        )
+
     def _dispatch(self, features: Sequence[np.ndarray]):
         """Enqueue one batch; returns device handles without blocking."""
         c = self.composite

@@ -163,17 +163,21 @@ def nbest_paths(
 
 
 def nbest_decode(composite, features, n: int = 4, beam_k: int | None = None,
-                 quirk_backtrace: bool = True):
+                 quirk_backtrace: bool = True, log_b=None):
     """N-best word strings for one utterance's (T, D) features.
 
     Returns [(score, digit_string), ...] best-first, deduped at the string
-    level (distinct state paths can share a transcription).
+    level (distinct state paths can share a transcription). log_b overrides
+    the emission matrix (e.g. GMM densities from
+    ContinuousDecoder.predict_nbest — the composite's own log_likelihoods
+    are single-Gaussian).
     """
     if beam_k is None:
         # Distinct state paths often share a transcription; a wider beam
         # raises the chance of n DISTINCT strings surviving the dedupe.
         beam_k = max(2 * n, 4)
-    log_b = composite.log_likelihoods(features)
+    if log_b is None:
+        log_b = composite.log_likelihoods(features)
     alpha, backptrs = kbest_composite_forward(
         log_b, jnp.asarray(composite.log_a),
         jnp.asarray(composite.lower_of_state), jnp.asarray(composite.is_entry),

@@ -31,11 +31,7 @@ def main() -> None:
         rate, signal = read_wav(args.wav)
         feats = mfcc_batch([signal], rate)
         if args.nbest > 1:
-            from cs304_tpu.ops.nbest import nbest_decode
-
-            for score, text in nbest_decode(
-                decoder.composite, feats[0], n=args.nbest
-            ):
+            for score, text in decoder.predict_nbest(feats[0], n=args.nbest):
                 print(f"{score:12.2f}  {text}")
         else:
             print("decoded:", decoder.predict(feats[0]))

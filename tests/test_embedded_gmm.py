@@ -158,6 +158,13 @@ def test_trained_gmm_decodes_continuously(rng):
             correct += hyp == tr_str
     assert correct / trials >= 0.9, (correct, trials)
 
+    # N-best on a GMM checkpoint must score with the GMM densities: the
+    # top-1 hypothesis agrees with the 1-best decoder (both silence-stripped).
+    x = labeled["12"][0]
+    hyps = dec.predict_nbest(x, n=3)
+    assert hyps, "no n-best hypotheses"
+    assert hyps[0][1] == dec.predict(x)
+
 
 def test_gmm_sharded_matches_single(rng):
     from cs304_tpu.parallel.data_parallel import make_mesh
