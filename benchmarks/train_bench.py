@@ -253,6 +253,25 @@ def main():
     loop_dt = time_device_loop(models, labeled, iters=6)
     loop_rate = n_utts / loop_dt
     base_rate = baseline_iteration_rate(models, labeled)
+
+    # Algorithmic FLOP model of one fused iteration (same convention as
+    # mfu_breakdown.py: 2 FLOPs per MAC, padded frames since padding is
+    # computed too). Dominated by the all-slot emission whitening and the
+    # pass-B second-moment matmul, both ~2*F*D^2 per frame.
+    d = DIM
+    f_slots = 11 * 5 + 3  # flagship (label, state) slots incl. padding rows
+    frames_padded = sum(
+        -(-max(x.shape[0] for x in v) // 32) * 32 * len(v)
+        for v in labeled.values()
+    )
+    flop_per_iter = frames_padded * (
+        2 * f_slots * d * d      # emissions: whitening matmul
+        + 2 * f_slots * d * d    # pass B: (slots, frames) x (frames, D^2)
+        + 2 * f_slots * (d + 1)  # pass A: counts/sums one-hot einsums
+        + d * d                  # pass B: per-frame outer product
+    )
+    peak_f32 = 197e12 / 4  # v5e bf16 peak; HIGHEST f32 ~ 1/4 (6-pass)
+    mfu = flop_per_iter / loop_dt / peak_f32
     print(json.dumps({
         "metric": (
             "utterances/sec per embedded-training iteration "
@@ -267,6 +286,8 @@ def main():
         "legacy_iteration_sec": round(legacy_dt, 4),
         "fused_baum_welch_iteration_sec": round(bw_dt, 4),
         "device_loop_sec_per_iteration": round(loop_dt, 4),
+        "gflop_per_iteration": round(flop_per_iter / 1e9, 1),
+        "mfu_f32_pct": round(100 * mfu, 2),
         "baseline_utt_per_s": round(base_rate, 2),
     }))
 

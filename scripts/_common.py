@@ -31,10 +31,22 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="use the generated synthetic corpus instead of TI-Digits",
     )
     p.add_argument("--log-file", default="runtime.log")
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the JAX platform (e.g. cpu with "
+             "XLA_FLAGS=--xla_force_host_platform_device_count=8 to exercise "
+             "--data-parallel on a virtual mesh without TPU hardware)",
+    )
     return p
 
 
 def load_config(args) -> Config:
+    if getattr(args, "platform", None):
+        # Must land before first backend use; the session sitecustomize may
+        # have pinned another platform via env (tests/conftest.py technique).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = Config.from_file(args.config) if args.config else Config()
     if args.overrides:
         cfg.apply_overrides(args.overrides)

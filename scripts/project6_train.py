@@ -22,6 +22,10 @@ def main() -> None:
                         help="after embedded K=1 training, split each state "
                              "into K mixtures and refine with the embedded "
                              "GMM trainer (beyond-reference capability)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the corpus over ALL local devices "
+                             "(jax.sharding.Mesh; statistics psum over ICI). "
+                             "Single-device runs work too, for parity checks.")
     args = parser.parse_args()
     if args.resume and not args.state_dir:
         raise SystemExit("--resume requires --state-dir")
@@ -39,6 +43,12 @@ def main() -> None:
     print(f"training on {len(labeled)} transcripts, "
           f"{sum(len(v) for v in labeled.values())} utterances")
 
+    mesh = None
+    if args.data_parallel:
+        from cs304_tpu.parallel.data_parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel mesh over {mesh.devices.size} device(s)")
     trainer = ContinuousTrainer(
         models,
         ContinuousTrainConfig(
@@ -48,6 +58,7 @@ def main() -> None:
             insert_silence=cfg.continuous.insert_silence,
             update=cfg.continuous.update,
         ),
+        mesh=mesh,
     )
     if args.resume:
         start = trainer.resume(args.state_dir)
@@ -73,6 +84,7 @@ def main() -> None:
                     cov_reg=cfg.continuous.cov_reg,
                     insert_silence=cfg.continuous.insert_silence,
                 ),
+                mesh=mesh,
             )
             gmm_iters = gmm_trainer.train(labeled)
             print(f"GMM refinement (K={args.gmm_mixtures}) finished after "
