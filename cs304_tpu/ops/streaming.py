@@ -66,7 +66,12 @@ class StreamingComposite:
     >>> score, path = stream.finalize()
     """
 
-    def __init__(self, composite, chunk_size: int = 64) -> None:
+    def __init__(self, composite, chunk_size: int = 64,
+                 gmm_params=None) -> None:
+        """gmm_params: optional ops.gaussian.GMMParams over the composite's
+        state space — emissions become K-mixture log-densities (the composite
+        itself only carries the single-Gaussian boundary view). Build with
+        from_models() for a mixed WordHMM/GMMWordHMM dict."""
         self.composite = composite
         self.chunk_size = chunk_size
         c = composite
@@ -75,10 +80,34 @@ class StreamingComposite:
             jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
             jnp.float32(c.penalty),
         )
-        self._emission_params = c.emission_params()
+        self._gmm_params = gmm_params
+        self._emission_params = None if gmm_params is not None else c.emission_params()
         diag = np.diagonal(c.log_a)
         self._seed_diag = np.where(np.isfinite(diag), diag, 0.0).astype(np.float32)
         self.reset()
+
+    @classmethod
+    def from_models(cls, models, penalty: float = -100.0,
+                    chunk_size: int = 64) -> "StreamingComposite":
+        """Streaming decoder from a model dict/list, GMM-aware: K-mixture
+        models stream with their true GMM densities (the same lift as
+        ContinuousDecoder, models/decoder.py:_lift_to_gmm)."""
+        from ..models.decoder import _lift_to_gmm
+        from ..models.gmm_hmm import GMMWordHMM
+        from ..models.hmm import stack_word_models
+        from .gaussian import make_gmm_params
+
+        if isinstance(models, dict):
+            models = list(models.values())
+        models = sorted(models, key=lambda m: m.label)
+        if any(isinstance(m, GMMWordHMM) for m in models):
+            views, (means, covs, weights) = _lift_to_gmm(models)
+            composite = stack_word_models(views, penalty)
+            gmm_params = make_gmm_params(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
+            )
+            return cls(composite, chunk_size, gmm_params=gmm_params)
+        return cls(stack_word_models(models, penalty), chunk_size)
 
     def reset(self) -> None:
         s = self.composite.num_states
@@ -88,7 +117,7 @@ class StreamingComposite:
 
     def feed(self, features: np.ndarray) -> None:
         """Feed a (c, D) feature chunk, c <= chunk_size."""
-        from .gaussian import gaussian_log_pdf
+        from .gaussian import gaussian_log_pdf, gmm_log_pdf
 
         features = np.asarray(features, np.float32)
         c = features.shape[0]
@@ -100,7 +129,10 @@ class StreamingComposite:
             return
         padded = np.zeros((self.chunk_size, features.shape[1]), np.float32)
         padded[:c] = features
-        log_b = gaussian_log_pdf(self._emission_params, jnp.asarray(padded))
+        if self._gmm_params is not None:
+            log_b = gmm_log_pdf(self._gmm_params, jnp.asarray(padded))
+        else:
+            log_b = gaussian_log_pdf(self._emission_params, jnp.asarray(padded))
 
         if self._alpha is None:
             comp = self.composite

