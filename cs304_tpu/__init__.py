@@ -65,6 +65,8 @@ _EXPORTS = {
     "GMMWordHMM": ".models.gmm_hmm",
     "train_gmm_hmm": ".models.gmm_hmm",
     "train_gmm_hmm_baum_welch": ".models.gmm_hmm",
+    "Lattice": ".ops.lattice",
+    "nbest_lattice": ".ops.lattice",
     "GMMContinuousTrainer": ".models.train_continuous_gmm",
     "GMMContinuousTrainConfig": ".models.train_continuous_gmm",
     "promote_to_gmm": ".models.train_continuous_gmm",

@@ -16,6 +16,9 @@ def main() -> None:
     parser.add_argument("--wav", default=None, help="decode this WAV instead of the mic")
     parser.add_argument("--nbest", type=int, default=1,
                         help="print the N best hypotheses with scores")
+    parser.add_argument("--lattice-dot", default=None, metavar="FILE",
+                        help="also write a pruned word lattice (from the "
+                             "n-best beams) as Graphviz DOT")
     parser.add_argument("--high", type=float, default=128.0)
     parser.add_argument("--low", type=float, default=16.0)
     parser.add_argument("--silence-duration", type=float, default=0.2)
@@ -35,6 +38,27 @@ def main() -> None:
                 print(f"{score:12.2f}  {text}")
         else:
             print("decoded:", decoder.predict(feats[0]))
+        if args.lattice_dot:
+            from cs304_tpu.ops.lattice import nbest_lattice
+
+            log_b = None
+            if decoder._gmm is not None:
+                import jax.numpy as jnp
+
+                from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
+
+                means, covs, weights = decoder._gmm
+                log_b = gmm_log_pdf(
+                    make_gmm_params(jnp.asarray(means), jnp.asarray(covs),
+                                    jnp.asarray(weights)),
+                    jnp.asarray(feats[0]),
+                )
+            lat = nbest_lattice(
+                decoder.composite, feats[0], n=max(args.nbest, 8), log_b=log_b
+            )
+            with open(args.lattice_dot, "w") as f:
+                f.write(lat.to_dot())
+            print(f"lattice: {len(lat.arcs)} arcs -> {args.lattice_dot}")
         return
 
     from cs304_tpu.audio.capture import Segmentation

@@ -1,0 +1,106 @@
+"""Pruned word lattices (ops/lattice.py): span segmentation parity with
+path_to_labels, 1-best containment, arc well-formedness, GMM emissions."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cs304_tpu.models.hmm import WordHMM, stack_word_models, uniform_forward_log_a
+from cs304_tpu.ops.lattice import nbest_lattice, path_word_spans
+from cs304_tpu.ops.viterbi import viterbi_composite
+
+
+@pytest.fixture
+def composite(rng):
+    def mk(label, s):
+        a = rng.normal(size=(s, 4, 2)).astype(np.float32)
+        covs = a @ a.transpose(0, 2, 1) + np.eye(4, dtype=np.float32)
+        return WordHMM(
+            label=label,
+            means=rng.normal(size=(s, 4)).astype(np.float32) * 3,
+            covariances=covs,
+            log_a=uniform_forward_log_a(s),
+        )
+
+    return stack_word_models([mk("A", 3), mk("B", 3), mk("S", 2)], penalty=-4.0)
+
+
+def test_span_segmentation_matches_path_to_labels(rng, composite):
+    """The frame-span walk must emit exactly the words path_to_labels emits,
+    in order, with contiguous spans covering every frame."""
+    feats = (rng.normal(size=(40, 4)) * 2).astype(np.float32)
+    log_b = composite.log_likelihoods(feats)
+    _score, path = viterbi_composite(
+        log_b, jnp.asarray(composite.log_a),
+        jnp.asarray(composite.lower_of_state), jnp.asarray(composite.is_entry),
+        jnp.asarray(composite.is_exit), composite.penalty,
+        quirk_backtrace=False,
+    )
+    path = np.asarray(path)
+    spans = path_word_spans(composite, path)
+    assert spans[0][0] == 0 and spans[-1][1] == len(path)
+    for (s0, e0, _w0), (s1, _e1, _w1) in zip(spans, spans[1:]):
+        assert e0 == s1, "spans must abut"
+    want = composite.path_to_labels(path, skip_silence=False)
+    got = [composite.labels[w] for _s, _e, w in spans]
+    assert got == want
+
+
+def test_lattice_contains_one_best(rng, composite):
+    feats = (rng.normal(size=(40, 4)) * 2).astype(np.float32)
+    log_b = composite.log_likelihoods(feats)
+    _score, path = viterbi_composite(
+        log_b, jnp.asarray(composite.log_a),
+        jnp.asarray(composite.lower_of_state), jnp.asarray(composite.is_entry),
+        jnp.asarray(composite.is_exit), composite.penalty,
+        quirk_backtrace=True,
+    )
+    one_best = composite.path_to_labels(np.asarray(path), skip_silence=True)
+    lat = nbest_lattice(composite, feats, n=6)
+    assert lat.contains(one_best)
+    assert not lat.contains(list("ABABABABAB"))  # absurd string not spelled
+    assert lat.num_frames == 40
+    # Arc sanity: within bounds, positive length, finite scores.
+    for a in lat.arcs:
+        assert 0 <= a.start < a.end <= 40
+        assert np.isfinite(a.score)
+    dot = lat.to_dot()
+    assert dot.startswith("digraph") and "->" in dot
+
+
+def test_lattice_wider_beam_is_superset(rng, composite):
+    """More hypotheses can only add arcs (same paths stay in the pool)."""
+    feats = (rng.normal(size=(32, 4)) * 2).astype(np.float32)
+    small = nbest_lattice(composite, feats, n=2, beam_k=8)
+    big = nbest_lattice(composite, feats, n=8, beam_k=8)
+    small_keys = {(a.start, a.end, a.label) for a in small.arcs}
+    big_keys = {(a.start, a.end, a.label) for a in big.arcs}
+    assert small_keys <= big_keys
+
+
+def test_lattice_gmm_emissions(rng):
+    """GMM checkpoints build lattices through the decoder's densities."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+    from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
+
+    def mk(label, s, k=2):
+        a = rng.normal(size=(s, k, 4, 2)).astype(np.float32)
+        covs = a @ a.transpose(0, 1, 3, 2) + np.eye(4, dtype=np.float32)
+        return GMMWordHMM(
+            label=label,
+            means=rng.normal(size=(s, k, 4)).astype(np.float32) * 3,
+            covariances=covs,
+            weights=np.full((s, k), 1.0 / k, np.float32),
+            log_a=uniform_forward_log_a(s),
+        )
+
+    models = {m.label: m for m in (mk("A", 3), mk("B", 3), mk("S", 2))}
+    feats = (rng.normal(size=(30, 4)) * 2).astype(np.float32)
+    dec = ContinuousDecoder(models, penalty=-4.0)
+    means, covs, weights = dec._gmm
+    params = make_gmm_params(
+        jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
+    )
+    log_b = gmm_log_pdf(params, jnp.asarray(feats))
+    lat = nbest_lattice(dec.composite, feats, n=4, log_b=log_b)
+    assert lat.contains(list(dec.predict(feats)))
