@@ -67,6 +67,10 @@ _EXPORTS = {
     "train_gmm_hmm_baum_welch": ".models.gmm_hmm",
     "Lattice": ".ops.lattice",
     "nbest_lattice": ".ops.lattice",
+    "forward_lattice": ".ops.lattice",
+    "wer": ".reporting.metrics",
+    "corpus_wer": ".reporting.metrics",
+    "edit_ops": ".reporting.metrics",
     "GMMContinuousTrainer": ".models.train_continuous_gmm",
     "GMMContinuousTrainConfig": ".models.train_continuous_gmm",
     "promote_to_gmm": ".models.train_continuous_gmm",

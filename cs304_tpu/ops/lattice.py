@@ -1,4 +1,4 @@
-"""Pruned word lattices from the k-best composite forward.
+"""Word lattices from the composite decoder.
 
 The reference's richest decode output is a single Viterbi string
 (hidden_markov_model.py:573-581). Round 1 added n-best strings
@@ -7,13 +7,29 @@ two: a word LATTICE — time-aligned word arcs with scores, deduped across
 hypotheses — the input format for downstream rescoring (language-model
 re-weighting, confusion networks, keyword search).
 
-Construction is n-best-based ("pruned lattice"): the k-best beam forward
-(ops/nbest.kbest_composite_forward) produces distinct state paths; each path
-is segmented into word spans using the composite's boundary vectors (the
-same emit rules as CompositeHMM.path_to_labels, model_boundary.py:131-135
-in the reference), and identical (start, end, word) spans merge keeping the
-best full-path score. Arcs therefore carry the score of the best COMPLETE
-hypothesis through them — the quantity confusion-network pruning wants.
+Two constructions:
+
+- `nbest_lattice` ("pruned lattice"): the k-best beam forward
+  (ops/nbest.kbest_composite_forward) produces distinct state paths; each
+  path is segmented into word spans using the composite's boundary vectors
+  (the same emit rules as CompositeHMM.path_to_labels, model_boundary.py:
+  131-135 in the reference), and identical (start, end, word) spans merge
+  keeping the best full-path score.
+
+- `forward_lattice` (true lattice generation): TWO whole-utterance max-plus
+  scans — the Viterbi forward augmented with a word-entry-time carry (the
+  token-passing "word start" of classic lattice decoders), and a backward
+  pass scoring the best continuation from every trellis cell — yield, for
+  EVERY frame t and word w, the score of the best complete hypothesis in
+  which w ends at t. Every word-end within `beam` of the global best becomes
+  an arc, so coverage is not limited to word-ends that happen to appear in
+  an n-best list. Arc scores are exact complete-path scores; arcs on the
+  1-best path score exactly the Viterbi score.
+
+Arcs from both carry the score of the best COMPLETE hypothesis through
+them — the quantity confusion-network pruning and oracle-WER measurement
+want (see reporting/metrics.py for WER; Lattice.oracle_edits for the
+lattice-oracle metric).
 """
 from __future__ import annotations
 
@@ -64,6 +80,53 @@ class Lattice:
                     reachable.add(nxt)
                     frontier.append(nxt)
         return (self.num_frames, len(words)) in reachable
+
+    def oracle_edits(self, transcript: Sequence[str],
+                     skip_silence: bool = True) -> int | None:
+        """Minimum word edit distance between `transcript` and any chain of
+        abutting arcs spanning frame 0 to num_frames (the lattice-oracle
+        metric: 0 means the truth is in the lattice).
+
+        DP over nodes (frame, ref words consumed): matching arcs cost 0,
+        substitution arcs cost 1, any arc may be an insertion (cost 1), a
+        ref word may be deleted at any node (cost 1), silence arcs are free
+        when skip_silence. Returns None when no chain spans the utterance
+        (disconnected lattice)."""
+        words = list(transcript)
+        n_ref = len(words)
+        by_start: Dict[int, List[LatticeArc]] = {}
+        for a in self.arcs:
+            by_start.setdefault(a.start, []).append(a)
+        frames = sorted({0, self.num_frames}
+                        | {a.start for a in self.arcs}
+                        | {a.end for a in self.arcs})
+        inf = float("inf")
+        cost = {(t, j): inf for t in frames for j in range(n_ref + 1)}
+        cost[(0, 0)] = 0.0
+        for t in frames:
+            # Deletions advance j at the same frame; relax in j order.
+            for j in range(n_ref):
+                c = cost[(t, j)]
+                if c + 1 < cost[(t, j + 1)]:
+                    cost[(t, j + 1)] = c + 1
+            for a in by_start.get(t, []):
+                for j in range(n_ref + 1):
+                    c = cost[(t, j)]
+                    if c == inf:
+                        continue
+                    if skip_silence and a.label == self.silence_label:
+                        steps = [(j, 0)]  # free pass-through
+                    else:
+                        steps = [(j, 1)]  # insertion
+                        if j < n_ref:
+                            steps.append(
+                                (j + 1, 0 if a.label == words[j] else 1)
+                            )
+                    for nj, add in steps:
+                        if c + add < cost[(a.end, nj)]:
+                            cost[(a.end, nj)] = c + add
+        best = cost[(self.num_frames, n_ref)]
+        return None if best == inf else int(best)
 
     def to_dot(self) -> str:
         """Graphviz rendering: nodes are frame indices, arcs are words."""
@@ -153,6 +216,156 @@ def nbest_lattice(composite, features, n: int = 8,
             LatticeArc(start=st, end=en, label=composite.labels[w],
                        score=float(sc))
             for (st, en, w), sc in best.items()
+        ],
+        silence_label=sil,
+    )
+
+
+def _lattice_passes_impl(log_b, trans, diag_init, is_entry, is_exit,
+                         word_of, lower_of_state, upper_of_state):
+    """Forward max-plus pass with word-entry-time carry + backward pass.
+
+    Returns (alphas (T, S), entry_times (T, S) i32, beta_entry (T,) —
+    best continuation score from any word-entry cell at each frame, and
+    score — the Viterbi total). alphas[t] includes the emission at t;
+    beta_entry[t] includes the emission at t (so a cross-word hop ending a
+    word at t scores alpha[t, exit] + penalty + beta_entry[t + 1])."""
+    import jax
+    import jax.numpy as jnp
+
+    t_total, s = log_b.shape
+    sidx = jnp.arange(s, dtype=jnp.int32)
+
+    alpha0 = jnp.where(is_entry, log_b[0] + diag_init, -jnp.inf)
+    et0 = jnp.zeros((s,), jnp.int32)
+
+    def fwd(carry, inputs):
+        alpha, et = carry
+        t, log_b_t = inputs
+        scores = alpha[:, None] + trans  # (S_from, S_to)
+        new_alpha = jnp.max(scores, axis=0) + log_b_t
+        bp = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        # A new word instance starts when the chosen predecessor lies in a
+        # different word, or on an exit->entry re-entry of the same word
+        # (the repeated-word rule, CompositeHMM.path_to_labels /
+        # reference model_boundary.py:131-135).
+        new_inst = (bp != sidx) & (
+            (word_of[bp] != word_of)
+            | ((bp == upper_of_state) & (sidx == lower_of_state))
+        )
+        new_et = jnp.where(new_inst, t, et[bp])
+        return (new_alpha, new_et), (new_alpha, new_et)
+
+    ts = jnp.arange(1, t_total, dtype=jnp.int32)
+    (_, _), (alphas, ets) = jax.lax.scan(
+        fwd, (alpha0, et0), (ts, log_b[1:])
+    )
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+    ets = jnp.concatenate([et0[None], ets], axis=0)
+
+    # Backward: beta[t, s] = best score over frames t+1.. from state s,
+    # terminating at a word-exit state (hidden_markov_model.py:566-571).
+    beta_last = jnp.where(is_exit, 0.0, -jnp.inf)
+
+    def bwd(beta, log_b_next):
+        # beta_em[s'] = emission at t+1 in state s' + continuation.
+        beta_em = log_b_next + beta
+        new_beta = jnp.max(trans + beta_em[None, :], axis=1)
+        return new_beta, beta_em
+
+    beta0, beta_ems = jax.lax.scan(
+        bwd, beta_last, log_b[1:], reverse=True
+    )  # beta_ems[i] is the emission-inclusive continuation at frame i+1
+    beta_em_full = jnp.concatenate(
+        [(log_b[0] + beta0)[None], beta_ems], axis=0
+    )  # (T, S): emission-inclusive continuation score AT each frame
+    beta_entry = jnp.max(
+        jnp.where(is_entry[None, :], beta_em_full, -jnp.inf), axis=1
+    )  # (T,)
+
+    score = jnp.max(jnp.where(is_exit, alphas[t_total - 1], -jnp.inf))
+    return alphas, ets, beta_entry, score
+
+
+def _lattice_passes(*args):
+    import jax
+
+    return jax.jit(_lattice_passes_impl)(*args)
+
+
+def forward_lattice(composite, features, beam: float = 50.0,
+                    log_b=None) -> Lattice:
+    """True forward lattice generation over word-end hypotheses.
+
+    For every (frame t, word w) the best complete-path score with w ending
+    at t is alpha[t, exit_w] (+ inter-word penalty + best continuation from
+    a word entry at t+1, except at the final frame where the utterance
+    terminates at the exit). Every word-end within `beam` of the Viterbi
+    best becomes an arc spanning [entry_time, t+1) — entry_time being the
+    start frame carried by the forward pass's best token into that cell, as
+    in classic token-passing lattice decoders. Unlike nbest_lattice the
+    candidate pool is ALL word-ends in the trellis, not the ends present in
+    an n-best list; like all Viterbi-style lattices, each (t, w) keeps its
+    single best start time.
+
+    log_b overrides the emissions (e.g. GMM densities, as in nbest_lattice).
+    """
+    import jax.numpy as jnp
+
+    from .viterbi import composite_transition_matrix
+
+    feats = np.asarray(features)
+    t_total = feats.shape[0]
+    if log_b is None:
+        log_b = composite.log_likelihoods(feats)
+    log_a = jnp.asarray(composite.log_a)
+    trans = composite_transition_matrix(
+        log_a, jnp.asarray(composite.lower_of_state),
+        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+        composite.penalty,
+    )
+    diag = jnp.diagonal(log_a)
+    diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
+    upper_of_state = composite.uppers[composite.word_of_state]
+    alphas, ets, beta_entry, score = _lattice_passes(
+        jnp.asarray(log_b), trans, diag_init,
+        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+        jnp.asarray(composite.word_of_state, dtype=jnp.int32),
+        jnp.asarray(composite.lower_of_state, dtype=jnp.int32),
+        jnp.asarray(upper_of_state, dtype=jnp.int32),
+    )
+    alphas = np.asarray(alphas)
+    ets = np.asarray(ets)
+    beta_entry = np.asarray(beta_entry)
+    best_total = float(score)
+
+    uppers = np.asarray(composite.uppers)
+    arcs: Dict[Tuple[int, int, int], float] = {}
+    for w, e in enumerate(uppers):
+        a_e = alphas[:, e]                      # (T,) best into word-end cell
+        st_e = ets[:, e]                        # (T,) that token's start frame
+        # Word ends mid-utterance via a cross-word hop at t+1...
+        sigma = np.full(t_total, -np.inf)
+        sigma[: t_total - 1] = (
+            a_e[: t_total - 1] + composite.penalty + beta_entry[1:]
+        )
+        # ...or by terminating the utterance at the exit state.
+        sigma[t_total - 1] = a_e[t_total - 1]
+        keep = np.flatnonzero(sigma >= best_total - beam)
+        for t in keep:
+            key = (int(st_e[t]), int(t) + 1, w)
+            sc = float(sigma[t])
+            prev = arcs.get(key)
+            if prev is None or sc > prev:
+                arcs[key] = sc
+    sil = composite.labels[composite._silence_word] \
+        if composite._silence_word is not None else None
+    return Lattice(
+        num_frames=t_total,
+        arcs=[
+            LatticeArc(start=st, end=en, label=composite.labels[w],
+                       score=sc)
+            for (st, en, w), sc in sorted(arcs.items())
         ],
         silence_label=sil,
     )

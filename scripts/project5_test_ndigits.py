@@ -7,6 +7,7 @@ from _common import run_main, base_parser, exact_accuracy, load_config, load_cor
 from cs304_tpu.models.decoder import ContinuousDecoder
 from cs304_tpu.ops.mfcc import mfcc_batch
 from cs304_tpu.reporting.csvnia import CSVWriter
+from cs304_tpu.reporting.metrics import corpus_wer
 from cs304_tpu.utils.checkpoint import load_models
 
 
@@ -42,6 +43,12 @@ def main() -> None:
         preds = decoder.predict_batch(mfcc_batch(clips, cfg.frontend.sample_rate))
         acc = exact_accuracy(truths, preds)
         print(f"{split_name} exact-sequence accuracy (n={args.n_digits}): {acc:.2%}")
+        stats = corpus_wer([(list(t), list(p)) for t, p in zip(truths, preds)])
+        print(
+            f"{split_name} WER: {stats['wer']:.2%} "
+            f"(sub {stats['substitutions']}, ins {stats['insertions']}, "
+            f"del {stats['deletions']} / {stats['ref_words']} words)"
+        )
         if args.csv_out:
             w = CSVWriter(["Ground Truth", "Predict"])
             for t, p in zip(truths, preds):

@@ -17,8 +17,15 @@ def main() -> None:
     parser.add_argument("--nbest", type=int, default=1,
                         help="print the N best hypotheses with scores")
     parser.add_argument("--lattice-dot", default=None, metavar="FILE",
-                        help="also write a pruned word lattice (from the "
-                             "n-best beams) as Graphviz DOT")
+                        help="also write a word lattice as Graphviz DOT")
+    parser.add_argument("--lattice-method", choices=("forward", "nbest"),
+                        default="forward",
+                        help="forward: true lattice generation over all "
+                             "word-end hypotheses in --lattice-beam; "
+                             "nbest: arcs from the n-best paths only")
+    parser.add_argument("--lattice-beam", type=float, default=50.0,
+                        help="score beam (nats below the best path) for "
+                             "--lattice-method forward")
     parser.add_argument("--high", type=float, default=128.0)
     parser.add_argument("--low", type=float, default=16.0)
     parser.add_argument("--silence-duration", type=float, default=0.2)
@@ -39,7 +46,7 @@ def main() -> None:
         else:
             print("decoded:", decoder.predict(feats[0]))
         if args.lattice_dot:
-            from cs304_tpu.ops.lattice import nbest_lattice
+            from cs304_tpu.ops.lattice import forward_lattice, nbest_lattice
 
             log_b = None
             if decoder._gmm is not None:
@@ -53,9 +60,16 @@ def main() -> None:
                                     jnp.asarray(weights)),
                     jnp.asarray(feats[0]),
                 )
-            lat = nbest_lattice(
-                decoder.composite, feats[0], n=max(args.nbest, 8), log_b=log_b
-            )
+            if args.lattice_method == "forward":
+                lat = forward_lattice(
+                    decoder.composite, feats[0], beam=args.lattice_beam,
+                    log_b=log_b,
+                )
+            else:
+                lat = nbest_lattice(
+                    decoder.composite, feats[0], n=max(args.nbest, 8),
+                    log_b=log_b,
+                )
             with open(args.lattice_dot, "w") as f:
                 f.write(lat.to_dot())
             print(f"lattice: {len(lat.arcs)} arcs -> {args.lattice_dot}")

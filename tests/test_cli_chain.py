@@ -28,7 +28,7 @@ def run_script(name, *args, tmp):
     proc = subprocess.run(
         [sys.executable, os.path.join(SCRIPTS, name), *args,
          "--log-file", os.path.join(tmp, "runtime.log")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
     )
     assert proc.returncode == 0, (
         f"{name} rc={proc.returncode}\nstdout:\n{proc.stdout[-3000:]}"

@@ -104,3 +104,119 @@ def test_lattice_gmm_emissions(rng):
     log_b = gmm_log_pdf(params, jnp.asarray(feats))
     lat = nbest_lattice(dec.composite, feats, n=4, log_b=log_b)
     assert lat.contains(list(dec.predict(feats)))
+
+
+def test_forward_lattice_contains_and_scores(rng, composite):
+    """True lattice generation: the 1-best chain is contained, oracle edit
+    distance to it is 0, and the best arc score equals the Viterbi total."""
+    from cs304_tpu.ops.lattice import forward_lattice
+
+    feats = (rng.normal(size=(40, 4)) * 2).astype(np.float32)
+    log_b = composite.log_likelihoods(feats)
+    score, path = viterbi_composite(
+        log_b, jnp.asarray(composite.log_a),
+        jnp.asarray(composite.lower_of_state), jnp.asarray(composite.is_entry),
+        jnp.asarray(composite.is_exit), composite.penalty,
+        quirk_backtrace=False,
+    )
+    one_best = composite.path_to_labels(np.asarray(path), skip_silence=True)
+    lat = forward_lattice(composite, feats, beam=30.0)
+    assert lat.contains(one_best)
+    assert lat.oracle_edits(one_best) == 0
+    assert np.isclose(max(a.score for a in lat.arcs), float(score), rtol=1e-5)
+    for a in lat.arcs:
+        assert 0 <= a.start < a.end <= 40
+        assert a.score <= float(score) + 1e-3  # complete-path scores only
+
+
+def test_forward_lattice_has_best_path_arcs(rng, composite):
+    """Every word span of the Viterbi path is an arc scoring the Viterbi
+    total (the 1-best rides the lattice at full score)."""
+    from cs304_tpu.ops.lattice import forward_lattice
+
+    feats = (rng.normal(size=(36, 4)) * 2).astype(np.float32)
+    log_b = composite.log_likelihoods(feats)
+    score, path = viterbi_composite(
+        log_b, jnp.asarray(composite.log_a),
+        jnp.asarray(composite.lower_of_state), jnp.asarray(composite.is_entry),
+        jnp.asarray(composite.is_exit), composite.penalty,
+        quirk_backtrace=False,
+    )
+    lat = forward_lattice(composite, feats, beam=25.0)
+    arcset = {(a.start, a.end, a.label): a.score for a in lat.arcs}
+    for st, en, w in path_word_spans(composite, np.asarray(path)):
+        key = (st, en, composite.labels[w])
+        assert key in arcset, f"best-path span {key} missing"
+        assert np.isclose(arcset[key], float(score), rtol=1e-4)
+
+
+def test_forward_lattice_beam_monotone(rng, composite):
+    from cs304_tpu.ops.lattice import forward_lattice
+
+    feats = (rng.normal(size=(32, 4)) * 2).astype(np.float32)
+    narrow = forward_lattice(composite, feats, beam=5.0)
+    wide = forward_lattice(composite, feats, beam=40.0)
+    nk = {(a.start, a.end, a.label) for a in narrow.arcs}
+    wk = {(a.start, a.end, a.label) for a in wide.arcs}
+    assert nk <= wk
+    assert len(wk) > len(nk)  # a 35-nat-wider beam must admit more word-ends
+
+
+def test_forward_lattice_gmm_emissions(rng):
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+    from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
+    from cs304_tpu.ops.lattice import forward_lattice
+
+    def mk(label, s, k=2):
+        a = rng.normal(size=(s, k, 4, 2)).astype(np.float32)
+        covs = a @ a.transpose(0, 1, 3, 2) + np.eye(4, dtype=np.float32)
+        return GMMWordHMM(
+            label=label,
+            means=rng.normal(size=(s, k, 4)).astype(np.float32) * 3,
+            covariances=covs,
+            weights=np.full((s, k), 1.0 / k, np.float32),
+            log_a=uniform_forward_log_a(s),
+        )
+
+    models = {m.label: m for m in (mk("A", 3), mk("B", 3), mk("S", 2))}
+    feats = (rng.normal(size=(30, 4)) * 2).astype(np.float32)
+    dec = ContinuousDecoder(models, penalty=-4.0)
+    means, covs, weights = dec._gmm
+    params = make_gmm_params(
+        jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
+    )
+    log_b = gmm_log_pdf(params, jnp.asarray(feats))
+    lat = forward_lattice(dec.composite, feats, beam=30.0, log_b=log_b)
+    assert lat.contains(list(dec.predict(feats)))
+
+
+def test_oracle_edits_counts(rng, composite):
+    """oracle_edits measures word edits against the best lattice chain."""
+    from cs304_tpu.ops.lattice import Lattice, LatticeArc, forward_lattice
+
+    # Hand-built two-word lattice: A[0,10) then (B|A)[10,20).
+    lat = Lattice(num_frames=20, arcs=[
+        LatticeArc(0, 10, "A", -1.0),
+        LatticeArc(10, 20, "B", -2.0),
+        LatticeArc(10, 20, "A", -3.0),
+    ], silence_label="S")
+    assert lat.oracle_edits(["A", "B"]) == 0
+    assert lat.oracle_edits(["A", "A"]) == 0      # via the alternative arc
+    assert lat.oracle_edits(["B", "B"]) == 1      # one substitution
+    assert lat.oracle_edits(["A"]) == 1           # one insertion forced
+    assert lat.oracle_edits(["A", "B", "A"]) == 1  # one deletion
+    assert lat.oracle_edits([]) == 2
+    # Disconnected lattice: no chain spans the utterance.
+    gap = Lattice(num_frames=20, arcs=[LatticeArc(0, 8, "A", -1.0)])
+    assert gap.oracle_edits(["A"]) is None
+
+    # On a real lattice the oracle can only improve with beam width.
+    feats = (rng.normal(size=(32, 4)) * 2).astype(np.float32)
+    wide = forward_lattice(composite, feats, beam=40.0)
+    narrow = forward_lattice(composite, feats, beam=5.0)
+    truth = ["A", "B"]
+    w_edits = wide.oracle_edits(truth)
+    n_edits = narrow.oracle_edits(truth)
+    if w_edits is not None and n_edits is not None:
+        assert w_edits <= n_edits

@@ -16,7 +16,7 @@ def test_script_help(script):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, script, "--help"],
-        capture_output=True, text=True, timeout=120, env=env,
+        capture_output=True, text=True, timeout=300, env=env,
         cwd=os.path.dirname(script),
     )
     assert proc.returncode == 0, proc.stderr[-800:]

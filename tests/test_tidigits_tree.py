@@ -111,7 +111,7 @@ def test_project3_scripts_on_tree(tidigits_root, tmp_path):
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", cmd[0]),
              *cmd[1:], "--log-file", str(tmp_path / "runtime.log")],
-            capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
         )
         assert proc.returncode == 0, (
             f"{cmd[0]} rc={proc.returncode}\n{proc.stdout[-2000:]}"
