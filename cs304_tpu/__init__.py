@@ -68,6 +68,9 @@ _EXPORTS = {
     "Lattice": ".ops.lattice",
     "nbest_lattice": ".ops.lattice",
     "forward_lattice": ".ops.lattice",
+    "WordBigram": ".ops.lm",
+    "train_word_bigram": ".ops.lm",
+    "rescore_nbest": ".ops.lm",
     "wer": ".reporting.metrics",
     "corpus_wer": ".reporting.metrics",
     "edit_ops": ".reporting.metrics",

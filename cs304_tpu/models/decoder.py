@@ -39,6 +39,8 @@ class ContinuousDecoder:
         penalty: float = DEFAULT_WORD_PENALTY,
         sort_labels: bool = True,
         backend: str = "fast",
+        bigram=None,
+        lm_weight: float = 1.0,
     ) -> None:
         if isinstance(models, dict):
             models = list(models.values())
@@ -48,7 +50,15 @@ class ContinuousDecoder:
             models = sorted(models, key=lambda m: m.label)
         if backend not in ("scan", "fast", "pallas", "scanfree"):
             raise ValueError(f"unknown backend {backend!r}")
+        if bigram is not None and backend != "scan":
+            # Per-pair penalties live in the dense transition matrix; the
+            # banded/Pallas backends exploit the one-shared-penalty structure
+            # (best_exit + flat penalty) and cannot express them.
+            logger.info("bigram LM decoding uses the dense scan backend")
+            backend = "scan"
         self.backend = backend
+        self._bigram = bigram
+        self._lm_weight = lm_weight
 
         from .gmm_hmm import GMMWordHMM
 
@@ -67,6 +77,18 @@ class ContinuousDecoder:
     @penalty.setter
     def penalty(self, value: float) -> None:
         self.composite.penalty = value
+
+    def _penalty_arg(self):
+        """Scalar flat penalty, or the (S, S) per-pair LM penalty matrix
+        (ops/lm.pair_penalty_matrix) when a bigram LM is attached — the
+        dense composite transition matrix broadcasts either form."""
+        if self._bigram is not None:
+            from ..ops.lm import pair_penalty_matrix
+
+            return jnp.asarray(pair_penalty_matrix(
+                self.composite, self._bigram, self._lm_weight,
+            ))
+        return jnp.float32(self.composite.penalty)
 
     def predict(self, features, skip_silence: bool = True) -> str:
         return self.predict_batch([np.asarray(features)], skip_silence)[0]
@@ -133,7 +155,7 @@ class ContinuousDecoder:
                 jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights),
                 jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
                 jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
-                jnp.float32(c.penalty),
+                self._penalty_arg(),
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
                 self.backend,
             )
@@ -141,7 +163,7 @@ class ContinuousDecoder:
             jnp.asarray(c.means), jnp.asarray(c.covariances),
             jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
             jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
-            jnp.float32(c.penalty),
+            self._penalty_arg(),
             jnp.asarray(padded.data), jnp.asarray(padded.lengths),
             self.backend,
         )
@@ -193,7 +215,7 @@ class ContinuousDecoder:
                 jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights),
                 jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
                 jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
-                jnp.float32(c.penalty),
+                self._penalty_arg(),
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
                 self.backend,
             )
@@ -205,7 +227,7 @@ class ContinuousDecoder:
                 jnp.asarray(c.lower_of_state),
                 jnp.asarray(c.is_entry),
                 jnp.asarray(c.is_exit),
-                jnp.float32(c.penalty),
+                self._penalty_arg(),
                 jnp.asarray(padded.data),
                 jnp.asarray(padded.lengths),
                 self.backend,

@@ -17,13 +17,32 @@ def main() -> None:
     parser.add_argument("--no-silence", action="store_true")
     parser.add_argument("--csv-out", default=None)
     parser.add_argument("--max-per-label", type=int, default=None)
+    parser.add_argument("--bigram-lm", action="store_true",
+                        help="decode with a word-bigram LM trained on the "
+                             "training split's transcripts (per-pair "
+                             "inter-word penalties in the composite trellis)")
+    parser.add_argument("--lm-weight", type=float, default=1.0)
     args = parser.parse_args()
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
     models = load_models(cfg.checkpoint_dir)
     if args.no_silence:
         models = {l: m for l, m in models.items() if l != "S"}
-    decoder = ContinuousDecoder(models, penalty=cfg.decode.word_penalty)
+    bigram = None
+    if args.bigram_lm:
+        from cs304_tpu.ops.lm import train_word_bigram
+
+        with_sil = "S" in models
+        transcripts = sorted(corpus.train_dataset.labels)
+        bigram = train_word_bigram(
+            transcripts, sorted(models), insert_silence=with_sil,
+        )
+        print(f"bigram LM: {len(transcripts)} training transcripts, "
+              f"vocab {sorted(models)}, lm_weight {args.lm_weight}")
+    decoder = ContinuousDecoder(
+        models, penalty=cfg.decode.word_penalty,
+        bigram=bigram, lm_weight=args.lm_weight,
+    )
 
     for split_name, dataset in (
         ("train", corpus.train_dataset),
