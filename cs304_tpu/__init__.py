@@ -68,6 +68,8 @@ _EXPORTS = {
     "Lattice": ".ops.lattice",
     "nbest_lattice": ".ops.lattice",
     "forward_lattice": ".ops.lattice",
+    "word_confidences": ".ops.lattice",
+    "word_end_log_posteriors": ".ops.lattice",
     "WordBigram": ".ops.lm",
     "train_word_bigram": ".ops.lm",
     "rescore_nbest": ".ops.lm",

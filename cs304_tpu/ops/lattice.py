@@ -293,6 +293,130 @@ def _lattice_passes(*args):
     return jax.jit(_lattice_passes_impl)(*args)
 
 
+def _sum_passes_impl(log_b, trans, diag_init, is_entry, is_exit):
+    """Sum-semiring (logsumexp) forward/backward over the composite trellis.
+
+    Same recursion shape as _lattice_passes_impl with max replaced by
+    logaddexp: alphas[t, s] = log sum over all paths reaching s at t,
+    beta_em[t, s] = log sum over all continuations from s at t (emission at
+    t included), log_z = log of the total path measure (terminating at word
+    exits, hidden_markov_model.py:566-571). The measure is the decoder's
+    unnormalized one — transition rows plus the flat inter-word penalty do
+    not sum to 1 — which is the standard measure for lattice posteriors.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.nn import logsumexp
+
+    t_total, _s = log_b.shape
+    alpha0 = jnp.where(is_entry, log_b[0] + diag_init, -jnp.inf)
+
+    def fwd(alpha, log_b_t):
+        new_alpha = logsumexp(alpha[:, None] + trans, axis=0) + log_b_t
+        return new_alpha, new_alpha
+
+    _, alphas = jax.lax.scan(fwd, alpha0, log_b[1:])
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+
+    beta_last = jnp.where(is_exit, 0.0, -jnp.inf)
+
+    def bwd(beta, log_b_next):
+        beta_em = log_b_next + beta
+        new_beta = logsumexp(trans + beta_em[None, :], axis=1)
+        return new_beta, beta_em
+
+    beta0, beta_ems = jax.lax.scan(bwd, beta_last, log_b[1:], reverse=True)
+    beta_em_full = jnp.concatenate(
+        [(log_b[0] + beta0)[None], beta_ems], axis=0
+    )
+    beta_entry = logsumexp(
+        jnp.where(is_entry[None, :], beta_em_full, -jnp.inf), axis=1
+    )
+    log_z = logsumexp(jnp.where(is_exit, alphas[t_total - 1], -jnp.inf))
+    return alphas, beta_entry, log_z
+
+
+def word_end_log_posteriors(composite, features, log_b=None) -> np.ndarray:
+    """(T, W) log P(word w ends at frame t | X) under the decoder's measure.
+
+    A word ends at t either by a cross-word hop at t+1 (exit state mass x
+    penalty x all entry continuations) or, at the final frame, by
+    terminating the utterance at its exit. At any single frame the events
+    are mutually exclusive across words, so each row's probabilities sum to
+    at most 1 (exactly the probability that SOME word ends at t). This is
+    the sum-semiring counterpart of forward_lattice's arc scores and the
+    basis of the word confidences below.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .viterbi import composite_transition_matrix
+
+    feats = np.asarray(features)
+    t_total = feats.shape[0]
+    if log_b is None:
+        log_b = composite.log_likelihoods(feats)
+    log_a = jnp.asarray(composite.log_a)
+    trans = composite_transition_matrix(
+        log_a, jnp.asarray(composite.lower_of_state),
+        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+        composite.penalty,
+    )
+    diag = jnp.diagonal(log_a)
+    diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
+    alphas, beta_entry, log_z = jax.jit(_sum_passes_impl)(
+        jnp.asarray(log_b), trans, diag_init,
+        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+    )
+    alphas = np.asarray(alphas)
+    beta_entry = np.asarray(beta_entry)
+    log_z = float(log_z)
+
+    uppers = np.asarray(composite.uppers)
+    lam = np.full((t_total, len(uppers)), -np.inf)
+    a_exit = alphas[:, uppers]                       # (T, W)
+    lam[: t_total - 1] = (
+        a_exit[: t_total - 1] + composite.penalty
+        + beta_entry[1:, None] - log_z
+    )
+    lam[t_total - 1] = a_exit[t_total - 1] - log_z
+    return lam
+
+
+def word_confidences(composite, features, log_b=None,
+                     skip_silence: bool = True):
+    """Decode the 1-best and attach a posterior confidence to each word:
+    [(label, start_frame, end_frame, confidence)].
+
+    Confidence of a word spanning [start, end) is the posterior probability
+    that this word ends at frame end-1 (word_end_log_posteriors) — the
+    slightly conservative event-level confidence standard for Viterbi
+    systems (it does not marginalize over alternative start frames).
+    """
+    import jax.numpy as jnp
+
+    from .viterbi import viterbi_composite
+
+    feats = np.asarray(features)
+    if log_b is None:
+        log_b = composite.log_likelihoods(feats)
+    _score, path = viterbi_composite(
+        jnp.asarray(log_b), jnp.asarray(composite.log_a),
+        jnp.asarray(composite.lower_of_state),
+        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+        composite.penalty, quirk_backtrace=False,
+    )
+    lam = word_end_log_posteriors(composite, feats, log_b=log_b)
+    out = []
+    for st, en, w in path_word_spans(composite, np.asarray(path)):
+        if skip_silence and composite._silence_word is not None \
+                and w == composite._silence_word:
+            continue
+        conf = float(np.exp(min(lam[en - 1, w], 0.0)))
+        out.append((composite.labels[w], st, en, conf))
+    return out
+
+
 def forward_lattice(composite, features, beam: float = 50.0,
                     log_b=None) -> Lattice:
     """True forward lattice generation over word-end hypotheses.

@@ -16,6 +16,10 @@ def main() -> None:
     parser.add_argument("--wav", default=None, help="decode this WAV instead of the mic")
     parser.add_argument("--nbest", type=int, default=1,
                         help="print the N best hypotheses with scores")
+    parser.add_argument("--confidence", action="store_true",
+                        help="print per-word posterior confidences "
+                             "(sum-semiring forward/backward over the "
+                             "composite trellis)")
     parser.add_argument("--lattice-dot", default=None, metavar="FILE",
                         help="also write a word lattice as Graphviz DOT")
     parser.add_argument("--lattice-method", choices=("forward", "nbest"),
@@ -45,21 +49,29 @@ def main() -> None:
                 print(f"{score:12.2f}  {text}")
         else:
             print("decoded:", decoder.predict(feats[0]))
+        log_b = None
+        if decoder._gmm is not None and (args.confidence or args.lattice_dot):
+            import jax.numpy as jnp
+
+            from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
+
+            means, covs, weights = decoder._gmm
+            log_b = gmm_log_pdf(
+                make_gmm_params(jnp.asarray(means), jnp.asarray(covs),
+                                jnp.asarray(weights)),
+                jnp.asarray(feats[0]),
+            )
+        if args.confidence:
+            from cs304_tpu.ops.lattice import word_confidences
+
+            for label, st, en, conf in word_confidences(
+                decoder.composite, feats[0], log_b=log_b
+            ):
+                print(f"  {label}  frames [{st:4d},{en:4d})  "
+                      f"confidence {conf:.3f}")
         if args.lattice_dot:
             from cs304_tpu.ops.lattice import forward_lattice, nbest_lattice
 
-            log_b = None
-            if decoder._gmm is not None:
-                import jax.numpy as jnp
-
-                from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
-
-                means, covs, weights = decoder._gmm
-                log_b = gmm_log_pdf(
-                    make_gmm_params(jnp.asarray(means), jnp.asarray(covs),
-                                    jnp.asarray(weights)),
-                    jnp.asarray(feats[0]),
-                )
             if args.lattice_method == "forward":
                 lat = forward_lattice(
                     decoder.composite, feats[0], beam=args.lattice_beam,

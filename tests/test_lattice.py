@@ -220,3 +220,62 @@ def test_oracle_edits_counts(rng, composite):
     n_edits = narrow.oracle_edits(truth)
     if w_edits is not None and n_edits is not None:
         assert w_edits <= n_edits
+
+
+def test_word_end_posteriors_are_probabilities(rng, composite):
+    """At any frame the word-end events are mutually exclusive: each row of
+    exp(posteriors) sums to at most 1; every entry is a probability."""
+    from cs304_tpu.ops.lattice import word_end_log_posteriors
+
+    feats = (rng.normal(size=(40, 4)) * 2).astype(np.float32)
+    lam = word_end_log_posteriors(composite, feats)
+    assert lam.shape == (40, 3)
+    p = np.exp(lam)
+    assert (p >= 0).all() and (p <= 1 + 1e-5).all()
+    assert (p.sum(axis=1) <= 1 + 1e-4).all()
+
+
+def test_word_confidences_match_decode(rng, composite):
+    from cs304_tpu.ops.lattice import word_confidences
+
+    feats = (rng.normal(size=(40, 4)) * 2).astype(np.float32)
+    log_b = composite.log_likelihoods(feats)
+    _score, path = viterbi_composite(
+        log_b, jnp.asarray(composite.log_a),
+        jnp.asarray(composite.lower_of_state), jnp.asarray(composite.is_entry),
+        jnp.asarray(composite.is_exit), composite.penalty,
+        quirk_backtrace=False,
+    )
+    want = composite.path_to_labels(np.asarray(path), skip_silence=True)
+    got = word_confidences(composite, feats)
+    assert [label for label, _s, _e, _c in got] == want
+    for _label, st, en, conf in got:
+        assert 0 <= st < en <= 40
+        assert 0.0 <= conf <= 1.0
+
+
+def test_confident_on_separated_acoustics(rng):
+    """When the acoustics match one word sequence overwhelmingly, every
+    decoded word's posterior confidence approaches 1."""
+    from cs304_tpu.ops.lattice import word_confidences
+
+    d = 4
+    def mk(label, center):
+        means = np.stack([np.full(d, center + 10.0 * k) for k in range(3)])
+        return WordHMM(
+            label=label, means=means.astype(np.float32),
+            covariances=np.tile(np.eye(d, dtype=np.float32), (3, 1, 1)),
+            log_a=uniform_forward_log_a(3),
+        )
+
+    comp = stack_word_models([mk("A", 0.0), mk("B", 100.0)], penalty=-2.0)
+    # Trajectory: word A states 0,1,2 then word B states 0,1,2 (4 frames each).
+    traj = [0.0, 10.0, 20.0, 100.0, 110.0, 120.0]
+    feats = np.concatenate([
+        np.full((4, d), c, np.float32) + rng.normal(size=(4, d)).astype(np.float32) * 0.05
+        for c in traj
+    ])
+    confs = word_confidences(comp, feats)
+    assert [label for label, _s, _e, _c in confs] == ["A", "B"]
+    for _label, _s, _e, conf in confs:
+        assert conf > 0.95, confs
