@@ -92,7 +92,10 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
         final_models = gtr.models()
     decoder = ContinuousDecoder(final_models, penalty=penalty)
 
+    from cs304_tpu.reporting.metrics import corpus_wer
+
     results = {"embedded_iterations": iters}
+    wer_pairs = {"train": [], "test": []}
     for n in (2, 4, 7):
         for split, ds in (("train", corpus.train_dataset),
                           ("test", corpus.test_dataset)):
@@ -104,6 +107,11 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
             preds = decoder.predict_batch(mfcc_batch(clips))
             acc = float(np.mean([p == t for p, t in zip(preds, truths)]))
             results[f"exact_seq_acc_n{n}_{split}"] = round(acc, 4)
+            wer_pairs[split] += [
+                (list(t), list(p)) for t, p in zip(truths, preds)
+            ]
+    for split, pairs in wer_pairs.items():
+        results[f"wer_{split}"] = round(corpus_wer(pairs)["wer"], 4)
     return results
 
 
@@ -137,9 +145,9 @@ def main() -> None:
     if args.no_gates:
         return
     test_accs = [v for k, v in results.items() if k.endswith("_test")
-                 and isinstance(v, float)]
+                 and k.startswith("exact_seq") and isinstance(v, float)]
     train_accs = [v for k, v in results.items() if k.endswith("_train")
-                  and isinstance(v, float)]
+                  and k.startswith("exact_seq") and isinstance(v, float)]
     overall_test = float(np.mean(test_accs))
     overall_train = float(np.mean(train_accs))
     assert overall_test >= GATE_TEST, (

@@ -333,7 +333,58 @@ def _sum_passes_impl(log_b, trans, diag_init, is_entry, is_exit):
         jnp.where(is_entry[None, :], beta_em_full, -jnp.inf), axis=1
     )
     log_z = logsumexp(jnp.where(is_exit, alphas[t_total - 1], -jnp.inf))
-    return alphas, beta_entry, log_z
+    return alphas, beta_em_full, beta_entry, log_z
+
+
+def _sum_quantities(composite, features, log_b=None):
+    """Run the sum-semiring passes; returns (log_b, alphas, beta_em,
+    beta_entry, log_z) as numpy, with log_b materialized."""
+    import jax
+    import jax.numpy as jnp
+
+    from .viterbi import composite_transition_matrix
+
+    feats = np.asarray(features)
+    if log_b is None:
+        log_b = composite.log_likelihoods(feats)
+    log_a = jnp.asarray(composite.log_a)
+    trans = composite_transition_matrix(
+        log_a, jnp.asarray(composite.lower_of_state),
+        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+        composite.penalty,
+    )
+    diag = jnp.diagonal(log_a)
+    diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
+    alphas, beta_em, beta_entry, log_z = jax.jit(_sum_passes_impl)(
+        jnp.asarray(log_b), trans, diag_init,
+        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+    )
+    return (np.asarray(log_b), np.asarray(alphas), np.asarray(beta_em),
+            np.asarray(beta_entry), float(log_z))
+
+
+def word_occupancy_posteriors(composite, features, log_b=None) -> np.ndarray:
+    """(T, W) exact frame-level word posteriors: P(frame t lies in word w).
+
+    State occupancies gamma[t, s] = alpha[t, s] + beta[t, s] - log Z (the
+    emission at t appears in both passes, so it is subtracted once), summed
+    over each word's states. Every path occupies exactly one state per
+    frame, so each row sums to exactly 1 — the invariant the tests pin.
+    Useful for keyword spotting, confusion-network-style consensus, and
+    alignment visualization.
+    """
+    feats = np.asarray(features)
+    log_b_np, alphas, beta_em, _beta_entry, log_z = _sum_quantities(
+        composite, feats, log_b=log_b
+    )
+    log_gamma = alphas + beta_em - log_b_np - log_z  # (T, S)
+    gamma = np.exp(np.minimum(log_gamma, 0.0))
+    word_of = np.asarray(composite.word_of_state)
+    w = len(composite.labels)
+    out = np.zeros((gamma.shape[0], w), gamma.dtype)
+    for wi in range(w):
+        out[:, wi] = gamma[:, word_of == wi].sum(axis=1)
+    return out
 
 
 def word_end_log_posteriors(composite, features, log_b=None) -> np.ndarray:
@@ -347,31 +398,11 @@ def word_end_log_posteriors(composite, features, log_b=None) -> np.ndarray:
     the sum-semiring counterpart of forward_lattice's arc scores and the
     basis of the word confidences below.
     """
-    import jax
-    import jax.numpy as jnp
-
-    from .viterbi import composite_transition_matrix
-
     feats = np.asarray(features)
     t_total = feats.shape[0]
-    if log_b is None:
-        log_b = composite.log_likelihoods(feats)
-    log_a = jnp.asarray(composite.log_a)
-    trans = composite_transition_matrix(
-        log_a, jnp.asarray(composite.lower_of_state),
-        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
-        composite.penalty,
+    _log_b, alphas, _beta_em, beta_entry, log_z = _sum_quantities(
+        composite, feats, log_b=log_b
     )
-    diag = jnp.diagonal(log_a)
-    diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
-    alphas, beta_entry, log_z = jax.jit(_sum_passes_impl)(
-        jnp.asarray(log_b), trans, diag_init,
-        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
-    )
-    alphas = np.asarray(alphas)
-    beta_entry = np.asarray(beta_entry)
-    log_z = float(log_z)
-
     uppers = np.asarray(composite.uppers)
     lam = np.full((t_total, len(uppers)), -np.inf)
     a_exit = alphas[:, uppers]                       # (T, W)

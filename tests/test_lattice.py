@@ -279,3 +279,42 @@ def test_confident_on_separated_acoustics(rng):
     assert [label for label, _s, _e, _c in confs] == ["A", "B"]
     for _label, _s, _e, conf in confs:
         assert conf > 0.95, confs
+
+
+def test_word_occupancy_rows_sum_to_one(rng, composite):
+    """Every path occupies exactly one state per frame, so the per-frame
+    word occupancies must sum to exactly 1."""
+    from cs304_tpu.ops.lattice import word_occupancy_posteriors
+
+    feats = (rng.normal(size=(40, 4)) * 2).astype(np.float32)
+    occ = word_occupancy_posteriors(composite, feats)
+    assert occ.shape == (40, 3)
+    assert (occ >= -1e-6).all() and (occ <= 1 + 1e-4).all()
+    np.testing.assert_allclose(occ.sum(axis=1), 1.0, rtol=2e-4)
+
+
+def test_word_occupancy_tracks_separated_acoustics(rng):
+    """On sharply separated acoustics the occupancy follows the true word."""
+    from cs304_tpu.ops.lattice import word_occupancy_posteriors
+
+    d = 4
+    def mk(label, center):
+        means = np.stack([np.full(d, center + 10.0 * k) for k in range(3)])
+        return WordHMM(
+            label=label, means=means.astype(np.float32),
+            covariances=np.tile(np.eye(d, dtype=np.float32), (3, 1, 1)),
+            log_a=uniform_forward_log_a(3),
+        )
+
+    comp = stack_word_models([mk("A", 0.0), mk("B", 100.0)], penalty=-2.0)
+    traj = [0.0, 10.0, 20.0, 100.0, 110.0, 120.0]
+    feats = np.concatenate([
+        np.full((4, d), c, np.float32)
+        + rng.normal(size=(4, d)).astype(np.float32) * 0.05
+        for c in traj
+    ])
+    occ = word_occupancy_posteriors(comp, feats)
+    a_idx = comp.labels.index("A")
+    b_idx = comp.labels.index("B")
+    assert (occ[:12, a_idx] > 0.95).all()   # first half lives in word A
+    assert (occ[12:, b_idx] > 0.95).all()   # second half in word B
