@@ -69,6 +69,8 @@ _EXPORTS = {
     "nbest_lattice": ".ops.lattice",
     "forward_lattice": ".ops.lattice",
     "word_confidences": ".ops.lattice",
+    "word_confidences_batch": ".ops.lattice",
+    "word_occupancy_posteriors": ".ops.lattice",
     "word_end_log_posteriors": ".ops.lattice",
     "WordBigram": ".ops.lm",
     "train_word_bigram": ".ops.lm",

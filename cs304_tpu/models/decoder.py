@@ -123,6 +123,32 @@ class ContinuousDecoder:
         if pending is not None:
             yield self._consume(*pending, skip_silence)
 
+    def predict_batch_with_confidence(
+        self, features: Sequence[np.ndarray], skip_silence: bool = True
+    ):
+        """Batched decode with per-word posterior confidences:
+        [[(label, start, end, confidence), ...] per utterance]
+        (ops/lattice.word_confidences_batch — one vmapped max-plus decode +
+        one vmapped sum-semiring pass). GMM-aware. Confidences are computed
+        under the flat-penalty measure (an attached bigram LM affects
+        predict/predict_batch but not these posteriors)."""
+        from ..ops.lattice import word_confidences_batch
+
+        log_b = None
+        if self._gmm is not None:
+            from ..ops.gaussian import gmm_log_pdf, make_gmm_params
+
+            means, covs, weights = self._gmm
+            params = make_gmm_params(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
+            )
+            log_b = [
+                gmm_log_pdf(params, jnp.asarray(f)) for f in features
+            ]
+        return word_confidences_batch(
+            self.composite, features, log_b=log_b, skip_silence=skip_silence
+        )
+
     def predict_nbest(self, features, n: int = 4, beam_k: int | None = None):
         """N-best word strings for one utterance: [(score, text), ...].
 

@@ -336,6 +336,132 @@ def _sum_passes_impl(log_b, trans, diag_init, is_entry, is_exit):
     return alphas, beta_em_full, beta_entry, log_z
 
 
+def _sum_passes_masked(log_b, trans, diag_init, is_entry, is_exit, length):
+    """Length-masked sum-semiring passes for one padded utterance.
+
+    Forward steps at t >= length freeze the carry (as _scan_trellis does);
+    the backward recursion re-seeds the terminal condition AT t == length-1
+    (exit states only), so padding frames never contaminate live ones.
+    Emitted rows at t >= length are garbage by construction — callers read
+    only frames < length. Requires length >= 2.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.nn import logsumexp
+
+    t_total, _s = log_b.shape
+    length = jnp.asarray(length, jnp.int32)
+    alpha0 = jnp.where(is_entry, log_b[0] + diag_init, -jnp.inf)
+
+    def fwd(alpha, inputs):
+        t, log_b_t = inputs
+        new_alpha = logsumexp(alpha[:, None] + trans, axis=0) + log_b_t
+        alpha = jnp.where(t < length, new_alpha, alpha)
+        return alpha, alpha
+
+    ts = jnp.arange(1, t_total, dtype=jnp.int32)
+    alpha_last, alphas = jax.lax.scan(fwd, alpha0, (ts, log_b[1:]))
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+
+    beta_terminal = jnp.where(is_exit, 0.0, -jnp.inf)
+
+    def bwd(beta, inputs):
+        t, log_b_t = inputs
+        beta_here = jnp.where(t == length - 1, beta_terminal, beta)
+        beta_em = log_b_t + beta_here
+        new_beta = logsumexp(trans + beta_em[None, :], axis=1)
+        return new_beta, beta_em
+
+    beta0, beta_ems = jax.lax.scan(
+        bwd, beta_terminal, (ts, log_b[1:]), reverse=True
+    )
+    beta_em_full = jnp.concatenate(
+        [(log_b[0] + beta0)[None], beta_ems], axis=0
+    )
+    beta_entry = logsumexp(
+        jnp.where(is_entry[None, :], beta_em_full, -jnp.inf), axis=1
+    )
+    log_z = logsumexp(jnp.where(is_exit, alpha_last, -jnp.inf))
+    return alphas, beta_em_full, beta_entry, log_z
+
+
+def word_confidences_batch(composite, features, log_b=None,
+                           skip_silence: bool = True):
+    """Batched word_confidences: one vmapped program for the max-plus
+    decode and one for the masked sum-semiring passes over a ragged list
+    of utterances. Returns a list (per utterance) of
+    (label, start_frame, end_frame, confidence) lists, identical to
+    calling word_confidences per utterance.
+
+    log_b optionally overrides the emissions as a ragged list (e.g. GMM
+    densities per utterance).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .viterbi import composite_transition_matrix, viterbi_composite_batch
+
+    feats = [np.asarray(f) for f in features]
+    lengths = np.asarray([f.shape[0] for f in feats], np.int32)
+    if (lengths < 2).any():
+        raise ValueError("word_confidences_batch needs utterances of >= 2 frames")
+    t_max = int(lengths.max())
+    if log_b is None:
+        log_b_list = [np.asarray(composite.log_likelihoods(f)) for f in feats]
+    else:
+        log_b_list = [np.asarray(b) for b in log_b]
+    s = log_b_list[0].shape[1]
+    log_b_pad = np.zeros((len(feats), t_max, s), np.float32)
+    for i, b in enumerate(log_b_list):
+        log_b_pad[i, : b.shape[0]] = b
+
+    log_a = jnp.asarray(composite.log_a)
+    trans = composite_transition_matrix(
+        log_a, jnp.asarray(composite.lower_of_state),
+        jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+        composite.penalty,
+    )
+    diag = jnp.diagonal(log_a)
+    diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
+    is_entry = jnp.asarray(composite.is_entry)
+    is_exit = jnp.asarray(composite.is_exit)
+
+    _scores, paths = viterbi_composite_batch(
+        jnp.asarray(log_b_pad), log_a,
+        jnp.asarray(composite.lower_of_state), is_entry, is_exit,
+        composite.penalty, jnp.asarray(lengths), quirk_backtrace=False,
+    )
+    alphas, _beta_em, beta_entry, log_z = jax.jit(jax.vmap(
+        lambda b, l: _sum_passes_masked(b, trans, diag_init, is_entry,
+                                        is_exit, l)
+    ))(jnp.asarray(log_b_pad), jnp.asarray(lengths))
+
+    paths = np.asarray(paths)
+    alphas = np.asarray(alphas)
+    beta_entry = np.asarray(beta_entry)
+    log_z = np.asarray(log_z)
+    uppers = np.asarray(composite.uppers)
+
+    out = []
+    for i, l in enumerate(lengths):
+        a_exit = alphas[i, :l][:, uppers]
+        lam = np.full((l, len(uppers)), -np.inf)
+        lam[: l - 1] = (
+            a_exit[: l - 1] + composite.penalty
+            + beta_entry[i, 1:l, None] - log_z[i]
+        )
+        lam[l - 1] = a_exit[l - 1] - log_z[i]
+        words = []
+        for st, en, w in path_word_spans(composite, paths[i, :l]):
+            if skip_silence and composite._silence_word is not None \
+                    and w == composite._silence_word:
+                continue
+            conf = float(np.exp(min(lam[en - 1, w], 0.0)))
+            words.append((composite.labels[w], st, en, conf))
+        out.append(words)
+    return out
+
+
 def _sum_quantities(composite, features, log_b=None):
     """Run the sum-semiring passes; returns (log_b, alphas, beta_em,
     beta_entry, log_z) as numpy, with log_b materialized."""

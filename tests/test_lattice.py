@@ -318,3 +318,49 @@ def test_word_occupancy_tracks_separated_acoustics(rng):
     b_idx = comp.labels.index("B")
     assert (occ[:12, a_idx] > 0.95).all()   # first half lives in word A
     assert (occ[12:, b_idx] > 0.95).all()   # second half in word B
+
+
+def test_word_confidences_batch_matches_single(rng, composite):
+    """The vmapped masked-sum batch path must reproduce the per-utterance
+    confidences exactly, across ragged lengths."""
+    from cs304_tpu.ops.lattice import word_confidences, word_confidences_batch
+
+    feats = [
+        (rng.normal(size=(t, 4)) * 2).astype(np.float32)
+        for t in (40, 23, 31, 40)
+    ]
+    batch = word_confidences_batch(composite, feats)
+    for f, got in zip(feats, batch):
+        want = word_confidences(composite, f)
+        assert [g[:3] for g in got] == [w[:3] for w in want]
+        for (_l1, _s1, _e1, c1), (_l2, _s2, _e2, c2) in zip(got, want):
+            assert c1 == pytest.approx(c2, rel=1e-4, abs=1e-5)
+
+
+def test_decoder_batch_confidence_gmm(rng):
+    """Decoder wrapper: GMM-aware batched confidences agree with predict."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+
+    def mk(label, s, k=2):
+        a = rng.normal(size=(s, k, 4, 2)).astype(np.float32)
+        covs = a @ a.transpose(0, 1, 3, 2) + np.eye(4, dtype=np.float32)
+        return GMMWordHMM(
+            label=label,
+            means=rng.normal(size=(s, k, 4)).astype(np.float32) * 3,
+            covariances=covs,
+            weights=np.full((s, k), 1.0 / k, np.float32),
+            log_a=uniform_forward_log_a(s),
+        )
+
+    models = {m.label: m for m in (mk("A", 3), mk("B", 3), mk("S", 2))}
+    dec = ContinuousDecoder(models, penalty=-4.0)
+    feats = [
+        (rng.normal(size=(t, 4)) * 2).astype(np.float32) for t in (30, 22)
+    ]
+    confs = dec.predict_batch_with_confidence(feats)
+    preds = dec.predict_batch(feats)
+    for per_utt, pred in zip(confs, preds):
+        assert "".join(label for label, _s, _e, _c in per_utt) == pred
+        for _label, st, en, c in per_utt:
+            assert 0 <= st < en and 0.0 <= c <= 1.0
