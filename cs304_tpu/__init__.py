@@ -70,6 +70,7 @@ _EXPORTS = {
     "forward_lattice": ".ops.lattice",
     "word_confidences": ".ops.lattice",
     "word_confidences_batch": ".ops.lattice",
+    "spot_keyword": ".ops.lattice",
     "word_occupancy_posteriors": ".ops.lattice",
     "word_end_log_posteriors": ".ops.lattice",
     "WordBigram": ".ops.lm",

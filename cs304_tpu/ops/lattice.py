@@ -45,6 +45,9 @@ class LatticeArc:
     end: int     # one past the last frame (exclusive)
     label: str
     score: float  # best full-path score among hypotheses using this arc
+    # P(this word ends at end-1 | X) — attached by
+    # forward_lattice(posteriors=True); None otherwise.
+    posterior: float | None = None
 
 
 @dataclass
@@ -575,7 +578,7 @@ def word_confidences(composite, features, log_b=None,
 
 
 def forward_lattice(composite, features, beam: float = 50.0,
-                    log_b=None) -> Lattice:
+                    log_b=None, posteriors: bool = False) -> Lattice:
     """True forward lattice generation over word-end hypotheses.
 
     For every (frame t, word w) the best complete-path score with w ending
@@ -590,6 +593,9 @@ def forward_lattice(composite, features, beam: float = 50.0,
     single best start time.
 
     log_b overrides the emissions (e.g. GMM densities, as in nbest_lattice).
+    posteriors=True additionally runs the sum-semiring passes and attaches
+    P(word ends at end-1 | X) to each arc (LatticeArc.posterior) — the
+    basis of spot_keyword.
     """
     import jax.numpy as jnp
 
@@ -639,14 +645,56 @@ def forward_lattice(composite, features, beam: float = 50.0,
             prev = arcs.get(key)
             if prev is None or sc > prev:
                 arcs[key] = sc
+    lam = None
+    if posteriors:
+        lam = word_end_log_posteriors(composite, feats, log_b=log_b)
     sil = composite.labels[composite._silence_word] \
         if composite._silence_word is not None else None
     return Lattice(
         num_frames=t_total,
         arcs=[
-            LatticeArc(start=st, end=en, label=composite.labels[w],
-                       score=sc)
+            LatticeArc(
+                start=st, end=en, label=composite.labels[w], score=sc,
+                posterior=(
+                    float(np.exp(min(lam[en - 1, w], 0.0)))
+                    if lam is not None else None
+                ),
+            )
             for (st, en, w), sc in sorted(arcs.items())
         ],
         silence_label=sil,
     )
+
+
+def spot_keyword(composite, features, keyword: str,
+                 threshold: float = 0.5, beam: float = 50.0,
+                 log_b=None) -> List[Tuple[int, int, float]]:
+    """Posterior keyword spotting: occurrences of `keyword` in the audio as
+    [(start_frame, end_frame, posterior)], best-posterior-first, with
+    overlapping detections suppressed (greedy NMS).
+
+    Detection is lattice-based: forward_lattice(posteriors=True) arcs
+    labelled `keyword` whose word-end posterior clears `threshold`. Unlike
+    1-best decoding this fires even when the keyword loses the Viterbi
+    race, as long as enough posterior mass ends the word inside the beam.
+    """
+    if keyword not in composite.labels:
+        raise ValueError(
+            f"keyword {keyword!r} is not in the decoder vocabulary "
+            f"{composite.labels}"
+        )
+    lat = forward_lattice(
+        composite, features, beam=beam, log_b=log_b, posteriors=True
+    )
+    hits = [
+        (a.start, a.end, a.posterior)
+        for a in lat.arcs
+        if a.label == keyword and a.posterior is not None
+        and a.posterior >= threshold
+    ]
+    hits.sort(key=lambda h: -h[2])
+    kept: List[Tuple[int, int, float]] = []
+    for st, en, p in hits:
+        if all(en <= k_st or st >= k_en for k_st, k_en, _p in kept):
+            kept.append((st, en, p))
+    return kept

@@ -364,3 +364,43 @@ def test_decoder_batch_confidence_gmm(rng):
         assert "".join(label for label, _s, _e, _c in per_utt) == pred
         for _label, st, en, c in per_utt:
             assert 0 <= st < en and 0.0 <= c <= 1.0
+
+
+def test_spot_keyword(rng):
+    """Posterior keyword spotting on separated acoustics: finds each word
+    once with near-1 posterior, at the right frames, and rejects absent
+    words; overlapping detections are suppressed."""
+    from cs304_tpu.ops.lattice import forward_lattice, spot_keyword
+
+    d = 4
+    def mk(label, center):
+        means = np.stack([np.full(d, center + 10.0 * k) for k in range(3)])
+        return WordHMM(
+            label=label, means=means.astype(np.float32),
+            covariances=np.tile(np.eye(d, dtype=np.float32), (3, 1, 1)),
+            log_a=uniform_forward_log_a(3),
+        )
+
+    comp = stack_word_models(
+        [mk("A", 0.0), mk("B", 100.0), mk("C", -100.0)], penalty=-2.0
+    )
+    traj = [0.0, 10.0, 20.0, 100.0, 110.0, 120.0]  # word A then word B
+    feats = np.concatenate([
+        np.full((4, d), c, np.float32)
+        + rng.normal(size=(4, d)).astype(np.float32) * 0.05
+        for c in traj
+    ])
+    hits_a = spot_keyword(comp, feats, "A", threshold=0.5)
+    hits_b = spot_keyword(comp, feats, "B", threshold=0.5)
+    assert len(hits_a) == 1 and len(hits_b) == 1
+    st, en, p = hits_a[0]
+    assert p > 0.95 and st == 0 and 10 <= en <= 14
+    st, en, p = hits_b[0]
+    assert p > 0.95 and 10 <= st <= 14 and en == 24
+    assert spot_keyword(comp, feats, "C", threshold=0.5) == []
+    with pytest.raises(ValueError):
+        spot_keyword(comp, feats, "X")
+    # posterior-annotated lattice arcs are probabilities.
+    lat = forward_lattice(comp, feats, beam=30.0, posteriors=True)
+    for a in lat.arcs:
+        assert a.posterior is not None and 0.0 <= a.posterior <= 1.0
