@@ -20,6 +20,11 @@ def main() -> None:
                         help="print per-word posterior confidences "
                              "(sum-semiring forward/backward over the "
                              "composite trellis)")
+    parser.add_argument("--spot", default=None, metavar="WORD",
+                        help="posterior keyword spotting: report where "
+                             "this vocabulary word occurs (with "
+                             "--spot-threshold)")
+    parser.add_argument("--spot-threshold", type=float, default=0.5)
     parser.add_argument("--lattice-dot", default=None, metavar="FILE",
                         help="also write a word lattice as Graphviz DOT")
     parser.add_argument("--lattice-method", choices=("forward", "nbest"),
@@ -50,7 +55,9 @@ def main() -> None:
         else:
             print("decoded:", decoder.predict(feats[0]))
         log_b = None
-        if decoder._gmm is not None and (args.confidence or args.lattice_dot):
+        if decoder._gmm is not None and (
+            args.confidence or args.lattice_dot or args.spot
+        ):
             import jax.numpy as jnp
 
             from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
@@ -69,6 +76,19 @@ def main() -> None:
             ):
                 print(f"  {label}  frames [{st:4d},{en:4d})  "
                       f"confidence {conf:.3f}")
+        if args.spot:
+            from cs304_tpu.ops.lattice import spot_keyword
+
+            hits = spot_keyword(
+                decoder.composite, feats[0], args.spot,
+                threshold=args.spot_threshold, log_b=log_b,
+            )
+            if not hits:
+                print(f"keyword {args.spot!r}: no occurrences above "
+                      f"posterior {args.spot_threshold}")
+            for st, en, p in sorted(hits):
+                print(f"  {args.spot}  frames [{st:4d},{en:4d})  "
+                      f"posterior {p:.3f}")
         if args.lattice_dot:
             from cs304_tpu.ops.lattice import forward_lattice, nbest_lattice
 
