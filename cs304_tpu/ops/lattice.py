@@ -225,18 +225,26 @@ def nbest_lattice(composite, features, n: int = 8,
 
 
 def _lattice_passes_impl(log_b, trans, diag_init, is_entry, is_exit,
-                         word_of, lower_of_state, upper_of_state):
+                         word_of, lower_of_state, upper_of_state, length):
     """Forward max-plus pass with word-entry-time carry + backward pass.
 
     Returns (alphas (T, S), entry_times (T, S) i32, beta_entry (T,) —
     best continuation score from any word-entry cell at each frame, and
     score — the Viterbi total). alphas[t] includes the emission at t;
     beta_entry[t] includes the emission at t (so a cross-word hop ending a
-    word at t scores alpha[t, exit] + penalty + beta_entry[t + 1])."""
+    word at t scores alpha[t, exit] + penalty + beta_entry[t + 1]).
+
+    Length-masked for padded inputs (so bucketed batches share one compile):
+    the forward carry freezes at t >= length; the backward recursion
+    re-seeds the exit-state terminal AT t == length-1, so padding frames
+    never contaminate live ones. Emitted rows at t >= length are garbage —
+    read only frames < length.
+    """
     import jax
     import jax.numpy as jnp
 
     t_total, s = log_b.shape
+    length = jnp.asarray(length, jnp.int32)
     sidx = jnp.arange(s, dtype=jnp.int32)
 
     alpha0 = jnp.where(is_entry, log_b[0] + diag_init, -jnp.inf)
@@ -257,10 +265,13 @@ def _lattice_passes_impl(log_b, trans, diag_init, is_entry, is_exit,
             | ((bp == upper_of_state) & (sidx == lower_of_state))
         )
         new_et = jnp.where(new_inst, t, et[bp])
-        return (new_alpha, new_et), (new_alpha, new_et)
+        live = t < length
+        alpha = jnp.where(live, new_alpha, alpha)
+        et = jnp.where(live, new_et, et)
+        return (alpha, et), (alpha, et)
 
     ts = jnp.arange(1, t_total, dtype=jnp.int32)
-    (_, _), (alphas, ets) = jax.lax.scan(
+    (alpha_last, _), (alphas, ets) = jax.lax.scan(
         fwd, (alpha0, et0), (ts, log_b[1:])
     )
     alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
@@ -270,14 +281,16 @@ def _lattice_passes_impl(log_b, trans, diag_init, is_entry, is_exit,
     # terminating at a word-exit state (hidden_markov_model.py:566-571).
     beta_last = jnp.where(is_exit, 0.0, -jnp.inf)
 
-    def bwd(beta, log_b_next):
-        # beta_em[s'] = emission at t+1 in state s' + continuation.
-        beta_em = log_b_next + beta
+    def bwd(beta, inputs):
+        t, log_b_t = inputs
+        beta_here = jnp.where(t == length - 1, beta_last, beta)
+        # beta_em[s'] = emission at t in state s' + continuation from t.
+        beta_em = log_b_t + beta_here
         new_beta = jnp.max(trans + beta_em[None, :], axis=1)
         return new_beta, beta_em
 
     beta0, beta_ems = jax.lax.scan(
-        bwd, beta_last, log_b[1:], reverse=True
+        bwd, beta_last, (ts, log_b[1:]), reverse=True
     )  # beta_ems[i] is the emission-inclusive continuation at frame i+1
     beta_em_full = jnp.concatenate(
         [(log_b[0] + beta0)[None], beta_ems], axis=0
@@ -286,7 +299,7 @@ def _lattice_passes_impl(log_b, trans, diag_init, is_entry, is_exit,
         jnp.where(is_entry[None, :], beta_em_full, -jnp.inf), axis=1
     )  # (T,)
 
-    score = jnp.max(jnp.where(is_exit, alphas[t_total - 1], -jnp.inf))
+    score = jnp.max(jnp.where(is_exit, alpha_last, -jnp.inf))
     return alphas, ets, beta_entry, score
 
 
@@ -294,49 +307,6 @@ def _lattice_passes(*args):
     import jax
 
     return jax.jit(_lattice_passes_impl)(*args)
-
-
-def _sum_passes_impl(log_b, trans, diag_init, is_entry, is_exit):
-    """Sum-semiring (logsumexp) forward/backward over the composite trellis.
-
-    Same recursion shape as _lattice_passes_impl with max replaced by
-    logaddexp: alphas[t, s] = log sum over all paths reaching s at t,
-    beta_em[t, s] = log sum over all continuations from s at t (emission at
-    t included), log_z = log of the total path measure (terminating at word
-    exits, hidden_markov_model.py:566-571). The measure is the decoder's
-    unnormalized one — transition rows plus the flat inter-word penalty do
-    not sum to 1 — which is the standard measure for lattice posteriors.
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax.nn import logsumexp
-
-    t_total, _s = log_b.shape
-    alpha0 = jnp.where(is_entry, log_b[0] + diag_init, -jnp.inf)
-
-    def fwd(alpha, log_b_t):
-        new_alpha = logsumexp(alpha[:, None] + trans, axis=0) + log_b_t
-        return new_alpha, new_alpha
-
-    _, alphas = jax.lax.scan(fwd, alpha0, log_b[1:])
-    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
-
-    beta_last = jnp.where(is_exit, 0.0, -jnp.inf)
-
-    def bwd(beta, log_b_next):
-        beta_em = log_b_next + beta
-        new_beta = logsumexp(trans + beta_em[None, :], axis=1)
-        return new_beta, beta_em
-
-    beta0, beta_ems = jax.lax.scan(bwd, beta_last, log_b[1:], reverse=True)
-    beta_em_full = jnp.concatenate(
-        [(log_b[0] + beta0)[None], beta_ems], axis=0
-    )
-    beta_entry = logsumexp(
-        jnp.where(is_entry[None, :], beta_em_full, -jnp.inf), axis=1
-    )
-    log_z = logsumexp(jnp.where(is_exit, alphas[t_total - 1], -jnp.inf))
-    return alphas, beta_em_full, beta_entry, log_z
 
 
 def _sum_passes_masked(log_b, trans, diag_init, is_entry, is_exit, length):
@@ -465,15 +435,18 @@ def word_confidences_batch(composite, features, log_b=None,
     return out
 
 
-def _sum_quantities(composite, features, log_b=None):
-    """Run the sum-semiring passes; returns (log_b, alphas, beta_em,
-    beta_entry, log_z) as numpy, with log_b materialized."""
+def _sum_quantities(composite, features, log_b=None, length=None):
+    """Run the (length-masked) sum-semiring passes; returns (log_b, alphas,
+    beta_em, beta_entry, log_z) as numpy, with log_b materialized. Rows at
+    t >= length are garbage by construction — read only frames < length."""
     import jax
     import jax.numpy as jnp
 
     from .viterbi import composite_transition_matrix
 
     feats = np.asarray(features)
+    if length is None:
+        length = feats.shape[0]
     if log_b is None:
         log_b = composite.log_likelihoods(feats)
     log_a = jnp.asarray(composite.log_a)
@@ -484,15 +457,17 @@ def _sum_quantities(composite, features, log_b=None):
     )
     diag = jnp.diagonal(log_a)
     diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
-    alphas, beta_em, beta_entry, log_z = jax.jit(_sum_passes_impl)(
+    alphas, beta_em, beta_entry, log_z = jax.jit(_sum_passes_masked)(
         jnp.asarray(log_b), trans, diag_init,
         jnp.asarray(composite.is_entry), jnp.asarray(composite.is_exit),
+        jnp.int32(length),
     )
     return (np.asarray(log_b), np.asarray(alphas), np.asarray(beta_em),
             np.asarray(beta_entry), float(log_z))
 
 
-def word_occupancy_posteriors(composite, features, log_b=None) -> np.ndarray:
+def word_occupancy_posteriors(composite, features, log_b=None,
+                              length=None) -> np.ndarray:
     """(T, W) exact frame-level word posteriors: P(frame t lies in word w).
 
     State occupancies gamma[t, s] = alpha[t, s] + beta[t, s] - log Z (the
@@ -503,10 +478,12 @@ def word_occupancy_posteriors(composite, features, log_b=None) -> np.ndarray:
     alignment visualization.
     """
     feats = np.asarray(features)
+    if length is None:
+        length = feats.shape[0]
     log_b_np, alphas, beta_em, _beta_entry, log_z = _sum_quantities(
-        composite, feats, log_b=log_b
+        composite, feats, log_b=log_b, length=length
     )
-    log_gamma = alphas + beta_em - log_b_np - log_z  # (T, S)
+    log_gamma = (alphas + beta_em - log_b_np - log_z)[:length]  # (T, S)
     gamma = np.exp(np.minimum(log_gamma, 0.0))
     word_of = np.asarray(composite.word_of_state)
     w = len(composite.labels)
@@ -516,7 +493,8 @@ def word_occupancy_posteriors(composite, features, log_b=None) -> np.ndarray:
     return out
 
 
-def word_end_log_posteriors(composite, features, log_b=None) -> np.ndarray:
+def word_end_log_posteriors(composite, features, log_b=None,
+                            length=None) -> np.ndarray:
     """(T, W) log P(word w ends at frame t | X) under the decoder's measure.
 
     A word ends at t either by a cross-word hop at t+1 (exit state mass x
@@ -528,16 +506,16 @@ def word_end_log_posteriors(composite, features, log_b=None) -> np.ndarray:
     basis of the word confidences below.
     """
     feats = np.asarray(features)
-    t_total = feats.shape[0]
+    t_total = feats.shape[0] if length is None else int(length)
     _log_b, alphas, _beta_em, beta_entry, log_z = _sum_quantities(
-        composite, feats, log_b=log_b
+        composite, feats, log_b=log_b, length=t_total
     )
     uppers = np.asarray(composite.uppers)
     lam = np.full((t_total, len(uppers)), -np.inf)
-    a_exit = alphas[:, uppers]                       # (T, W)
+    a_exit = alphas[:t_total][:, uppers]             # (T, W)
     lam[: t_total - 1] = (
         a_exit[: t_total - 1] + composite.penalty
-        + beta_entry[1:, None] - log_z
+        + beta_entry[1:t_total, None] - log_z
     )
     lam[t_total - 1] = a_exit[t_total - 1] - log_z
     return lam
@@ -578,7 +556,8 @@ def word_confidences(composite, features, log_b=None,
 
 
 def forward_lattice(composite, features, beam: float = 50.0,
-                    log_b=None, posteriors: bool = False) -> Lattice:
+                    log_b=None, posteriors: bool = False,
+                    length: int | None = None) -> Lattice:
     """True forward lattice generation over word-end hypotheses.
 
     For every (frame t, word w) the best complete-path score with w ending
@@ -595,14 +574,15 @@ def forward_lattice(composite, features, beam: float = 50.0,
     log_b overrides the emissions (e.g. GMM densities, as in nbest_lattice).
     posteriors=True additionally runs the sum-semiring passes and attaches
     P(word ends at end-1 | X) to each arc (LatticeArc.posterior) — the
-    basis of spot_keyword.
+    basis of spot_keyword. `length` marks the real frame count of padded
+    features (pad to a bucket so repeated calls share one compile).
     """
     import jax.numpy as jnp
 
     from .viterbi import composite_transition_matrix
 
     feats = np.asarray(features)
-    t_total = feats.shape[0]
+    t_total = feats.shape[0] if length is None else int(length)
     if log_b is None:
         log_b = composite.log_likelihoods(feats)
     log_a = jnp.asarray(composite.log_a)
@@ -620,6 +600,7 @@ def forward_lattice(composite, features, beam: float = 50.0,
         jnp.asarray(composite.word_of_state, dtype=jnp.int32),
         jnp.asarray(composite.lower_of_state, dtype=jnp.int32),
         jnp.asarray(upper_of_state, dtype=jnp.int32),
+        jnp.int32(t_total),
     )
     alphas = np.asarray(alphas)
     ets = np.asarray(ets)
@@ -629,12 +610,12 @@ def forward_lattice(composite, features, beam: float = 50.0,
     uppers = np.asarray(composite.uppers)
     arcs: Dict[Tuple[int, int, int], float] = {}
     for w, e in enumerate(uppers):
-        a_e = alphas[:, e]                      # (T,) best into word-end cell
-        st_e = ets[:, e]                        # (T,) that token's start frame
+        a_e = alphas[:t_total, e]               # (T,) best into word-end cell
+        st_e = ets[:t_total, e]                 # (T,) that token's start frame
         # Word ends mid-utterance via a cross-word hop at t+1...
         sigma = np.full(t_total, -np.inf)
         sigma[: t_total - 1] = (
-            a_e[: t_total - 1] + composite.penalty + beta_entry[1:]
+            a_e[: t_total - 1] + composite.penalty + beta_entry[1:t_total]
         )
         # ...or by terminating the utterance at the exit state.
         sigma[t_total - 1] = a_e[t_total - 1]
@@ -647,7 +628,9 @@ def forward_lattice(composite, features, beam: float = 50.0,
                 arcs[key] = sc
     lam = None
     if posteriors:
-        lam = word_end_log_posteriors(composite, feats, log_b=log_b)
+        lam = word_end_log_posteriors(
+            composite, feats, log_b=log_b, length=t_total
+        )
     sil = composite.labels[composite._silence_word] \
         if composite._silence_word is not None else None
     return Lattice(
@@ -668,7 +651,8 @@ def forward_lattice(composite, features, beam: float = 50.0,
 
 def spot_keyword(composite, features, keyword: str,
                  threshold: float = 0.5, beam: float = 50.0,
-                 log_b=None) -> List[Tuple[int, int, float]]:
+                 log_b=None, length: int | None = None,
+                 ) -> List[Tuple[int, int, float]]:
     """Posterior keyword spotting: occurrences of `keyword` in the audio as
     [(start_frame, end_frame, posterior)], best-posterior-first, with
     overlapping detections suppressed (greedy NMS).
@@ -684,7 +668,8 @@ def spot_keyword(composite, features, keyword: str,
             f"{composite.labels}"
         )
     lat = forward_lattice(
-        composite, features, beam=beam, log_b=log_b, posteriors=True
+        composite, features, beam=beam, log_b=log_b, posteriors=True,
+        length=length,
     )
     hits = [
         (a.start, a.end, a.posterior)

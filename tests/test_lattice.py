@@ -404,3 +404,43 @@ def test_spot_keyword(rng):
     lat = forward_lattice(comp, feats, beam=30.0, posteriors=True)
     for a in lat.arcs:
         assert a.posterior is not None and 0.0 <= a.posterior <= 1.0
+
+
+def test_padded_lattice_and_posteriors_match_unpadded(rng, composite):
+    """length-masked passes: padding frames must not change the lattice,
+    the posteriors, or the confidences (bucketed serving correctness)."""
+    from cs304_tpu.ops.lattice import (
+        forward_lattice,
+        word_end_log_posteriors,
+        word_occupancy_posteriors,
+    )
+
+    t = 37
+    feats = (rng.normal(size=(t, 4)) * 2).astype(np.float32)
+    padded = np.concatenate(
+        [feats, np.full((27, 4), 7.7, np.float32)]  # junk padding
+    )
+    lat = forward_lattice(composite, feats, beam=30.0, posteriors=True)
+    lat_p = forward_lattice(
+        composite, padded, beam=30.0, posteriors=True, length=t
+    )
+    assert lat_p.num_frames == t
+    want = [(a.start, a.end, a.label, a.score, a.posterior)
+            for a in lat.sorted_arcs()]
+    got = [(a.start, a.end, a.label, a.score, a.posterior)
+           for a in lat_p.sorted_arcs()]
+    assert len(want) == len(got)
+    for w_arc, g_arc in zip(want, got):
+        assert w_arc[:3] == g_arc[:3]
+        assert np.isclose(w_arc[3], g_arc[3], rtol=1e-5)
+        assert np.isclose(w_arc[4], g_arc[4], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        word_end_log_posteriors(composite, feats),
+        word_end_log_posteriors(composite, padded, length=t),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        word_occupancy_posteriors(composite, feats),
+        word_occupancy_posteriors(composite, padded, length=t),
+        rtol=1e-4, atol=1e-6,
+    )
