@@ -112,7 +112,49 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
             ]
     for split, pairs in wer_pairs.items():
         results[f"wer_{split}"] = round(corpus_wer(pairs)["wer"], 4)
-    return results
+    return results, decoder
+
+
+def lattice_stats(decoder, corpus, n_digits: int = 4,
+                  beam: float = 40.0) -> dict:
+    """Lattice quality on the held-out split: forward-lattice oracle WER vs
+    the 1-best WER, with mean arc counts (density). The oracle should sit
+    at or below the 1-best error — that margin is what downstream
+    rescoring could recover. Features are bucketed to 128-frame multiples
+    (length-masked passes) so the sweep compiles once per bucket."""
+    comp = decoder.composite
+    truths, feats_list = [], []
+    for tr, utts in corpus.test_dataset.get_all_n_digits(n_digits).items():
+        for u in utts:
+            truths.append(tr)
+            feats_list.append(np.asarray(mfcc_batch([u])[0]))
+    from cs304_tpu.ops.lattice import forward_lattice
+
+    oracle_edits_total = 0
+    ref_words = 0
+    arc_counts = []
+    unreachable = 0
+    for tr, f in zip(truths, feats_list):
+        t = f.shape[0]
+        t_pad = -(-t // 128) * 128
+        padded = np.zeros((t_pad, f.shape[1]), np.float32)
+        padded[:t] = f
+        lat = forward_lattice(comp, padded, beam=beam, length=t)
+        arc_counts.append(len(lat.arcs))
+        edits = lat.oracle_edits(list(tr))
+        if edits is None:
+            unreachable += 1
+            edits = len(tr)  # count a dead lattice as all-wrong
+        oracle_edits_total += edits
+        ref_words += len(tr)
+    return {
+        "lattice_beam": beam,
+        "lattice_n_digits": n_digits,
+        "lattice_utts": len(truths),
+        "lattice_mean_arcs": round(float(np.mean(arc_counts)), 1),
+        "lattice_oracle_wer_test": round(oracle_edits_total / ref_words, 4),
+        "lattice_unreachable": unreachable,
+    }
 
 
 def main() -> None:
@@ -127,6 +169,9 @@ def main() -> None:
     ap.add_argument("--gmm-mixtures", type=int, default=0,
                     help="refine with K-mixture embedded GMM training after "
                          "the K=1 stage before decoding")
+    ap.add_argument("--lattice-stats", action="store_true",
+                    help="also measure forward-lattice oracle WER and arc "
+                         "density on the held-out 4-digit split")
     args = ap.parse_args()
 
     mk = SyntheticTIDigits if args.easy else SyntheticTIDigits.hard
@@ -134,8 +179,10 @@ def main() -> None:
         num_train_speakers=6, num_test_speakers=2, takes_per_digit=3,
         with_sentences=True,
     )
-    results = run(corpus, update=args.update,
-                  gmm_mixtures=args.gmm_mixtures)
+    results, decoder = run(corpus, update=args.update,
+                           gmm_mixtures=args.gmm_mixtures)
+    if args.lattice_stats:
+        results.update(lattice_stats(decoder, corpus))
     results["corpus"] = "easy" if args.easy else "hard"
     results["update"] = args.update
     if args.gmm_mixtures > 1:

@@ -71,6 +71,7 @@ _EXPORTS = {
     "word_confidences": ".ops.lattice",
     "word_confidences_batch": ".ops.lattice",
     "spot_keyword": ".ops.lattice",
+    "consensus_decode": ".ops.lattice",
     "word_occupancy_posteriors": ".ops.lattice",
     "word_end_log_posteriors": ".ops.lattice",
     "WordBigram": ".ops.lm",

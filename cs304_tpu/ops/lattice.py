@@ -493,6 +493,42 @@ def word_occupancy_posteriors(composite, features, log_b=None,
     return out
 
 
+def consensus_decode(composite, features, log_b=None, length=None,
+                     min_frames: int = 3, skip_silence: bool = True) -> str:
+    """Minimum-frame-error consensus decoding.
+
+    Per frame, pick the word with the highest exact occupancy posterior
+    (word_occupancy_posteriors) — the sequence minimizing the EXPECTED
+    number of per-frame word errors, the frame-level minimum-Bayes-risk
+    criterion — then run-length collapse, dropping runs shorter than
+    min_frames (posterior flickers shorter than any word's minimum
+    duration). Agrees with the Viterbi 1-best when one hypothesis
+    dominates; under genuine ambiguity it favours per-word posterior mass
+    over single-path score. Caveat: adjacent repeats of the SAME word
+    merge into one (frame-level occupancy cannot separate instances) —
+    with a silence model between words, as project5/6 checkpoints train,
+    repeats stay separated by silence runs.
+    """
+    occ = word_occupancy_posteriors(
+        composite, features, log_b=log_b, length=length
+    )
+    frame_words = occ.argmax(axis=1)
+    out = []
+    i = 0
+    while i < len(frame_words):
+        j = i
+        while j < len(frame_words) and frame_words[j] == frame_words[i]:
+            j += 1
+        w = int(frame_words[i])
+        if j - i >= min_frames and not (
+            skip_silence and composite._silence_word is not None
+            and w == composite._silence_word
+        ):
+            out.append(composite.labels[w])
+        i = j
+    return "".join(out)
+
+
 def word_end_log_posteriors(composite, features, log_b=None,
                             length=None) -> np.ndarray:
     """(T, W) log P(word w ends at frame t | X) under the decoder's measure.

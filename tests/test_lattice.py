@@ -444,3 +444,31 @@ def test_padded_lattice_and_posteriors_match_unpadded(rng, composite):
         word_occupancy_posteriors(composite, padded, length=t),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_consensus_decode(rng):
+    """Consensus (min-frame-error) decoding matches 1-best on separated
+    acoustics and tolerates padding."""
+    from cs304_tpu.ops.lattice import consensus_decode
+
+    d = 4
+    def mk(label, center):
+        means = np.stack([np.full(d, center + 10.0 * k) for k in range(3)])
+        return WordHMM(
+            label=label, means=means.astype(np.float32),
+            covariances=np.tile(np.eye(d, dtype=np.float32), (3, 1, 1)),
+            log_a=uniform_forward_log_a(3),
+        )
+
+    comp = stack_word_models([mk("A", 0.0), mk("B", 100.0)], penalty=-2.0)
+    traj = [0.0, 10.0, 20.0, 100.0, 110.0, 120.0]
+    feats = np.concatenate([
+        np.full((4, d), c, np.float32)
+        + rng.normal(size=(4, d)).astype(np.float32) * 0.05
+        for c in traj
+    ])
+    assert consensus_decode(comp, feats, skip_silence=False) == "AB"
+    padded = np.concatenate([feats, np.zeros((8, d), np.float32)])
+    assert consensus_decode(
+        comp, padded, length=24, skip_silence=False
+    ) == "AB"
