@@ -129,6 +129,10 @@ def lattice_stats(decoder, corpus, n_digits: int = 4,
             truths.append(tr)
             feats_list.append(np.asarray(mfcc_batch([u])[0]))
     from cs304_tpu.ops.lattice import forward_lattice
+    from cs304_tpu.reporting.metrics import corpus_wer
+
+    preds = decoder.predict_batch(feats_list)
+    onebest = corpus_wer([(list(t), list(p)) for t, p in zip(truths, preds)])
 
     oracle_edits_total = 0
     ref_words = 0
@@ -153,6 +157,7 @@ def lattice_stats(decoder, corpus, n_digits: int = 4,
         "lattice_utts": len(truths),
         "lattice_mean_arcs": round(float(np.mean(arc_counts)), 1),
         "lattice_oracle_wer_test": round(oracle_edits_total / ref_words, 4),
+        "lattice_onebest_wer_test": round(onebest["wer"], 4),
         "lattice_unreachable": unreachable,
     }
 

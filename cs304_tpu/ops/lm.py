@@ -133,7 +133,6 @@ def pair_penalty_matrix(
         w_lm[w] = idx.get(lab, -1)
     lm_of_state = w_lm[word_of]  # (S,) bigram row/col of each state, -1 = OOV
     known = lm_of_state >= 0
-    pair = np.zeros((len(word_of), len(word_of)), np.float32)
     lp = bigram.log_p[np.maximum(lm_of_state, 0)[:, None],
                       np.maximum(lm_of_state, 0)[None, :]]
     pair = np.where(known[:, None] & known[None, :],
