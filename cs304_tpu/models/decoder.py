@@ -50,12 +50,12 @@ class ContinuousDecoder:
             models = sorted(models, key=lambda m: m.label)
         if backend not in ("scan", "fast", "pallas", "scanfree"):
             raise ValueError(f"unknown backend {backend!r}")
-        if bigram is not None and backend != "scan":
-            # Per-pair penalties live in the dense transition matrix; the
-            # banded/Pallas backends exploit the one-shared-penalty structure
-            # (best_exit + flat penalty) and cannot express them.
-            logger.info("bigram LM decoding uses the dense scan backend")
-            backend = "scan"
+        if bigram is not None and backend in ("pallas", "scanfree"):
+            # The Pallas kernels hard-code the one-shared-penalty entry
+            # update; the fast banded path supports per-pair penalties via
+            # a (W, W) tropical matvec over per-word best exits.
+            logger.info("bigram LM decoding uses the fast banded backend")
+            backend = "fast"
         self.backend = backend
         self._bigram = bigram
         self._lm_weight = lm_weight
@@ -79,16 +79,28 @@ class ContinuousDecoder:
         self.composite.penalty = value
 
     def _penalty_arg(self):
-        """Scalar flat penalty, or the (S, S) per-pair LM penalty matrix
-        (ops/lm.pair_penalty_matrix) when a bigram LM is attached — the
-        dense composite transition matrix broadcasts either form."""
-        if self._bigram is not None:
-            from ..ops.lm import pair_penalty_matrix
+        """Penalty operand for the selected backend, plus LM extras.
 
+        Returns (penalty, lm_extras): no LM -> (scalar, None); LM + scan
+        backend -> ((S, S) per-pair matrix through the dense transition
+        matrix, None); LM + fast backend -> (scalar, ((W, W) pair matrix,
+        word_of_state, uppers)) for the banded step's tropical matvec."""
+        if self._bigram is None:
+            return jnp.float32(self.composite.penalty), None
+        from ..ops.lm import pair_penalty_matrix, word_pair_penalties
+
+        if self.backend == "scan":
             return jnp.asarray(pair_penalty_matrix(
                 self.composite, self._bigram, self._lm_weight,
-            ))
-        return jnp.float32(self.composite.penalty)
+            )), None
+        pair = word_pair_penalties(
+            self.composite, self._bigram, self._lm_weight
+        )
+        return jnp.float32(self.composite.penalty), (
+            jnp.asarray(pair),
+            jnp.asarray(self.composite.word_of_state, dtype=jnp.int32),
+            jnp.asarray(self.composite.uppers, dtype=jnp.int32),
+        )
 
     def predict(self, features, skip_silence: bool = True) -> str:
         return self.predict_batch([np.asarray(features)], skip_silence)[0]
@@ -177,21 +189,23 @@ class ContinuousDecoder:
         padded = pad_batch(features, 128)
         if self._gmm is not None:
             means, covs, weights = self._gmm
+            pen, lm_extras = self._penalty_arg()
             return _decode_batch_gmm(
                 jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights),
                 jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
                 jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
-                self._penalty_arg(),
+                pen,
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
-                self.backend,
+                self.backend, lm_extras,
             )
+        pen, lm_extras = self._penalty_arg()
         return _decode_batch(
             jnp.asarray(c.means), jnp.asarray(c.covariances),
             jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
             jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
-            self._penalty_arg(),
+            pen,
             jnp.asarray(padded.data), jnp.asarray(padded.lengths),
-            self.backend,
+            self.backend, lm_extras,
         )
 
     def _consume(self, handles, lengths, skip_silence: bool):
@@ -237,15 +251,17 @@ class ContinuousDecoder:
         padded = pad_batch(features, 128)
         if self._gmm is not None:
             means, covs, weights = self._gmm
+            pen, lm_extras = self._penalty_arg()
             scores, paths = _decode_batch_gmm(
                 jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights),
                 jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
                 jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
-                self._penalty_arg(),
+                pen,
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
-                self.backend,
+                self.backend, lm_extras,
             )
         else:
+            pen, lm_extras = self._penalty_arg()
             scores, paths = _decode_batch(
                 jnp.asarray(c.means),
                 jnp.asarray(c.covariances),
@@ -253,10 +269,10 @@ class ContinuousDecoder:
                 jnp.asarray(c.lower_of_state),
                 jnp.asarray(c.is_entry),
                 jnp.asarray(c.is_exit),
-                self._penalty_arg(),
+                pen,
                 jnp.asarray(padded.data),
                 jnp.asarray(padded.lengths),
-                self.backend,
+                self.backend, lm_extras,
             )
         return np.asarray(scores), np.asarray(paths), padded.lengths
 
@@ -318,22 +334,41 @@ def _select_impl(backend: str):
     }[backend]
 
 
-@partial(jax.jit, static_argnames=("backend",))
-def _decode_batch(
-    means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths,
-    backend: str = "scan",
-):
-    params = make_gaussian_params(means, covs)
-    log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)  # (B, T, S)
+def _run_impl(backend, log_b, log_a, lower_of_state, is_entry, is_exit,
+              penalty, lengths, lm_extras):
+    if lm_extras is not None:
+        # Bigram LM per-pair penalties: only the fast banded step takes
+        # them directly (the scan route gets an (S, S) penalty instead).
+        from ..ops.viterbi import viterbi_composite_batch_fast
+
+        pair, word_of_state, uppers = lm_extras
+        return viterbi_composite_batch_fast(
+            log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
+            lengths, pair_penalty=pair, word_of_state=word_of_state,
+            uppers=uppers,
+        )
     return _select_impl(backend)(
         log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths
     )
 
 
 @partial(jax.jit, static_argnames=("backend",))
+def _decode_batch(
+    means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths,
+    backend: str = "scan", lm_extras=None,
+):
+    params = make_gaussian_params(means, covs)
+    log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)  # (B, T, S)
+    return _run_impl(
+        backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
+        lengths, lm_extras,
+    )
+
+
+@partial(jax.jit, static_argnames=("backend",))
 def _decode_batch_gmm(
     means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
-    batch, lengths, backend: str = "fast",
+    batch, lengths, backend: str = "fast", lm_extras=None,
 ):
     from ..ops.gaussian import gmm_log_pdf, make_gmm_params
 
@@ -341,6 +376,7 @@ def _decode_batch_gmm(
     # the logsumexp.
     params = make_gmm_params(means, covs, weights)
     log_b = jax.vmap(lambda x: gmm_log_pdf(params, x))(batch)
-    return _select_impl(backend)(
-        log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths
+    return _run_impl(
+        backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
+        lengths, lm_extras,
     )

@@ -31,7 +31,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 __all__ = ["WordBigram", "train_word_bigram", "pair_penalty_matrix",
-           "rescore_nbest"]
+           "word_pair_penalties", "rescore_nbest"]
 
 NEG = -np.inf
 
@@ -110,34 +110,43 @@ def train_word_bigram(
     )
 
 
+def word_pair_penalties(
+    composite,
+    bigram: WordBigram,
+    lm_weight: float = 1.0,
+    penalty: float | None = None,
+) -> np.ndarray:
+    """(W, W) inter-word penalties over the composite's word order:
+    [w', w] = lm_weight * log P(labels[w] | labels[w']) + penalty.
+    Words absent from the bigram vocabulary fall back to the flat penalty
+    alone. lm_weight=0 reproduces the flat-penalty decoder."""
+    if penalty is None:
+        penalty = composite.penalty
+    idx = bigram.index
+    w_lm = np.asarray(
+        [idx.get(lab, -1) for lab in composite.labels], np.int64
+    )
+    known = w_lm >= 0
+    lp = bigram.log_p[np.maximum(w_lm, 0)[:, None],
+                      np.maximum(w_lm, 0)[None, :]]
+    pair = np.where(known[:, None] & known[None, :],
+                    lm_weight * lp, 0.0).astype(np.float32)
+    return pair + np.float32(penalty)
+
+
 def pair_penalty_matrix(
     composite,
     bigram: WordBigram,
     lm_weight: float = 1.0,
     penalty: float | None = None,
 ) -> np.ndarray:
-    """(S, S) per-state inter-word penalty for the composite decoder.
-
-    Entry [s', s] = lm_weight * log P(word(s) | word(s')) + penalty — used
-    by composite_transition_matrix on the word-exit rows of word-entry
-    columns (all other entries of the returned matrix are irrelevant
-    there). Words absent from the bigram vocabulary fall back to the flat
-    penalty alone. lm_weight=0 reproduces the flat-penalty decoder.
-    """
-    if penalty is None:
-        penalty = composite.penalty
+    """(S, S) per-state expansion of word_pair_penalties for the dense
+    composite transition matrix: entry [s', s] = pair[word(s'), word(s)] —
+    used by composite_transition_matrix on the word-exit rows of
+    word-entry columns (other entries are irrelevant there)."""
+    pair = word_pair_penalties(composite, bigram, lm_weight, penalty)
     word_of = np.asarray(composite.word_of_state)
-    idx = bigram.index
-    w_lm = np.full(len(composite.labels), -1, np.int64)
-    for w, lab in enumerate(composite.labels):
-        w_lm[w] = idx.get(lab, -1)
-    lm_of_state = w_lm[word_of]  # (S,) bigram row/col of each state, -1 = OOV
-    known = lm_of_state >= 0
-    lp = bigram.log_p[np.maximum(lm_of_state, 0)[:, None],
-                      np.maximum(lm_of_state, 0)[None, :]]
-    pair = np.where(known[:, None] & known[None, :],
-                    lm_weight * lp, 0.0).astype(np.float32)
-    return pair + np.float32(penalty)
+    return pair[word_of[:, None], word_of[None, :]]
 
 
 def rescore_nbest(

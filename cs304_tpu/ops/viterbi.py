@@ -245,7 +245,8 @@ def viterbi_composite_batch(
 
 def viterbi_composite_batch_fast(
     log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
-    quirk_backtrace: bool = True,
+    quirk_backtrace: bool = True, pair_penalty=None, word_of_state=None,
+    uppers=None,
 ):
     """Structure-exploiting composite batch decode.
 
@@ -261,6 +262,15 @@ def viterbi_composite_batch_fast(
     Results are identical to viterbi_composite_batch except for backpointer
     values at unreachable (-inf) cells, which no decoded path ever visits
     (the dense argmax places 0 there; this one places a band index).
+
+    pair_penalty (W, W) replaces the flat penalty with per-(from-word,
+    to-word) values (a bigram LM, ops/lm.word_pair_penalties): the entry
+    update becomes a (W, W) tropical matvec over per-word best exits —
+    O(S + W^2) per frame, still tiny against the banded part. Requires
+    word_of_state (S,) and uppers (W,). Tie-breaks match the dense scan
+    with the same matrix: among exits, the lowest word index wins an exact
+    tie (exit states ascend with word index), and exits beat entry
+    self-loops.
     """
     b, t_total, s = log_b.shape
 
@@ -280,6 +290,10 @@ def viterbi_composite_batch_fast(
     diag_e = jnp.where(is_entry, diag, -jnp.inf)
     exit_idx = jnp.where(is_exit, to, 0)
     penalty = jnp.asarray(penalty, log_b.dtype)
+    if pair_penalty is not None:
+        pair_penalty = jnp.asarray(pair_penalty, log_b.dtype)
+        word_of_state = jnp.asarray(word_of_state, jnp.int32)
+        uppers = jnp.asarray(uppers, jnp.int32)
 
     neg = jnp.float32(-jnp.inf)
 
@@ -299,10 +313,20 @@ def viterbi_composite_batch_fast(
             jnp.where(c1 >= c0, jnp.maximum(to[None, :] - 1, 0), to[None, :]),
         )
 
-        exit_scores = jnp.where(is_exit[None, :], alpha, neg)  # (B, S)
-        best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
-        best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
-        c_pen = best_exit + penalty
+        if pair_penalty is not None:
+            # Per-word exit scores through the (W, W) bigram: the entry of
+            # word w takes max over w' of (alpha[exit_{w'}] + pair[w', w]).
+            exit_alpha = alpha[:, uppers]                  # (B, W)
+            cand = exit_alpha[:, :, None] + pair_penalty[None, :, :]
+            best_pen_w = jnp.max(cand, axis=1)             # (B, W)
+            best_src_w = jnp.argmax(cand, axis=1)          # (B, W) word idx
+            c_pen = best_pen_w[:, word_of_state]           # (B, S)
+            best_exit_idx = uppers[best_src_w[:, word_of_state]]
+        else:
+            exit_scores = jnp.where(is_exit[None, :], alpha, neg)  # (B, S)
+            best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
+            best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
+            c_pen = best_exit + penalty
         c_self = alpha + diag_e[None, :]
         # Reference orders exits before the self-loop: exits win ties (:533-547).
         val_e = jnp.maximum(c_pen, c_self)

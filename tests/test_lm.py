@@ -65,14 +65,36 @@ def test_lm_weight_zero_matches_flat_penalty(rng):
     feats = [
         (rng.normal(size=(t, 4)) * 2).astype(np.float32) for t in (30, 41, 25)
     ]
-    plain = ContinuousDecoder(models, penalty=-4.0, backend="scan")
-    lm0 = ContinuousDecoder(models, penalty=-4.0, bigram=bg, lm_weight=0.0)
-    assert lm0.backend == "scan"
-    p_scores, p_paths, _ = plain.viterbi_batch(feats)
-    l_scores, l_paths, _ = lm0.viterbi_batch(feats)
-    np.testing.assert_array_equal(p_paths, l_paths)
-    np.testing.assert_allclose(p_scores, l_scores, rtol=1e-6)
-    assert plain.predict_batch(feats) == lm0.predict_batch(feats)
+    for backend in ("scan", "fast"):
+        plain = ContinuousDecoder(models, penalty=-4.0, backend=backend)
+        lm0 = ContinuousDecoder(models, penalty=-4.0, bigram=bg,
+                                lm_weight=0.0, backend=backend)
+        p_scores, p_paths, _ = plain.viterbi_batch(feats)
+        l_scores, l_paths, _ = lm0.viterbi_batch(feats)
+        np.testing.assert_array_equal(p_paths, l_paths)
+        np.testing.assert_allclose(p_scores, l_scores, rtol=1e-6)
+        assert plain.predict_batch(feats) == lm0.predict_batch(feats)
+
+
+def test_lm_fast_backend_matches_scan(rng):
+    """The banded step's (W, W) tropical-matvec entry update must decode
+    identically to the dense scan with the expanded (S, S) matrix."""
+    models = _models(rng, labels=("A", "B", "S"))
+    bg = train_word_bigram(
+        ["AB", "BA", "AAB", "BS"], ["A", "B", "S"], insert_silence=False
+    )
+    feats = [
+        (rng.normal(size=(t, 4)) * 2).astype(np.float32) for t in (36, 21, 44)
+    ]
+    for w in (0.5, 3.0):
+        scan = ContinuousDecoder(models, penalty=-3.0, bigram=bg,
+                                 lm_weight=w, backend="scan")
+        fast = ContinuousDecoder(models, penalty=-3.0, bigram=bg,
+                                 lm_weight=w, backend="fast")
+        s_scores, s_paths, _ = scan.viterbi_batch(feats)
+        f_scores, f_paths, _ = fast.viterbi_batch(feats)
+        np.testing.assert_allclose(s_scores, f_scores, rtol=1e-6)
+        np.testing.assert_array_equal(s_paths, f_paths)
 
 
 def test_bigram_steers_ambiguous_decode(rng):
