@@ -134,6 +134,22 @@ def lattice_stats(decoder, corpus, n_digits: int = 4,
     preds = decoder.predict_batch(feats_list)
     onebest = corpus_wer([(list(t), list(p)) for t, p in zip(truths, preds)])
 
+    def emissions(padded):
+        # Match the decoder's actual densities: on a GMM checkpoint the
+        # composite's own log_likelihoods would be the mixture-0 view and
+        # the oracle-vs-1-best comparison would mix acoustic models.
+        if decoder._gmm is None:
+            return None
+        import jax.numpy as jnp
+
+        from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
+
+        means, covs, weights = decoder._gmm
+        params = make_gmm_params(
+            jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
+        )
+        return gmm_log_pdf(params, jnp.asarray(padded))
+
     oracle_edits_total = 0
     ref_words = 0
     arc_counts = []
@@ -143,7 +159,9 @@ def lattice_stats(decoder, corpus, n_digits: int = 4,
         t_pad = -(-t // 128) * 128
         padded = np.zeros((t_pad, f.shape[1]), np.float32)
         padded[:t] = f
-        lat = forward_lattice(comp, padded, beam=beam, length=t)
+        lat = forward_lattice(
+            comp, padded, beam=beam, length=t, log_b=emissions(padded)
+        )
         arc_counts.append(len(lat.arcs))
         edits = lat.oracle_edits(list(tr))
         if edits is None:

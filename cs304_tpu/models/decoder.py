@@ -167,7 +167,12 @@ class ContinuousDecoder:
         Uses the decoder's ACTUAL emission densities — for K-mixture models
         the GMM log-densities, not the composite's single-Gaussian view
         (nbest_decode's default log_b would silently score with mixture 0
-        only on a GMM checkpoint)."""
+        only on a GMM checkpoint).
+
+        An attached bigram LM is NOT applied inside the k-best forward —
+        hypotheses and scores use the flat penalty (so they are comparable
+        to the lattice/posterior measure, not to an LM-weighted predict).
+        Apply the LM afterwards with ops.lm.rescore_nbest."""
         from ..ops.nbest import nbest_decode
 
         log_b = None

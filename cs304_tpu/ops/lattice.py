@@ -358,6 +358,18 @@ def _sum_passes_masked(log_b, trans, diag_init, is_entry, is_exit, length):
     return alphas, beta_em_full, beta_entry, log_z
 
 
+def _sum_passes_batch(log_b_pad, trans, diag_init, is_entry, is_exit,
+                      lengths):
+    """Module-level vmapped masked sum passes — a stable function object so
+    jax.jit's trace cache hits across calls (a per-call lambda would
+    recompile every serving batch)."""
+    import jax
+
+    return jax.vmap(
+        _sum_passes_masked, in_axes=(0, None, None, None, None, 0)
+    )(log_b_pad, trans, diag_init, is_entry, is_exit, lengths)
+
+
 def word_confidences_batch(composite, features, log_b=None,
                            skip_silence: bool = True):
     """Batched word_confidences: one vmapped program for the max-plus
@@ -378,7 +390,7 @@ def word_confidences_batch(composite, features, log_b=None,
     lengths = np.asarray([f.shape[0] for f in feats], np.int32)
     if (lengths < 2).any():
         raise ValueError("word_confidences_batch needs utterances of >= 2 frames")
-    t_max = int(lengths.max())
+    t_max = -(-int(lengths.max()) // 128) * 128  # bucket: one compile per T
     if log_b is None:
         log_b_list = [np.asarray(composite.log_likelihoods(f)) for f in feats]
     else:
@@ -404,10 +416,10 @@ def word_confidences_batch(composite, features, log_b=None,
         jnp.asarray(composite.lower_of_state), is_entry, is_exit,
         composite.penalty, jnp.asarray(lengths), quirk_backtrace=False,
     )
-    alphas, _beta_em, beta_entry, log_z = jax.jit(jax.vmap(
-        lambda b, l: _sum_passes_masked(b, trans, diag_init, is_entry,
-                                        is_exit, l)
-    ))(jnp.asarray(log_b_pad), jnp.asarray(lengths))
+    alphas, _beta_em, beta_entry, log_z = jax.jit(_sum_passes_batch)(
+        jnp.asarray(log_b_pad), trans, diag_init, is_entry, is_exit,
+        jnp.asarray(lengths),
+    )
 
     paths = np.asarray(paths)
     alphas = np.asarray(alphas)
@@ -447,6 +459,12 @@ def _sum_quantities(composite, features, log_b=None, length=None):
     feats = np.asarray(features)
     if length is None:
         length = feats.shape[0]
+    if length < 2 and feats.shape[0] > length:
+        # The backward re-seed lives at t == length-1 >= 1; a 1-frame
+        # utterance in a PADDED buffer would read junk continuations
+        # (unpadded 1-frame inputs are fine: the scans are empty and the
+        # terminal condition applies directly).
+        raise ValueError("padded posterior passes need length >= 2")
     if log_b is None:
         log_b = composite.log_likelihoods(feats)
     log_a = jnp.asarray(composite.log_a)
@@ -619,6 +637,10 @@ def forward_lattice(composite, features, beam: float = 50.0,
 
     feats = np.asarray(features)
     t_total = feats.shape[0] if length is None else int(length)
+    if t_total < 2 and feats.shape[0] > t_total:
+        # The backward re-seed lives at t == length-1 >= 1; a 1-frame
+        # utterance in a padded buffer would read junk continuations.
+        raise ValueError("padded forward_lattice needs length >= 2")
     if log_b is None:
         log_b = composite.log_likelihoods(feats)
     log_a = jnp.asarray(composite.log_a)

@@ -49,8 +49,8 @@ class WordBigram:
 
     def sequence_log_prob(self, words: Sequence[str]) -> float:
         """LM log-probability of a word sequence including sentence
-        boundaries. Unknown words contribute the row's smoothing floor is
-        not defined — they raise (the decoder vocabulary is closed)."""
+        boundaries. Unknown words raise KeyError — the decoder vocabulary
+        is closed, so there is no out-of-vocabulary fallback here."""
         idx = self.index
         ids = [idx[w] for w in words]
         if not ids:

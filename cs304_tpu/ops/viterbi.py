@@ -267,10 +267,13 @@ def viterbi_composite_batch_fast(
     to-word) values (a bigram LM, ops/lm.word_pair_penalties): the entry
     update becomes a (W, W) tropical matvec over per-word best exits —
     O(S + W^2) per frame, still tiny against the banded part. Requires
-    word_of_state (S,) and uppers (W,). Tie-breaks match the dense scan
-    with the same matrix: among exits, the lowest word index wins an exact
-    tie (exit states ascend with word index), and exits beat entry
-    self-loops.
+    word_of_state (S,) and uppers (W,). Tie-breaks: among exits, the
+    lowest word index wins an exact tie (exit states ascend with word
+    index, matching the dense scan's first-max); exits beat entry
+    self-loops on exact ties — the REFERENCE's order
+    (hidden_markov_model.py:533-547), which diverges from the dense scan
+    there exactly as the flat-penalty fast path does (see
+    composite_transition_matrix's tie-break caveat).
     """
     b, t_total, s = log_b.shape
 
