@@ -33,12 +33,24 @@ def main() -> None:
         from cs304_tpu.ops.lm import train_word_bigram
 
         with_sil = "S" in models
-        transcripts = sorted(corpus.train_dataset.labels)
+        vocab = set(models)
+        all_transcripts = sorted(corpus.train_dataset.labels)
+        # The LM vocabulary is closed over the loaded models; transcripts
+        # mentioning words without a model cannot be counted.
+        transcripts = [t for t in all_transcripts if set(t) <= vocab]
+        if not transcripts:
+            raise SystemExit(
+                "--bigram-lm: no training transcript is fully covered by "
+                f"the checkpoint vocabulary {sorted(vocab - {'S'})}"
+            )
         bigram = train_word_bigram(
             transcripts, sorted(models), insert_silence=with_sil,
         )
-        print(f"bigram LM: {len(transcripts)} training transcripts, "
-              f"vocab {sorted(models)}, lm_weight {args.lm_weight}")
+        dropped = len(all_transcripts) - len(transcripts)
+        print(f"bigram LM: {len(transcripts)} training transcripts"
+              + (f" ({dropped} dropped: out-of-vocabulary words)"
+                 if dropped else "")
+              + f", vocab {sorted(models)}, lm_weight {args.lm_weight}")
     decoder = ContinuousDecoder(
         models, penalty=cfg.decode.word_penalty,
         bigram=bigram, lm_weight=args.lm_weight,

@@ -1,0 +1,98 @@
+"""CLI wiring for the rich-decode options (--confidence, --spot,
+--lattice-dot/--lattice-method, --bigram-lm) against a tiny trained
+checkpoint — faster than the full chain test, targeted at the round-2
+serving surfaces of project6_interactive.py / project5_test_ndigits.py.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    """Train a 3-word checkpoint directly through the library (fast) and
+    save it in the scripts' npz format."""
+    from cs304_tpu.data.synthetic import SyntheticTIDigits
+    from cs304_tpu.models.train_kmeans import (
+        SegmentalKMeansConfig,
+        train_word_hmm,
+    )
+    from cs304_tpu.ops.mfcc import mfcc_batch
+    from cs304_tpu.utils.checkpoint import save_models
+
+    corpus = SyntheticTIDigits(
+        num_train_speakers=2, num_test_speakers=1, takes_per_digit=2
+    )
+    models = {}
+    for label in ("3", "5", "7"):
+        feats = mfcc_batch(corpus.train_dataset[label])
+        models[label] = train_word_hmm(
+            label, feats,
+            SegmentalKMeansConfig(num_states=5, max_iterations=4,
+                                  length_multiple=32),
+        ).model
+    d = tmp_path_factory.mktemp("rich_ckpt")
+    save_models(models, str(d))
+
+    wav = str(d / "utt.wav")
+    from cs304_tpu.audio.wav import write_wav_int16
+
+    write_wav_int16(wav, corpus.sentence_audio("375", 0, jitter_seed=3), 16000)
+    return {"ckpt": str(d), "wav": wav}
+
+
+def run_script(name, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CS304_TRACEBACK"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", name), *args],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
+    )
+    assert proc.returncode == 0, (
+        f"{name} rc={proc.returncode}\nstdout:\n{proc.stdout[-3000:]}"
+        f"\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc.stdout
+
+
+def test_interactive_rich_outputs(tiny_ckpt, tmp_path):
+    dot = str(tmp_path / "lat.dot")
+    out = run_script(
+        "project6_interactive.py", "--wav", tiny_ckpt["wav"],
+        "--checkpoint-dir", tiny_ckpt["ckpt"],
+        "--confidence", "--spot", "7", "--lattice-dot", dot,
+        "--lattice-method", "forward",
+        "--log-file", str(tmp_path / "runtime.log"),
+    )
+    assert "decoded:" in out
+    assert "confidence" in out
+    assert "7" in out  # spot line or decode
+    with open(dot) as fh:
+        dot_src = fh.read()
+    assert dot_src.startswith("digraph") and "->" in dot_src
+
+    out2 = run_script(
+        "project6_interactive.py", "--wav", tiny_ckpt["wav"],
+        "--checkpoint-dir", tiny_ckpt["ckpt"],
+        "--lattice-dot", dot, "--lattice-method", "nbest",
+        "--log-file", str(tmp_path / "runtime.log"),
+    )
+    assert "lattice:" in out2
+
+
+def test_ndigits_eval_wer_and_bigram(tiny_ckpt, tmp_path):
+    out = run_script(
+        "project5_test_ndigits.py", "--synthetic",
+        "--checkpoint-dir", tiny_ckpt["ckpt"], "--n-digits", "1",
+        "--max-per-label", "2", "--bigram-lm", "--lm-weight", "0.5",
+        "--log-file", str(tmp_path / "runtime.log"),
+    )
+    assert "exact-sequence accuracy" in out
+    assert "WER" in out
+    assert "bigram LM" in out
