@@ -9,6 +9,13 @@ O(S + W^2) per frame — so it should sit within a few percent of the flat
 path, while the dense (S, S) scan pays the full quadratic step.
 
 Prints one JSON line with utterances/sec for each variant.
+
+Measured (v5e via tunnel, quiet machine, trellis only at B=1024 T=160):
+fast_flat ~50-55k utt/s, fast_lm ~61k, scan_lm ~57k — i.e. the LM costs
+nothing measurable; run-to-run variance through the tunnel is ~10%, so the
+apparent fast_lm > fast_flat ordering is noise (an exactness-verified
+gather-based flat variant measured within that same band). The serving
+headline path (bench.py) uses the fused Pallas kernels and is unaffected.
 """
 import json
 import os
