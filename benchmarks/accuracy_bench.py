@@ -50,7 +50,8 @@ GATE_TRAIN = 0.90
 
 def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
         cov_reg: float = 0.1, penalty: float = -100.0,
-        update: str = "viterbi", gmm_mixtures: int = 0) -> dict:
+        update: str = "viterbi", gmm_mixtures: int = 0,
+        known_count: bool = False) -> dict:
     sep = SignalSeparation()
     feats = {
         l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
@@ -104,7 +105,11 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
                 for u in utts:
                     truths.append(tr)
                     clips.append(u)
-            preds = decoder.predict_batch(mfcc_batch(clips))
+            feats = mfcc_batch(clips)
+            if known_count:
+                preds = decoder.predict_batch_counted(feats, n)
+            else:
+                preds = decoder.predict_batch(feats)
             acc = float(np.mean([p == t for p, t in zip(preds, truths)]))
             results[f"exact_seq_acc_n{n}_{split}"] = round(acc, 4)
             wer_pairs[split] += [
@@ -192,6 +197,9 @@ def main() -> None:
     ap.add_argument("--gmm-mixtures", type=int, default=0,
                     help="refine with K-mixture embedded GMM training after "
                          "the K=1 stage before decoding")
+    ap.add_argument("--known-count", action="store_true",
+                    help="decode each n-digit split constrained to exactly "
+                         "n words (word-count automaton)")
     ap.add_argument("--lattice-stats", action="store_true",
                     help="also measure forward-lattice oracle WER and arc "
                          "density on the held-out 4-digit split")
@@ -203,7 +211,10 @@ def main() -> None:
         with_sentences=True,
     )
     results, decoder = run(corpus, update=args.update,
-                           gmm_mixtures=args.gmm_mixtures)
+                           gmm_mixtures=args.gmm_mixtures,
+                           known_count=args.known_count)
+    if args.known_count:
+        results["known_count"] = True
     if args.lattice_stats:
         results.update(lattice_stats(decoder, corpus))
     results["corpus"] = "easy" if args.easy else "hard"

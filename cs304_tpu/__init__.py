@@ -72,6 +72,7 @@ _EXPORTS = {
     "word_confidences_batch": ".ops.lattice",
     "spot_keyword": ".ops.lattice",
     "consensus_decode": ".ops.lattice",
+    "viterbi_composite_counted": ".ops.viterbi_counted",
     "word_occupancy_posteriors": ".ops.lattice",
     "word_end_log_posteriors": ".ops.lattice",
     "WordBigram": ".ops.lm",

@@ -161,6 +161,69 @@ class ContinuousDecoder:
             self.composite, features, log_b=log_b, skip_silence=skip_silence
         )
 
+    def predict_batch_counted(
+        self, features: Sequence[np.ndarray], n_words: int,
+        skip_silence: bool = True,
+    ) -> List[str]:
+        """Decode constrained to EXACTLY n_words non-silence words
+        (ops/viterbi_counted.py — the trellis composed with a word-count
+        automaton). Utterances where no such path exists (score -inf, e.g.
+        too few frames for n_words) fall back to the unconstrained decode.
+        GMM-aware; the flat penalty is used (no bigram LM in the counted
+        trellis)."""
+        from ..ops.viterbi_counted import viterbi_composite_counted_batch
+
+        c = self.composite
+        padded = pad_batch(features, 128)
+        log_b = self._emissions(jnp.asarray(padded.data))
+        counted = jnp.asarray(c.word_of_state != c._silence_word)
+        scores, paths = viterbi_composite_counted_batch(
+            log_b, jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+            jnp.asarray(c.is_entry), jnp.asarray(c.is_exit), counted,
+            jnp.float32(c.penalty), n_words, jnp.asarray(padded.lengths),
+        )
+        scores = np.asarray(scores)
+        paths = np.asarray(paths)
+        out: List[str] = []
+        fallback_idx = [i for i in range(len(features))
+                        if not np.isfinite(scores[i])]
+        fallbacks = {}
+        if fallback_idx:
+            logger.info(
+                "counted decode: %d utterance(s) have no %d-word path; "
+                "falling back to unconstrained", len(fallback_idx), n_words,
+            )
+            preds = self.predict_batch(
+                [features[i] for i in fallback_idx], skip_silence
+            )
+            fallbacks = dict(zip(fallback_idx, preds))
+        for i in range(len(features)):
+            if i in fallbacks:
+                out.append(fallbacks[i])
+                continue
+            labels = c.path_to_labels(
+                paths[i, : padded.lengths[i]], skip_silence=skip_silence
+            )
+            out.append("".join(labels))
+        return out
+
+    def _emissions(self, batch):
+        """(B, T, D) padded features -> (B, T, S) log densities with the
+        decoder's actual emission model (GMM when present)."""
+        if self._gmm is not None:
+            from ..ops.gaussian import gmm_log_pdf, make_gmm_params
+
+            means, covs, weights = self._gmm
+            params = make_gmm_params(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
+            )
+            return jax.vmap(lambda x: gmm_log_pdf(params, x))(batch)
+        params = make_gaussian_params(
+            jnp.asarray(self.composite.means),
+            jnp.asarray(self.composite.covariances),
+        )
+        return jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)
+
     def predict_nbest(self, features, n: int = 4, beam_k: int | None = None):
         """N-best word strings for one utterance: [(score, text), ...].
 

@@ -17,6 +17,11 @@ def main() -> None:
     parser.add_argument("--no-silence", action="store_true")
     parser.add_argument("--csv-out", default=None)
     parser.add_argument("--max-per-label", type=int, default=None)
+    parser.add_argument("--known-count", action="store_true",
+                        help="decode constrained to exactly --n-digits "
+                             "words (word-count automaton composed with "
+                             "the trellis) instead of relying on the "
+                             "inter-word penalty to get the count right")
     parser.add_argument("--bigram-lm", action="store_true",
                         help="decode with a word-bigram LM trained on the "
                              "training split's transcripts (per-pair "
@@ -71,7 +76,11 @@ def main() -> None:
         if not truths:
             print(f"{split_name}: no {args.n_digits}-digit utterances")
             continue
-        preds = decoder.predict_batch(mfcc_batch(clips, cfg.frontend.sample_rate))
+        feats = mfcc_batch(clips, cfg.frontend.sample_rate)
+        if args.known_count:
+            preds = decoder.predict_batch_counted(feats, args.n_digits)
+        else:
+            preds = decoder.predict_batch(feats)
         acc = exact_accuracy(truths, preds)
         print(f"{split_name} exact-sequence accuracy (n={args.n_digits}): {acc:.2%}")
         stats = corpus_wer([(list(t), list(p)) for t, p in zip(truths, preds)])
