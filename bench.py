@@ -17,7 +17,11 @@ import time
 
 import numpy as np
 
-BATCH = 1024
+# Serving batch: swept 256/512/768/1024/2048/4096 on the v5e (round 2) —
+# throughput peaks at 512 (75.2k utt/s vs 69.8k at 1024, 54.2k at 2048,
+# 44.8k at 4096; 256 ties 512 within noise). Larger batches lose more to
+# HBM pressure in the fused kernels than they gain in dispatch amortization.
+BATCH = 512
 SECONDS = 1.5
 SAMPLE_RATE = 16000
 BASELINE_CLIPS = 3
@@ -99,7 +103,7 @@ def main() -> None:
     # elided or overlapped past the timer) measures within 0.3% of this
     # window — the 10 programs execute serially and the final materialization
     # covers them all.
-    reps = 10
+    reps = 20
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
