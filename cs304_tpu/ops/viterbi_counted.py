@@ -44,16 +44,21 @@ def _stay_matrix(log_a, lower_of_state, is_entry, skip=2):
     return m
 
 
-@partial(jax.jit, static_argnames=("n_words", "quirk_backtrace"))
+@partial(jax.jit, static_argnames=("n_words", "n_words_min",
+                                   "quirk_backtrace"))
 def viterbi_composite_counted(
     log_b, log_a, lower_of_state, is_entry, is_exit, counted_word_of_state,
     penalty, n_words: int, length=None, quirk_backtrace: bool = True,
+    n_words_min: int | None = None,
 ):
-    """Decode the best path emitting exactly n_words counted words.
+    """Decode the best path emitting exactly n_words counted words — or,
+    with n_words_min set, between n_words_min and n_words inclusive (the
+    count-RANGE constraint, e.g. the reference's 2-7-digit corpus shape).
 
     counted_word_of_state: (S,) bool — True for states of words that count
     toward n_words (False for silence). Returns (score, path (T,) int32);
-    score is -inf when no path with exactly n_words exists within T frames.
+    score is -inf when no path with an admissible count exists within T
+    frames.
     """
     t_total, s = log_b.shape
     if length is None:
@@ -121,12 +126,17 @@ def viterbi_composite_counted(
         [jnp.full((1, c_planes, s), -1, jnp.int32), packs], axis=0
     )  # (T, C, S)
 
-    final_exit = jnp.where(is_exit, alpha_last[n_words], -jnp.inf)
+    lo = n_words if n_words_min is None else n_words_min
+    final_exit = jnp.where(
+        is_exit[None, :], alpha_last[lo : n_words + 1], -jnp.inf
+    )  # (hi-lo+1, S)
     score = jnp.max(final_exit)
-    best_state = jnp.argmax(final_exit).astype(jnp.int32)
+    flat = jnp.argmax(final_exit).astype(jnp.int32)
+    best_plane = flat // s + lo
+    best_state = flat % s
 
     # Backtrace over the packed (plane, state) pointers.
-    start = jnp.asarray(n_words * s, jnp.int32) + best_state
+    start = best_plane * s + best_state
 
     def rev_step(packed_state, inputs):
         t, bp_t = inputs  # bp_t (C, S) packed

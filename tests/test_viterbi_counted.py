@@ -212,3 +212,30 @@ def test_decoder_counted_gmm(rng):
     for n in (1, 2):
         preds = dec.predict_batch_counted(feats, n)
         assert len(preds[0]) == n
+
+
+def test_count_range(rng, tiny):
+    """Range constraint [lo, hi] returns the best of the exact-count
+    decodes in that window and a path whose count lies inside it."""
+    t_total = 12
+    log_b = (rng.normal(size=(t_total, tiny.num_states)) * 2).astype(np.float32)
+    args = (
+        jnp.asarray(log_b), jnp.asarray(tiny.log_a),
+        jnp.asarray(tiny.lower_of_state), jnp.asarray(tiny.is_entry),
+        jnp.asarray(tiny.is_exit),
+        jnp.asarray(tiny.word_of_state != tiny._silence_word),
+    )
+    exact = {}
+    for n in (1, 2, 3, 4):
+        sc, _p = viterbi_composite_counted(
+            *args, tiny.penalty, n, quirk_backtrace=False
+        )
+        exact[n] = float(sc)
+    for lo, hi in ((1, 3), (2, 4), (1, 4)):
+        sc, path = viterbi_composite_counted(
+            *args, tiny.penalty, hi, n_words_min=lo, quirk_backtrace=False
+        )
+        want = max(exact[n] for n in range(lo, hi + 1))
+        assert float(sc) == pytest.approx(want, rel=1e-6), (lo, hi)
+        count = len(tiny.path_to_labels(np.asarray(path), skip_silence=True))
+        assert lo <= count <= hi
