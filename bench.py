@@ -61,6 +61,14 @@ def tpu_pipeline():
     is_exit = jnp.asarray(comp.is_exit)
     penalty = jnp.float32(comp.penalty)
 
+    # Note on the serving epilogue: the device-side path -> word-id
+    # compaction (ops/words.py) is NOT in the headline program. It costs
+    # ~0.9 ms/batch of device time and pays for itself only when every
+    # batch's result crosses the tunnel (the real serving loop,
+    # ContinuousDecoder.predict_batch/_batches, where it + a single batched
+    # device_get transfer cut per-batch consume latency from 64 ms to
+    # 31 ms — benchmarks/words_ab.py). This window materializes only the
+    # final rep, so the epilogue would be pure overhead here.
     @jax.jit
     def decode(signals, num_samples):
         feats, n_frames = jax.vmap(lambda s, n: mfcc_features(s, n, cfg))(

@@ -108,15 +108,45 @@ class ContinuousDecoder:
     def predict_batch(
         self, features: Sequence[np.ndarray], skip_silence: bool = True
     ) -> List[str]:
-        """Decode a ragged list of (T_i, D) features to digit strings."""
-        scores, paths, lengths = self.viterbi_batch(features)
-        out = []
-        for i in range(len(features)):
-            labels = self.composite.path_to_labels(
-                paths[i, : lengths[i]], skip_silence=skip_silence
-            )
-            out.append("".join(labels))
+        """Decode a ragged list of (T_i, D) features to digit strings.
+
+        The path -> word compaction runs ON DEVICE (ops/words.py) as an
+        epilogue of the decode program, so the host reads back only
+        (B, max_words) word ids instead of the padded (B, T) path — ~20x
+        less readback, which dominates tunnel-attached serving. Utterances
+        are bucketed by padded length like viterbi_batch. If a transcript
+        somehow exceeds the word buffer, that batch falls back to the host
+        path walk (never silently truncates)."""
+        idx_buckets = self._buckets(features)
+        out: List[str] = [""] * len(features)
+        for idx in idx_buckets:
+            chunk = [features[i] for i in idx]
+            try:
+                handles = self._dispatch(chunk, skip_silence)
+                strings = self._consume(handles)
+            except ValueError:
+                scores, paths, lengths = self.viterbi_batch(
+                    chunk, bucket=False
+                )
+                strings = [
+                    "".join(
+                        self.composite.path_to_labels(
+                            paths[i, :l], skip_silence
+                        )
+                    )
+                    for i, l in enumerate(lengths)
+                ]
+            for i, s in zip(idx, strings):
+                out[i] = s
         return out
+
+    def _buckets(self, features: Sequence[np.ndarray]) -> List[List[int]]:
+        """Group utterance indices by padded length (128-frame multiples)."""
+        buckets: Dict[int, List[int]] = {}
+        for i, f in enumerate(features):
+            key = -(-max(np.asarray(f).shape[0], 1) // 128) * 128
+            buckets.setdefault(key, []).append(i)
+        return list(buckets.values())
 
     def predict_batches(self, feature_batches, skip_silence: bool = True):
         """Generator over BATCHES of feature lists with double buffering:
@@ -128,12 +158,12 @@ class ContinuousDecoder:
         TPUs the dispatch-ahead pattern is the standard serving loop."""
         pending = None
         for features in feature_batches:
-            handles = self._dispatch(features)
+            handles = self._dispatch(features, skip_silence)
             if pending is not None:
-                yield self._consume(*pending, skip_silence)
-            pending = (handles, [np.asarray(f).shape[0] for f in features])
+                yield self._consume(pending)
+            pending = handles
         if pending is not None:
-            yield self._consume(*pending, skip_silence)
+            yield self._consume(pending)
 
     def predict_batch_with_confidence(
         self, features: Sequence[np.ndarray], skip_silence: bool = True
@@ -251,40 +281,57 @@ class ContinuousDecoder:
             self.composite, features, n=n, beam_k=beam_k, log_b=log_b
         )
 
-    def _dispatch(self, features: Sequence[np.ndarray]):
-        """Enqueue one batch; returns device handles without blocking."""
+    def _word_args(self, skip_silence: bool):
+        c = self.composite
+        sil = (
+            c.labels.index("S") if (skip_silence and "S" in c.labels) else -1
+        )
+        return (
+            jnp.asarray(c.word_of_state.astype(np.int32)),
+            jnp.asarray(c.lowers.astype(np.int32)),
+            jnp.asarray(c.uppers.astype(np.int32)),
+            sil,
+        )
+
+    def _dispatch(self, features: Sequence[np.ndarray],
+                  skip_silence: bool = True):
+        """Enqueue one batch (decode + on-device word compaction); returns
+        device handles without blocking."""
         c = self.composite
         padded = pad_batch(features, 128)
+        wos, lowers, uppers, sil = self._word_args(skip_silence)
+        pen, lm_extras = self._penalty_arg()
         if self._gmm is not None:
             means, covs, weights = self._gmm
-            pen, lm_extras = self._penalty_arg()
-            return _decode_batch_gmm(
+            return _decode_batch_gmm_words(
                 jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights),
                 jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
                 jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
                 pen,
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
+                wos, lowers, uppers, sil,
                 self.backend, lm_extras,
             )
-        pen, lm_extras = self._penalty_arg()
-        return _decode_batch(
+        return _decode_batch_words(
             jnp.asarray(c.means), jnp.asarray(c.covariances),
             jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
             jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
             pen,
             jnp.asarray(padded.data), jnp.asarray(padded.lengths),
+            wos, lowers, uppers, sil,
             self.backend, lm_extras,
         )
 
-    def _consume(self, handles, lengths, skip_silence: bool):
-        _scores, paths = handles
-        paths = np.asarray(paths)
-        return [
-            "".join(
-                self.composite.path_to_labels(paths[i, :l], skip_silence)
-            )
-            for i, l in enumerate(lengths)
-        ]
+    def _consume(self, handles):
+        from ..ops.words import ids_to_strings
+
+        # One batched transfer (jax.device_get) instead of per-array
+        # np.asarray syncs: through a tunnel-attached TPU each sync costs
+        # ~26 ms regardless of size, so consuming (scores, ids, counts)
+        # as three asarrays tripled the readback latency
+        # (benchmarks/words_ab.py: 83 -> 31 ms/batch at B=512).
+        _scores, ids, counts = jax.device_get(handles)
+        return ids_to_strings(ids, counts, self.composite.labels)
 
     def viterbi_batch(self, features: Sequence[np.ndarray], bucket: bool = True):
         """Returns (scores (B,), paths (B, T) np.int32, lengths (B,)).
@@ -448,3 +495,46 @@ def _decode_batch_gmm(
         backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
         lengths, lm_extras,
     )
+
+
+# Serving decode with the word compaction fused in as a device epilogue
+# (ops/words.py): readback is (B, max_words) ids + counts, not (B, T) paths.
+MAX_WORDS = 64
+
+
+@partial(jax.jit, static_argnames=("backend", "max_words"))
+def _decode_batch_words(
+    means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch,
+    lengths, word_of_state, lowers, uppers, silence_word,
+    backend: str = "scan", lm_extras=None, max_words: int = MAX_WORDS,
+):
+    from ..ops.words import words_from_paths
+
+    scores, paths = _decode_batch(
+        means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,
+        batch, lengths, backend, lm_extras,
+    )
+    ids, counts = words_from_paths(
+        paths, lengths, word_of_state, lowers, uppers, silence_word,
+        max_words=max_words,
+    )
+    return scores, ids, counts
+
+
+@partial(jax.jit, static_argnames=("backend", "max_words"))
+def _decode_batch_gmm_words(
+    means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
+    batch, lengths, word_of_state, lowers, uppers, silence_word,
+    backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
+):
+    from ..ops.words import words_from_paths
+
+    scores, paths = _decode_batch_gmm(
+        means, covs, weights, log_a, lower_of_state, is_entry, is_exit,
+        penalty, batch, lengths, backend, lm_extras,
+    )
+    ids, counts = words_from_paths(
+        paths, lengths, word_of_state, lowers, uppers, silence_word,
+        max_words=max_words,
+    )
+    return scores, ids, counts
