@@ -65,6 +65,45 @@ def _emission_kernel(nhp_ref, lin_ref, const_ref, frames_ref, out_ref,
     out_ref[:] = quad + lin + const_ref[0:1, :]
 
 
+def _emission_kernel_selmm(nhp_ref, lin_ref, const_ref, ssel_ref, tsel_ref,
+                           frames_ref, out_ref, *, precision):
+    """Like _emission_kernel, but builds the x2 block with two selector
+    MATMULS (MXU) instead of the 39-way broadcast concat (VPU lane-select
+    chain): stretch = frames @ S_sel, tiled = frames @ T_sel with 0/1
+    selectors. At HIGHEST the product x*1 is reconstructed exactly, so the
+    result is bitwise-identical to the concat build."""
+    frames = frames_ref[:]
+    stretch = jax.lax.dot_general(
+        frames, ssel_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    tiled = jax.lax.dot_general(
+        frames, tsel_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    x2 = stretch * tiled
+    quad = jax.lax.dot_general(
+        x2, nhp_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    lin = jax.lax.dot_general(
+        frames, lin_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    out_ref[:] = quad + lin + const_ref[0:1, :]
+
+
+def _selectors(d: int):
+    """0/1 selector matrices: stretch = x @ S_sel, tiled = x @ T_sel."""
+    ssel = np.zeros((d, d * d), np.float32)
+    tsel = np.zeros((d, d * d), np.float32)
+    for i in range(d):
+        for j in range(d):
+            ssel[i, i * d + j] = 1.0
+            tsel[j, i * d + j] = 1.0
+    return jnp.asarray(ssel), jnp.asarray(tsel)
+
+
 def _pack_quad_params(means, covariances, s_pad: int):
     """Quadratic-form parameters padded to s_pad state lanes.
 
@@ -81,39 +120,57 @@ def _pack_quad_params(means, covariances, s_pad: int):
     return nhp, lin, const
 
 
-@partial(jax.jit, static_argnames=("s_pad", "interpret", "f_blk", "precision"))
+@partial(jax.jit, static_argnames=("s_pad", "interpret", "f_blk", "precision",
+                                   "x2_mode"))
 def gaussian_log_pdf_fused(
     means, covariances, frames_flat, s_pad: int = LANES,
     interpret: bool = False, f_blk: int = 512, precision: str = "highest",
+    x2_mode: str = "concat",
 ):
     """(N, D) frames -> (N, s_pad) emission log-densities, states padded.
 
     N must be a multiple of 8. precision: "default" (Mosaic's native f32
     matmul path) or "highest" (explicit 6-pass). Mosaic supports no HIGH
     tier in-kernel; measured error/speed for both is in the kernel tests.
+    x2_mode: how the kernel builds the (F_BLK, D^2) x2 block — "concat"
+    (broadcast/lane-select chain on the VPU) or "selmm" (two 0/1-selector
+    matmuls on the MXU; bitwise-identical output, see
+    benchmarks/emission_variants.py for the measured difference).
     """
     n, d = frames_flat.shape
     prec = (jax.lax.Precision.DEFAULT if precision == "default"
             else jax.lax.Precision.HIGHEST)
     from functools import partial as _partial
-    kernel = _partial(_emission_kernel, precision=prec)
+
     nhp, lin, const = _pack_quad_params(means, covariances, s_pad)
     while n % f_blk:
         f_blk //= 2
     grid = (n // f_blk,)
+    param_specs = [
+        pl.BlockSpec((d * d, s_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, s_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    frame_spec = pl.BlockSpec((f_blk, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    if x2_mode == "selmm":
+        kernel = _partial(_emission_kernel_selmm, precision=prec)
+        ssel, tsel = _selectors(d)
+        sel_spec = pl.BlockSpec((d, d * d), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs = param_specs + [sel_spec, sel_spec, frame_spec]
+        args = (nhp, lin, const, ssel, tsel, frames_flat)
+    else:
+        kernel = _partial(_emission_kernel, precision=prec)
+        in_specs = param_specs + [frame_spec]
+        args = (nhp, lin, const, frames_flat)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((d * d, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_blk, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((f_blk, s_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, s_pad), jnp.float32),
@@ -121,7 +178,7 @@ def gaussian_log_pdf_fused(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(nhp, lin, const, frames_flat)
+    )(*args)
 
 
 def decode_batch_fused(
