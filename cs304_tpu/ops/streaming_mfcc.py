@@ -36,6 +36,13 @@ class StreamingMFCC:
     def __init__(
         self, cfg: MFCCConfig = MFCCConfig(), ref_power: float = 1.0
     ) -> None:
+        if cfg.normalization != "per_frame":
+            # CMVN needs whole-utterance statistics — unknowable online.
+            # Decode streams against per_frame-trained checkpoints only.
+            raise ValueError(
+                "StreamingMFCC supports normalization='per_frame' only; "
+                f"got {cfg.normalization!r} (CMVN is utterance-global)"
+            )
         self.cfg = cfg
         self.ref_power = float(ref_power)
         _hann, dft_cos, dft_sin, mel_fb, dct_m, d1, d2 = _cached_constants(cfg)

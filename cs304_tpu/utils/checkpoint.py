@@ -74,9 +74,16 @@ def load_model(model_folder: str):
         )
 
 
-def save_models(models: Dict[str, WordHMM] | Iterable[WordHMM], folder: str) -> None:
+def save_models(
+    models: Dict[str, WordHMM] | Iterable[WordHMM], folder: str,
+    frontend: Dict | None = None,
+) -> None:
     """Save a model collection + manifest (reference
-    HiddenMarkovModelTrainContinuous.save, hidden_markov_model.py:784-792)."""
+    HiddenMarkovModelTrainContinuous.save, hidden_markov_model.py:784-792).
+
+    `frontend` (e.g. {"normalization": "cmvn"}) is recorded in the manifest so
+    decoding scripts can reconstruct the matching feature front-end — models
+    trained on CMVN features are useless on per-frame-normalized ones."""
     if isinstance(models, dict):
         models = list(models.values())
     models = list(models)
@@ -87,8 +94,19 @@ def save_models(models: Dict[str, WordHMM] | Iterable[WordHMM], folder: str) -> 
         "labels": sorted(m.label for m in models),
         "format": "cs304_tpu.npz.v1",
     }
+    if frontend:
+        manifest["frontend"] = dict(frontend)
     with open(os.path.join(folder, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
+
+
+def load_manifest(folder: str) -> Dict:
+    """Checkpoint manifest dict, or {} for manifest-less (per-model) trees."""
+    path = os.path.join(folder, _MANIFEST)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def load_models(

@@ -24,6 +24,25 @@ class FrontEndConfig:
     n_mfcc: int = 13
     fmin: float = 133.33
     fmax: float = 6855.4976
+    # "per_frame" (reference parity) or "cmvn" (per-utterance cepstral
+    # mean/variance normalization — see ops/mfcc.MFCCConfig.normalization).
+    # Checkpoints record this in their manifest so decoding scripts pick the
+    # matching front-end automatically.
+    normalization: str = "per_frame"
+
+    def mfcc_config(self):
+        from ..ops.mfcc import MFCCConfig
+
+        return MFCCConfig(
+            sample_rate=self.sample_rate,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            n_mels=self.n_mels,
+            n_mfcc=self.n_mfcc,
+            fmin=self.fmin,
+            fmax=self.fmax,
+            normalization=self.normalization,
+        )
 
 
 @dataclass

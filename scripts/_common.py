@@ -80,6 +80,35 @@ def load_corpus(args, cfg: Config):
     return TIDigits(cfg.data_root)
 
 
+def frontend_manifest(cfg: Config) -> dict:
+    """Front-end facts a checkpoint must pin for decode-time feature parity."""
+    return {"normalization": cfg.frontend.normalization}
+
+
+def adopt_checkpoint_frontend(cfg: Config, args) -> None:
+    """Adopt the checkpoint's recorded front-end settings into cfg.frontend.
+
+    Models trained on CMVN features are useless on per-frame-normalized ones
+    (and vice versa), so decoding scripts call this after load_config to make
+    the checkpoint's manifest win — unless the user explicitly overrode the
+    same key with --set frontend.<key>=...
+    """
+    from cs304_tpu.utils.checkpoint import load_manifest
+
+    try:
+        recorded = load_manifest(cfg.checkpoint_dir).get("frontend") or {}
+    except OSError:
+        return
+    explicit = {
+        o.partition("=")[0].strip().split(".", 1)[1]
+        for o in getattr(args, "overrides", [])
+        if o.partition("=")[0].strip().startswith("frontend.")
+    }
+    for key, value in recorded.items():
+        if key not in explicit and hasattr(cfg.frontend, key):
+            setattr(cfg.frontend, key, value)
+
+
 def exact_accuracy(truths, preds) -> float:
     return sum(p == t for p, t in zip(preds, truths)) / max(len(truths), 1)
 

@@ -6,7 +6,9 @@ The final hypothesis matches the offline decoder (printed for comparison).
 (no reference equivalent — the reference decodes only after the endpointer
 closes the utterance, scripts/project6_interactive.py:29-39 there)
 """
-from _common import run_main, base_parser, load_config
+from dataclasses import replace
+
+from _common import run_main, adopt_checkpoint_frontend, base_parser, load_config
 
 import numpy as np
 
@@ -52,7 +54,10 @@ def main() -> None:
     from cs304_tpu.audio.wav import read_wav
 
     rate, signal = read_wav(args.wav)
-    mcfg = MFCCConfig(sample_rate=float(rate))
+    # CMVN checkpoints cannot stream (utterance-global statistics) —
+    # StreamingMFCC raises a clear error in that case.
+    adopt_checkpoint_frontend(cfg, args)
+    mcfg = replace(cfg.frontend.mfcc_config(), sample_rate=float(rate))
     sm = StreamingMFCC(cfg=mcfg, ref_power=mel_peak(signal, mcfg))
     # GMM-aware: K-mixture checkpoints stream with their true densities.
     stream = StreamingComposite.from_models(
@@ -73,7 +78,7 @@ def main() -> None:
     final = "".join(decoder.composite.path_to_labels(path))
     print(f"\nstreaming final:  {final!r}  (score {score:.1f})")
 
-    offline = decoder.predict(mfcc_batch([signal], rate)[0])
+    offline = decoder.predict(mfcc_batch([signal], cfg=mcfg)[0])
     print(f"offline decode:   {offline!r}")
 
 

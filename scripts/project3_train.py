@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Train the 11 isolated-digit HMMs (reference scripts/project3_train.py)."""
-from _common import run_main, base_parser, load_config, load_corpus
+from _common import (
+    run_main, base_parser, frontend_manifest, load_config, load_corpus,
+)
 
 from cs304_tpu.data.ti_digits import DIGIT_LABELS
 from cs304_tpu.models.train_kmeans import SegmentalKMeansConfig, train_digit_models
@@ -22,8 +24,9 @@ def main() -> None:
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
 
+    mcfg = cfg.frontend.mfcc_config()
     feats = {
-        label: mfcc_batch(corpus.train_dataset[label], cfg.frontend.sample_rate)
+        label: mfcc_batch(corpus.train_dataset[label], cfg=mcfg)
         for label in DIGIT_LABELS
     }
     kcfg = SegmentalKMeansConfig(
@@ -46,7 +49,7 @@ def main() -> None:
             print(f"trained GMM {label} (K={k}, bw={args.baum_welch})")
     else:
         models = train_digit_models(feats, kcfg)
-    save_models(models, cfg.checkpoint_dir)
+    save_models(models, cfg.checkpoint_dir, frontend=frontend_manifest(cfg))
     print(f"saved {len(models)} models to {cfg.checkpoint_dir}")
 
 

@@ -8,7 +8,9 @@ project5_interactive_multi.py intended but never implemented (it calls the
 nonexistent ModelCollection.predict_continuous_controller — SURVEY.md §2 #14):
 pass --continuous to decode digit strings.
 """
-from _common import run_main, base_parser, load_config
+from dataclasses import replace
+
+from _common import run_main, adopt_checkpoint_frontend, base_parser, load_config
 
 from cs304_tpu.data.ti_digits import DIGIT_LABELS
 from cs304_tpu.models.collection import ModelCollection
@@ -24,6 +26,8 @@ def main() -> None:
     args = parser.parse_args()
     cfg = load_config(args)
     models = load_models(cfg.checkpoint_dir)
+    adopt_checkpoint_frontend(cfg, args)
+    mcfg = cfg.frontend.mfcc_config()
     if args.continuous:
         predictor = ContinuousDecoder(models, penalty=cfg.decode.word_penalty).predict
     else:
@@ -33,7 +37,7 @@ def main() -> None:
         predictor = mc.predict
 
     def classify(signal, rate):
-        feats = mfcc_batch([signal], rate)
+        feats = mfcc_batch([signal], cfg=replace(mcfg, sample_rate=float(rate)))
         print("predicted:", predictor(feats[0]))
 
     if args.wav:

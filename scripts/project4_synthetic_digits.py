@@ -6,7 +6,10 @@ continuous decoder to show why continuous decoding is needed). Clips are
 silence-stripped before concatenation so the synthetic utterance is continuous
 speech (the reference's project5 evolution; raw lead/tail room tone between
 concatenated takes is out of any trained silence model's domain)."""
-from _common import run_main, base_parser, exact_accuracy, load_config, load_corpus
+from _common import (
+    run_main, adopt_checkpoint_frontend, base_parser, exact_accuracy,
+    load_config, load_corpus,
+)
 
 import numpy as np
 
@@ -26,6 +29,7 @@ def main() -> None:
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
     models = load_models(cfg.checkpoint_dir)
+    adopt_checkpoint_frontend(cfg, args)
 
     rng = np.random.default_rng(0)
     labels = list(DIGIT_LABELS)
@@ -43,7 +47,7 @@ def main() -> None:
         transcript = "".join(rng.choice(labels, size=args.n_digits))
         truths.append(transcript)
         clips.append(np.concatenate([stripped[l] for l in transcript]))
-    feats = mfcc_batch(clips, cfg.frontend.sample_rate)
+    feats = mfcc_batch(clips, cfg=cfg.frontend.mfcc_config())
 
     # Naive whole-clip argmax (the reference project4 approach — fails by design).
     mc = ModelCollection.from_models([models[l] for l in labels])

@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Sweep the inter-word transition penalty and plot accuracy vs penalty
 (reference scripts/project5_find_trans_ndigits_no_sil.py / _with_sil.py)."""
-from _common import run_main, base_parser, exact_accuracy, load_config, load_corpus
+from _common import (
+    run_main, adopt_checkpoint_frontend, base_parser, exact_accuracy,
+    load_config, load_corpus,
+)
 
 from cs304_tpu.models.decoder import ContinuousDecoder
 from cs304_tpu.ops.mfcc import mfcc_batch
@@ -21,6 +24,7 @@ def main() -> None:
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
     models = load_models(cfg.checkpoint_dir)
+    adopt_checkpoint_frontend(cfg, args)
     if args.no_silence:
         models = {l: m for l, m in models.items() if l != "S"}
 
@@ -30,7 +34,7 @@ def main() -> None:
         for u in utts[: args.max_per_label]:
             truths.append(transcript)
             clips.append(u)
-    feats = mfcc_batch(clips, cfg.frontend.sample_rate)
+    feats = mfcc_batch(clips, cfg=cfg.frontend.mfcc_config())
 
     penalties, accuracies = [], []
     penalty = args.start

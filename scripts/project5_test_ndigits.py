@@ -2,7 +2,10 @@
 """Continuous decode of n-digit utterances, with or without the silence model;
 exact-sequence accuracy + CSV + confusion data (reference
 scripts/project5_test_ndigits_no_sil.py / _with_sil.py / project5_test_1digit.py)."""
-from _common import run_main, base_parser, exact_accuracy, load_config, load_corpus
+from _common import (
+    run_main, adopt_checkpoint_frontend, base_parser, exact_accuracy,
+    load_config, load_corpus,
+)
 
 from cs304_tpu.models.decoder import ContinuousDecoder
 from cs304_tpu.ops.mfcc import mfcc_batch
@@ -31,6 +34,8 @@ def main() -> None:
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
     models = load_models(cfg.checkpoint_dir)
+    adopt_checkpoint_frontend(cfg, args)
+    mcfg = cfg.frontend.mfcc_config()
     if args.no_silence:
         models = {l: m for l, m in models.items() if l != "S"}
     bigram = None
@@ -76,7 +81,7 @@ def main() -> None:
         if not truths:
             print(f"{split_name}: no {args.n_digits}-digit utterances")
             continue
-        feats = mfcc_batch(clips, cfg.frontend.sample_rate)
+        feats = mfcc_batch(clips, cfg=mcfg)
         if args.known_count:
             preds = decoder.predict_batch_counted(feats, args.n_digits)
         else:

@@ -2,7 +2,9 @@
 """Silence-strip all training clips, train 11 digit HMMs plus a 3-state
 silence model "S" from the harvested noise
 (reference scripts/project5_train_no_empty.py)."""
-from _common import run_main, base_parser, load_config, load_corpus
+from _common import (
+    run_main, base_parser, frontend_manifest, load_config, load_corpus,
+)
 
 from cs304_tpu.audio.endpointing import SignalSeparation
 from cs304_tpu.data.ti_digits import DIGIT_LABELS
@@ -27,10 +29,11 @@ def main() -> None:
         speech_low_threshold=cfg.endpoint.speech_low_threshold,
         silence_duration_threshold=cfg.endpoint.silence_duration_threshold,
     )
+    mcfg = cfg.frontend.mfcc_config()
     feats = {}
     for label in DIGIT_LABELS:
         stripped = sep.remove_empty_batch(corpus.train_dataset[label])
-        feats[label] = mfcc_batch(stripped, cfg.frontend.sample_rate)
+        feats[label] = mfcc_batch(stripped, cfg=mcfg)
 
     kcfg = SegmentalKMeansConfig(
         num_states=cfg.train.num_states,
@@ -48,9 +51,9 @@ def main() -> None:
         length_multiple=cfg.train.length_multiple,
     )
     models["S"] = train_word_hmm(
-        "S", mfcc_batch(noises, cfg.frontend.sample_rate), silence_cfg
+        "S", mfcc_batch(noises, cfg=mcfg), silence_cfg
     ).model
-    save_models(models, cfg.checkpoint_dir)
+    save_models(models, cfg.checkpoint_dir, frontend=frontend_manifest(cfg))
     print(f"saved {len(models)} models (incl. silence) to {cfg.checkpoint_dir}")
 
 

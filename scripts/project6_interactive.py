@@ -2,7 +2,9 @@
 """Mic -> endpoint -> MFCC -> continuous decode with silence (reference
 scripts/project6_interactive.py). Requires sounddevice; --wav decodes a file
 instead of capturing (works everywhere)."""
-from _common import run_main, base_parser, load_config
+from dataclasses import replace
+
+from _common import run_main, adopt_checkpoint_frontend, base_parser, load_config
 
 import numpy as np
 
@@ -43,12 +45,14 @@ def main() -> None:
     decoder = ContinuousDecoder(
         load_models(cfg.checkpoint_dir), penalty=cfg.decode.word_penalty
     )
+    adopt_checkpoint_frontend(cfg, args)
+    mcfg = cfg.frontend.mfcc_config()
 
     if args.wav:
         from cs304_tpu.audio.wav import read_wav
 
         rate, signal = read_wav(args.wav)
-        feats = mfcc_batch([signal], rate)
+        feats = mfcc_batch([signal], cfg=replace(mcfg, sample_rate=float(rate)))
         if args.nbest > 1:
             for score, text in decoder.predict_nbest(feats[0], n=args.nbest):
                 print(f"{score:12.2f}  {text}")
@@ -122,7 +126,7 @@ def main() -> None:
         from cs304_tpu.audio.wav import read_wav
 
         rate, signal = read_wav(path)
-        feats = mfcc_batch([signal], rate)
+        feats = mfcc_batch([signal], cfg=replace(mcfg, sample_rate=float(rate)))
         print("decoded:", decoder.predict(feats[0]))
 
 

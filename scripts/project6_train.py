@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Embedded continuous training over all multi-digit transcripts, booting from
 project5 checkpoints; interrupt-safe save (reference scripts/project6_train.py)."""
-from _common import run_main, base_parser, load_config, load_corpus
+from _common import (
+    run_main, adopt_checkpoint_frontend, base_parser, frontend_manifest,
+    load_config, load_corpus,
+)
 
 from cs304_tpu.models.train_continuous import ContinuousTrainConfig, ContinuousTrainer
 from cs304_tpu.ops.mfcc import mfcc_batch
@@ -34,10 +37,12 @@ def main() -> None:
     out_dir = args.out_dir or f"{cfg.checkpoint_dir}_continuous"
 
     models = load_models(cfg.checkpoint_dir)
+    adopt_checkpoint_frontend(cfg, args)  # boot checkpoint pins the front-end
+    mcfg = cfg.frontend.mfcc_config()
     labeled = {}
     for n in range(args.min_digits, args.max_digits + 1):
         for transcript, utts in corpus.train_dataset.get_all_n_digits(n).items():
-            labeled[transcript] = mfcc_batch(utts, cfg.frontend.sample_rate)
+            labeled[transcript] = mfcc_batch(utts, cfg=mcfg)
     if not labeled:
         raise SystemExit("no multi-digit transcripts found in the train split")
     print(f"training on {len(labeled)} transcripts, "
@@ -90,7 +95,7 @@ def main() -> None:
             print(f"GMM refinement (K={args.gmm_mixtures}) finished after "
                   f"{gmm_iters} iterations")
             final_models = gmm_trainer.models()
-        save_models(final_models, out_dir)
+        save_models(final_models, out_dir, frontend=frontend_manifest(cfg))
         print(f"saved to {out_dir}")
 
 

@@ -43,6 +43,67 @@ def test_checkpoint_collection(tmp_path, rng):
         load_models(str(tmp_path), labels=["9"])
 
 
+def test_manifest_records_frontend(tmp_path, rng):
+    """Checkpoints pin their feature front-end so decode matches training
+    (a CMVN-trained model is useless on per-frame-normalized features)."""
+    from cs304_tpu.utils.checkpoint import load_manifest
+
+    models = {l: mk_model(l, rng) for l in ["1", "2"]}
+    save_models(models, str(tmp_path), frontend={"normalization": "cmvn"})
+    man = load_manifest(str(tmp_path))
+    assert man["frontend"] == {"normalization": "cmvn"}
+    assert man["labels"] == ["1", "2"]
+    # manifest-less trees (per-model save) read as {}
+    assert load_manifest(str(tmp_path / "1")) == {}
+
+
+def test_frontend_config_to_mfcc_config():
+    cfg = Config()
+    cfg.apply_overrides(["frontend.normalization=cmn"])
+    mcfg = cfg.frontend.mfcc_config()
+    assert mcfg.normalization == "cmn"
+    assert mcfg.sample_rate == 16000.0
+    assert mcfg.n_mfcc == 13
+
+
+def test_adopt_checkpoint_frontend(tmp_path, rng):
+    """Decode scripts adopt the checkpoint's recorded front-end unless the
+    user explicitly overrode the same key with --set frontend.*"""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    try:
+        from _common import adopt_checkpoint_frontend
+    finally:
+        sys.path.pop(0)
+
+    class Args:
+        overrides = []
+
+    save_models({"1": mk_model("1", rng)}, str(tmp_path),
+                frontend={"normalization": "cmn"})
+    cfg = Config()
+    cfg.checkpoint_dir = str(tmp_path)
+    adopt_checkpoint_frontend(cfg, Args())
+    assert cfg.frontend.normalization == "cmn"
+
+    # explicit --set wins over the manifest
+    cfg2 = Config()
+    cfg2.checkpoint_dir = str(tmp_path)
+    cfg2.apply_overrides(["frontend.normalization=per_frame"])
+    args2 = Args()
+    args2.overrides = ["frontend.normalization=per_frame"]
+    adopt_checkpoint_frontend(cfg2, args2)
+    assert cfg2.frontend.normalization == "per_frame"
+
+    # manifest-less checkpoint: no-op
+    cfg3 = Config()
+    cfg3.checkpoint_dir = str(tmp_path / "1")
+    adopt_checkpoint_frontend(cfg3, Args())
+    assert cfg3.frontend.normalization == "per_frame"
+
+
 def test_load_models_friendly_errors(tmp_path):
     """Missing/empty checkpoint dirs produce actionable messages (ROADMAP
     quality item; surfaced as one-liners by scripts/_common.run_main)."""
