@@ -258,16 +258,34 @@ class SyntheticTIDigits:
     ) -> np.ndarray:
         """Multi-digit utterance: silence-separated digit concatenation (the
         reference's get_combined trick plus inter-word gaps)."""
+        return self.sentence_audio_with_segments(
+            transcript, speaker, jitter_seed, gap
+        )[0]
+
+    def sentence_audio_with_segments(
+        self, transcript: str, speaker: int, jitter_seed: int = 0, gap: float = 0.06
+    ):
+        """Like sentence_audio, but also returns the TRUE word segments as
+        [(label, start_sample, end_sample)] — the degradations (channel
+        filter, additive noise) are length-preserving, so the concatenation
+        offsets are exact ground truth for alignment tests."""
         rng = np.random.default_rng(jitter_seed * 7919 + speaker)
         pieces = [self.silence(gap * rng.uniform(0.5, 1.5), seed=jitter_seed)]
+        segments = []
+        offset = len(pieces[0])
         for i, label in enumerate(transcript):
-            pieces.append(self.digit_audio(label, speaker, jitter_seed + i))
-            pieces.append(self.silence(gap * rng.uniform(0.5, 1.5), seed=jitter_seed + i))
+            digit = self.digit_audio(label, speaker, jitter_seed + i)
+            segments.append((label, offset, offset + len(digit)))
+            offset += len(digit)
+            pieces.append(digit)
+            tail = self.silence(gap * rng.uniform(0.5, 1.5), seed=jitter_seed + i)
+            offset += len(tail)
+            pieces.append(tail)
         sentence = np.concatenate(pieces)
         import zlib
 
         key = zlib.crc32(transcript.encode()) % 99991
-        return self._degrade(sentence, speaker, jitter_seed * 131 + key)
+        return self._degrade(sentence, speaker, jitter_seed * 131 + key), segments
 
     def sentence_corpus(
         self,

@@ -104,3 +104,26 @@ def test_full_cli_chain(tmp_chain_dir):
         # Easy (legacy) corpus + tiny configs: the chain must still decode
         # essentially perfectly; anything lower means wiring broke.
         assert acc >= 0.9, f"{split} CSV accuracy {acc:.2%}"
+
+    # Forced alignment against the trained checkpoint (scripts/align.py).
+    from cs304_tpu.audio.wav import write_wav_int16
+    from cs304_tpu.data.synthetic import SyntheticTIDigits
+
+    corpus = SyntheticTIDigits(num_train_speakers=6, num_test_speakers=2,
+                               takes_per_digit=3)
+    wav_path = os.path.join(tmp, "align_me.wav")
+    write_wav_int16(wav_path, corpus.sentence_audio("375", 0), 16000)
+    align_csv = os.path.join(tmp, "alignments.csv")
+    out = run_script(
+        "align.py", "--checkpoint-dir", ck6, "--wav", wav_path,
+        "--transcript", "375", "--csv-out", align_csv, "--states", tmp=tmp,
+    )
+    assert "transcript=375" in out
+    with open(align_csv) as fh:
+        rows = list(csv.reader(fh, delimiter="|"))
+    header, body = rows[0], rows[1:]
+    assert [r[header.index("word")] for r in body] == ["3", "7", "5"]
+    # Frame ranges are increasing and non-trivial.
+    sf, ef = header.index("start_frame"), header.index("end_frame")
+    for r in body:
+        assert int(r[ef]) > int(r[sf])
