@@ -237,6 +237,58 @@ class ContinuousDecoder:
             out.append("".join(labels))
         return out
 
+    def predict_batch_grammar(
+        self, features: Sequence[np.ndarray], grammar,
+        skip_silence: bool = True,
+    ) -> List[str]:
+        """Decode constrained to word sequences a WordDFA accepts
+        (ops/grammar.py — the trellis composed with the automaton): digit
+        patterns with per-position alphabets, finite command sets, count
+        ranges. Utterances with no accepted path (score -inf) fall back to
+        the unconstrained decode. GMM-aware; the flat penalty is used (no
+        bigram LM in the grammar trellis)."""
+        from ..ops.grammar import viterbi_composite_grammar_batch
+
+        c = self.composite
+        if list(grammar.labels) != list(c.labels):
+            raise ValueError(
+                f"grammar vocabulary {grammar.labels} does not match the "
+                f"decoder's labels {c.labels}"
+            )
+        padded = pad_batch(features, 128)
+        log_b = self._emissions(jnp.asarray(padded.data))
+        scores, paths = viterbi_composite_grammar_batch(
+            log_b, jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+            jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
+            jnp.asarray(c.word_of_state.astype(np.int32)),
+            jnp.asarray(grammar.next_state), jnp.asarray(grammar.accept),
+            jnp.float32(c.penalty), jnp.asarray(padded.lengths),
+        )
+        scores = np.asarray(scores)
+        paths = np.asarray(paths)
+        out: List[str] = []
+        fallback_idx = [i for i in range(len(features))
+                        if not np.isfinite(scores[i])]
+        fallbacks = {}
+        if fallback_idx:
+            logger.info(
+                "grammar decode: %d utterance(s) have no accepted path; "
+                "falling back to unconstrained", len(fallback_idx),
+            )
+            preds = self.predict_batch(
+                [features[i] for i in fallback_idx], skip_silence
+            )
+            fallbacks = dict(zip(fallback_idx, preds))
+        for i in range(len(features)):
+            if i in fallbacks:
+                out.append(fallbacks[i])
+                continue
+            labels = c.path_to_labels(
+                paths[i, : padded.lengths[i]], skip_silence=skip_silence
+            )
+            out.append("".join(labels))
+        return out
+
     def _emissions(self, batch):
         """(B, T, D) padded features -> (B, T, S) log densities with the
         decoder's actual emission model (GMM when present)."""

@@ -13,6 +13,29 @@ from cs304_tpu.ops.mfcc import mfcc_batch
 from cs304_tpu.utils.checkpoint import load_models
 
 
+def _build_grammar(args, labels):
+    """--grammar-strings / --grammar-pattern -> WordDFA (or None)."""
+    if args.grammar_strings and args.grammar_pattern:
+        raise ValueError(
+            "use --grammar-strings OR --grammar-pattern, not both"
+        )
+    from cs304_tpu.ops.grammar import WordDFA
+
+    if args.grammar_strings:
+        return WordDFA.from_strings(
+            [s.strip() for s in args.grammar_strings.split(",") if s.strip()],
+            labels,
+        )
+    if args.grammar_pattern:
+        digits = tuple(l for l in labels if l != "S")
+        sets = [
+            digits if pos == "*" else tuple(pos)
+            for pos in args.grammar_pattern.split(":")
+        ]
+        return WordDFA.from_positions(sets, labels)
+    return None
+
+
 def main() -> None:
     parser = base_parser(__doc__)
     parser.add_argument("--wav", default=None, help="decode this WAV instead of the mic")
@@ -37,6 +60,15 @@ def main() -> None:
     parser.add_argument("--lattice-beam", type=float, default=50.0,
                         help="score beam (nats below the best path) for "
                              "--lattice-method forward")
+    parser.add_argument("--grammar-strings", default=None, metavar="A,B,...",
+                        help="constrain decoding to this finite transcript "
+                             "set (comma-separated), e.g. '375,186Z' — the "
+                             "trellis composed with a trie DFA")
+    parser.add_argument("--grammar-pattern", default=None, metavar="P1:P2:...",
+                        help="constrain decoding to a fixed-length pattern: "
+                             "colon-separated per-position alphabets, '*' = "
+                             "any digit, e.g. '12:*:Z' (position 0 in {1,2}, "
+                             "any, then Z)")
     parser.add_argument("--high", type=float, default=128.0)
     parser.add_argument("--low", type=float, default=16.0)
     parser.add_argument("--silence-duration", type=float, default=0.2)
@@ -53,7 +85,11 @@ def main() -> None:
 
         rate, signal = read_wav(args.wav)
         feats = mfcc_batch([signal], cfg=replace(mcfg, sample_rate=float(rate)))
-        if args.nbest > 1:
+        grammar = _build_grammar(args, decoder.composite.labels)
+        if grammar is not None:
+            print("decoded:",
+                  decoder.predict_batch_grammar(feats, grammar)[0])
+        elif args.nbest > 1:
             for score, text in decoder.predict_nbest(feats[0], n=args.nbest):
                 print(f"{score:12.2f}  {text}")
         else:
@@ -127,7 +163,12 @@ def main() -> None:
 
         rate, signal = read_wav(path)
         feats = mfcc_batch([signal], cfg=replace(mcfg, sample_rate=float(rate)))
-        print("decoded:", decoder.predict(feats[0]))
+        grammar = _build_grammar(args, decoder.composite.labels)
+        if grammar is not None:
+            print("decoded:",
+                  decoder.predict_batch_grammar(feats, grammar)[0])
+        else:
+            print("decoded:", decoder.predict(feats[0]))
 
 
 if __name__ == "__main__":

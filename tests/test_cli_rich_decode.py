@@ -86,6 +86,26 @@ def test_interactive_rich_outputs(tiny_ckpt, tmp_path):
     assert "lattice:" in out2
 
 
+def test_interactive_grammar_options(tiny_ckpt, tmp_path):
+    out = run_script(
+        "project6_interactive.py", "--wav", tiny_ckpt["wav"],
+        "--checkpoint-dir", tiny_ckpt["ckpt"],
+        "--grammar-strings", "375,573",
+        "--log-file", str(tmp_path / "runtime.log"),
+    )
+    assert "decoded: 375" in out or "decoded: 573" in out
+
+    out2 = run_script(
+        "project6_interactive.py", "--wav", tiny_ckpt["wav"],
+        "--checkpoint-dir", tiny_ckpt["ckpt"],
+        "--grammar-pattern", "37:*:*",
+        "--log-file", str(tmp_path / "runtime.log"),
+    )
+    decoded = [l for l in out2.splitlines() if l.startswith("decoded:")][0]
+    text = decoded.split()[-1]
+    assert len(text) == 3 and text[0] in "37"
+
+
 def test_ndigits_eval_wer_and_bigram(tiny_ckpt, tmp_path):
     out = run_script(
         "project5_test_ndigits.py", "--synthetic",
