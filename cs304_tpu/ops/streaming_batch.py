@@ -1,0 +1,329 @@
+"""Batched live-stream serving: B concurrent online decodes per dispatch.
+
+ops/streaming.py decodes ONE live stream; a serving deployment has hundreds
+of concurrent microphones at different points in their utterances. Advancing
+them one dispatch each would pay the per-dispatch overhead B times per chunk
+interval; this module advances ALL slots chunk-synchronously in ONE device
+dispatch per step:
+
+- device-resident state: the (B, S) alpha carry plus a (B, T_max, S)
+  backpointer ring (int8 when S <= 127 — the flagship's 58 states fit — so
+  the flagship ring is byte-sized; int32 otherwise). Both buffers are
+  donated back to the step program, so XLA updates them in place.
+- staggered starts: each slot carries its own absolute frame clock; a slot
+  whose clock is 0 is (re)seeded from its first frame inside the step, so
+  recycling a slot never needs a host-side state write.
+- per-step fill levels: the host mirrors each slot's frame count exactly
+  (it supplies the valid counts), so `fill()` is free.
+- slot recycling: `release()` returns a slot to the free list; the stale
+  device rows are overwritten by the next stream's seed.
+- finalize: device-side backtrace (the offline decoder's reverse scan,
+  ops/viterbi.py:_backtrace) + word compaction (ops/words.py) for every slot
+  in one dispatch; the host reads back only scores + word ids. Per-stream
+  results are offline-exact (tests/test_streaming_batch.py).
+
+The recursion is the single-stream one (composite_transition_matrix max-plus
+steps), so chunk boundaries and co-resident streams are invisible to each
+stream's math.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .viterbi import _backtrace, composite_transition_matrix
+from .words import words_from_paths
+
+__all__ = ["BatchedStreamingComposite", "ring_dtype"]
+
+
+def ring_dtype(num_states: int):
+    """Backpointer storage dtype: state indices (+ the -1 seed sentinel)."""
+    return jnp.int8 if num_states <= 127 else jnp.int32
+
+
+def _advance(alpha, ring, t, valid, log_b, trans, seed_alpha_bias, is_entry):
+    """Core chunk advance shared by the Gaussian/GMM step programs.
+
+    alpha (B, S) f32, ring (B, T_max, S), t/valid (B,) int32,
+    log_b (B, C, S). Returns (alpha, ring, t + valid).
+    """
+    _b, t_max, s = ring.shape
+    c = log_b.shape[1]
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def step(carry, inputs):
+        alpha, ring = carry
+        i, log_b_i = inputs  # log_b_i (B, S)
+        live = i < valid  # (B,)
+        abs_t = t + i
+        scores = alpha[:, :, None] + trans[None]  # (B, S', S)
+        new_alpha = jnp.max(scores, axis=1) + log_b_i
+        bp = jnp.argmax(scores, axis=1).astype(ring.dtype)
+        # Absolute frame 0 seeds the recursion (entry states only) — this is
+        # what lets a recycled slot restart without host-side state writes.
+        seed = jnp.where(is_entry[None, :], log_b_i + seed_alpha_bias[None, :],
+                         neg_inf)
+        is_seed = (abs_t == 0)[:, None]
+        new_alpha = jnp.where(is_seed, seed, new_alpha)
+        bp = jnp.where(is_seed, jnp.asarray(-1, ring.dtype), bp)
+        alpha = jnp.where(live[:, None], new_alpha, alpha)
+
+        def write(ring_b, bp_b, idx, lv):
+            cur = jax.lax.dynamic_slice(ring_b, (idx, 0), (1, s))
+            row = jnp.where(lv, bp_b[None], cur)
+            return jax.lax.dynamic_update_slice(ring_b, row, (idx, 0))
+
+        ring = jax.vmap(write)(
+            ring, bp, jnp.clip(abs_t, 0, t_max - 1), live
+        )
+        return (alpha, ring), None
+
+    (alpha, ring), _ = jax.lax.scan(
+        step, (alpha, ring),
+        (jnp.arange(c, dtype=jnp.int32), jnp.moveaxis(log_b, 1, 0)),
+    )
+    return alpha, ring, t + valid
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _step_gaussian(alpha, ring, t, valid, feats, trans, seed_bias, is_entry,
+                   means, whiten, log_norm):
+    from .gaussian import GaussianParams, gaussian_log_pdf
+
+    params = GaussianParams(means=means, whiten=whiten, log_norm=log_norm)
+    b, c, d = feats.shape
+    log_b = gaussian_log_pdf(params, feats.reshape(b * c, d)).reshape(
+        b, c, -1
+    )
+    return _advance(alpha, ring, t, valid, log_b, trans, seed_bias, is_entry)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _step_gmm(alpha, ring, t, valid, feats, trans, seed_bias, is_entry,
+              gmm_params):
+    from .gaussian import gmm_log_pdf
+
+    b, c, d = feats.shape
+    log_b = gmm_log_pdf(gmm_params, feats.reshape(b * c, d)).reshape(b, c, -1)
+    return _advance(alpha, ring, t, valid, log_b, trans, seed_bias, is_entry)
+
+
+@partial(jax.jit, static_argnames=("any_state", "max_words"))
+def _finalize_batch(alpha, ring, t, is_exit, word_of_state, lowers, uppers,
+                    silence_word, any_state: bool, max_words: int):
+    masked = alpha if any_state else jnp.where(is_exit[None, :], alpha,
+                                               -jnp.inf)
+    scores = jnp.max(masked, axis=1)
+    best = jnp.argmax(masked, axis=1).astype(jnp.int32)
+    paths = jax.vmap(
+        lambda bp, bs, l: _backtrace(bp.astype(jnp.int32), bs, l, False)
+    )(ring, best, t)
+    ids, counts = words_from_paths(
+        paths, t, word_of_state, lowers, uppers, silence_word,
+        max_words=max_words,
+    )
+    return scores, ids, counts
+
+
+class BatchedStreamingComposite:
+    """B-slot chunk-synchronous online decoding over a CompositeHMM.
+
+    >>> pool = BatchedStreamingComposite(composite, num_slots=64)
+    >>> a, b = pool.start(), pool.start()
+    >>> pool.step({a: chunk_a0, b: chunk_b0})   # ONE device dispatch
+    >>> pool.step({a: chunk_a1})                # b idles this step
+    >>> score, text = pool.finalize([a])[a]
+    >>> pool.release(a)                         # slot recycled for a new mic
+    """
+
+    def __init__(self, composite, num_slots: int = 64, chunk_size: int = 16,
+                 max_frames: int = 2048, gmm_params=None,
+                 max_words: int = 64) -> None:
+        self.composite = composite
+        self.num_slots = int(num_slots)
+        self.chunk_size = int(chunk_size)
+        self.max_frames = int(max_frames)
+        self.max_words = int(max_words)
+        c = composite
+        s = c.num_states
+        self._trans = composite_transition_matrix(
+            jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+            jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
+            jnp.float32(c.penalty),
+        )
+        diag = np.diagonal(c.log_a)
+        self._seed_bias = jnp.asarray(
+            np.where(np.isfinite(diag), diag, 0.0).astype(np.float32)
+        )
+        self._is_entry = jnp.asarray(c.is_entry)
+        self._is_exit = jnp.asarray(c.is_exit)
+        self._gmm_params = gmm_params
+        if gmm_params is None:
+            p = c.emission_params()
+            self._emission = (p.means, p.whiten, p.log_norm)
+        self._alpha = jnp.full((self.num_slots, s), -jnp.inf, jnp.float32)
+        self._ring = jnp.full(
+            (self.num_slots, self.max_frames, s), -1, ring_dtype(s)
+        )
+        self._t = np.zeros(self.num_slots, np.int32)  # exact host mirror
+        self._free: List[int] = list(range(self.num_slots))[::-1]
+        self._active: set[int] = set()
+        dim = c.means.shape[-1]
+        self._dim = dim
+
+    @classmethod
+    def from_models(cls, models, penalty: float = -100.0, **kwargs
+                    ) -> "BatchedStreamingComposite":
+        """GMM-aware constructor from a model dict/list (the same lift as
+        ContinuousDecoder / StreamingComposite.from_models)."""
+        from ..models.decoder import _lift_to_gmm
+        from ..models.gmm_hmm import GMMWordHMM
+        from ..models.hmm import stack_word_models
+        from .gaussian import make_gmm_params
+
+        if isinstance(models, dict):
+            models = list(models.values())
+        models = sorted(models, key=lambda m: m.label)
+        if any(isinstance(m, GMMWordHMM) for m in models):
+            views, (means, covs, weights) = _lift_to_gmm(models)
+            composite = stack_word_models(views, penalty)
+            gmm_params = make_gmm_params(
+                jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
+            )
+            return cls(composite, gmm_params=gmm_params, **kwargs)
+        return cls(stack_word_models(models, penalty), **kwargs)
+
+    # -- slot lifecycle -------------------------------------------------------
+    def start(self) -> int:
+        """Claim a free slot for a new stream; its first fed frame seeds it."""
+        if not self._free:
+            raise RuntimeError(
+                f"all {self.num_slots} slots busy — release() one or build a "
+                "bigger pool"
+            )
+        slot = self._free.pop()
+        self._t[slot] = 0
+        self._active.add(slot)
+        return slot
+
+    def release(self, slot: int) -> None:
+        """Return a slot to the free list (device rows overwritten on reuse)."""
+        self._check_slot(slot)
+        self._active.discard(slot)
+        self._t[slot] = 0
+        self._free.append(slot)
+
+    def fill(self) -> Dict[int, int]:
+        """Frames accumulated per active slot (host mirror — no device sync)."""
+        return {slot: int(self._t[slot]) for slot in sorted(self._active)}
+
+    def _check_slot(self, slot: int) -> None:
+        if slot not in self._active:
+            raise KeyError(f"slot {slot} is not active")
+
+    # -- streaming ------------------------------------------------------------
+    def step(self, feeds: Dict[int, np.ndarray]) -> None:
+        """Advance fed slots by their chunks in ONE device dispatch.
+
+        feeds: slot -> (c, D) float32 features, c <= chunk_size. Slots not in
+        feeds idle (their state is untouched). An empty feeds dict is a no-op.
+        """
+        if not feeds:
+            return
+        chunk = np.zeros(
+            (self.num_slots, self.chunk_size, self._dim), np.float32
+        )
+        valid = np.zeros(self.num_slots, np.int32)
+        for slot, feats in feeds.items():
+            self._check_slot(slot)
+            feats = np.asarray(feats, np.float32)
+            if feats.ndim != 2 or feats.shape[1] != self._dim:
+                raise ValueError(
+                    f"slot {slot}: expected (c, {self._dim}) features, got "
+                    f"{feats.shape}"
+                )
+            c = feats.shape[0]
+            if c > self.chunk_size:
+                raise ValueError(
+                    f"slot {slot}: chunk of {c} frames exceeds chunk_size="
+                    f"{self.chunk_size} — split it across steps"
+                )
+            if self._t[slot] + c > self.max_frames:
+                raise ValueError(
+                    f"slot {slot}: {self._t[slot]} + {c} frames exceeds "
+                    f"max_frames={self.max_frames} — finalize or enlarge the "
+                    "ring"
+                )
+            chunk[slot, :c] = feats
+            valid[slot] = c
+        t_dev = jnp.asarray(self._t)
+        if self._gmm_params is not None:
+            self._alpha, self._ring, _ = _step_gmm(
+                self._alpha, self._ring, t_dev, jnp.asarray(valid),
+                jnp.asarray(chunk), self._trans, self._seed_bias,
+                self._is_entry, self._gmm_params,
+            )
+        else:
+            means, whiten, log_norm = self._emission
+            self._alpha, self._ring, _ = _step_gaussian(
+                self._alpha, self._ring, t_dev, jnp.asarray(valid),
+                jnp.asarray(chunk), self._trans, self._seed_bias,
+                self._is_entry, means, whiten, log_norm,
+            )
+        self._t += valid
+
+    # -- results --------------------------------------------------------------
+    def _run_finalize(self, any_state: bool):
+        c = self.composite
+        sil = c.labels.index("S") if "S" in c.labels else -1
+        return _finalize_batch(
+            self._alpha, self._ring, jnp.asarray(self._t), self._is_exit,
+            jnp.asarray(c.word_of_state.astype(np.int32)),
+            jnp.asarray(c.lowers.astype(np.int32)),
+            jnp.asarray(c.uppers.astype(np.int32)),
+            sil, any_state, self.max_words,
+        )
+
+    def finalize(self, slots: Sequence[int],
+                 skip_silence: bool = True) -> Dict[int, tuple]:
+        """slot -> (score, text) with the offline termination (best exit).
+
+        One dispatch for all requested slots; readback is scores + word ids
+        only (the paths stay on device). Does not release the slots."""
+        from .words import ids_to_strings
+
+        for slot in slots:
+            self._check_slot(slot)
+            if self._t[slot] == 0:
+                raise ValueError(f"slot {slot} has no frames to finalize")
+        scores, ids, counts = jax.device_get(self._run_finalize(False))
+        texts = ids_to_strings(ids, counts, self.composite.labels)
+        if not skip_silence:  # re-run compaction keeping silence
+            c = self.composite
+            sil_keep = _finalize_batch(
+                self._alpha, self._ring, jnp.asarray(self._t), self._is_exit,
+                jnp.asarray(c.word_of_state.astype(np.int32)),
+                jnp.asarray(c.lowers.astype(np.int32)),
+                jnp.asarray(c.uppers.astype(np.int32)),
+                -1, False, self.max_words,
+            )
+            _, ids, counts = jax.device_get(sil_keep)
+            texts = ids_to_strings(ids, counts, self.composite.labels)
+        return {
+            slot: (float(scores[slot]), texts[slot]) for slot in slots
+        }
+
+    def partial_text(self, slot: int, skip_silence: bool = True) -> str:
+        """Best hypothesis so far for one slot (any state may end it)."""
+        from .words import ids_to_strings
+
+        self._check_slot(slot)
+        if self._t[slot] == 0:
+            return ""
+        _scores, ids, counts = jax.device_get(self._run_finalize(True))
+        return ids_to_strings(ids, counts, self.composite.labels)[slot]

@@ -1,0 +1,199 @@
+"""Batched live-stream serving (ops/streaming_batch.py).
+
+Gates: per-stream results must be OFFLINE-EXACT (score and text identical to
+the offline composite decode with the standard backtrace) under staggered
+starts, uneven chunking, idle steps, and slot recycling; the int8 ring must
+engage for S <= 127; GMM models must stream with their true densities.
+"""
+import numpy as np
+import pytest
+
+from cs304_tpu.models.hmm import WordHMM, stack_word_models, uniform_forward_log_a
+from cs304_tpu.ops.streaming_batch import BatchedStreamingComposite, ring_dtype
+from cs304_tpu.ops.viterbi import viterbi_composite
+
+
+def _models(seed=0, labels=("1", "2", "S")):
+    rng = np.random.default_rng(seed)
+    models = {}
+    for label in sorted(labels):
+        s = 2 if label == "S" else 3
+        means = rng.normal(size=(s, 6)).astype(np.float32) * 2.0
+        covs = np.tile(np.eye(6, dtype=np.float32), (s, 1, 1))
+        models[label] = WordHMM(label=label, means=means, covariances=covs,
+                                log_a=uniform_forward_log_a(s))
+    return models
+
+
+def _offline(composite, feats):
+    log_b = composite.log_likelihoods(feats)
+    score, path = viterbi_composite(
+        log_b, np.asarray(composite.log_a),
+        np.asarray(composite.lower_of_state), np.asarray(composite.is_entry),
+        np.asarray(composite.is_exit), composite.penalty,
+        quirk_backtrace=False,
+    )
+    text = "".join(composite.path_to_labels(np.asarray(path)))
+    return float(score), text
+
+
+def _utterances(models, n, rng):
+    """Feature sequences that wander near the models' state means."""
+    all_means = np.concatenate([m.means for m in models.values()])
+    out = []
+    for _ in range(n):
+        t = int(rng.integers(12, 40))
+        picks = all_means[rng.integers(0, len(all_means), t)]
+        out.append((picks + rng.normal(0, 0.3, picks.shape)).astype(np.float32))
+    return out
+
+
+def test_offline_exact_staggered_and_uneven_chunks(rng):
+    models = _models()
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=4, chunk_size=8, max_frames=64,
+    )
+    comp = pool.composite
+    utts = _utterances(models, 3, rng)
+    slots = [pool.start() for _ in utts]
+    cursors = [0, 0, 0]
+    step_i = 0
+    while any(cursors[i] < len(utts[i]) for i in range(3)):
+        feeds = {}
+        for i, slot in enumerate(slots):
+            # Slot i starts at step i (staggered) and feeds uneven chunks.
+            if step_i < i or cursors[i] >= len(utts[i]):
+                continue
+            c = int(rng.integers(1, 9))
+            feeds[slot] = utts[i][cursors[i] : cursors[i] + c]
+            cursors[i] += len(feeds[slot])
+        pool.step(feeds)
+        step_i += 1
+
+    assert pool.fill() == {slots[i]: len(utts[i]) for i in range(3)}
+    results = pool.finalize(slots)
+    for i, slot in enumerate(slots):
+        score, text = results[slot]
+        off_score, off_text = _offline(comp, utts[i])
+        assert score == pytest.approx(off_score, rel=1e-5), f"slot {slot}"
+        assert text == off_text, f"slot {slot}"
+
+
+def test_slot_recycling_is_exact(rng):
+    models = _models(seed=3)
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=1, chunk_size=8, max_frames=64,
+    )
+    first, second = _utterances(models, 2, rng)
+
+    slot = pool.start()
+    for start in range(0, len(first), 8):
+        pool.step({slot: first[start : start + 8]})
+    s1, t1 = pool.finalize([slot])[slot]
+    pool.release(slot)
+
+    slot2 = pool.start()
+    assert slot2 == slot  # recycled
+    for start in range(0, len(second), 8):
+        pool.step({slot2: second[start : start + 8]})
+    s2, t2 = pool.finalize([slot2])[slot2]
+
+    off1, off2 = _offline(pool.composite, first), _offline(pool.composite, second)
+    assert (s1, t1) == (pytest.approx(off1[0], rel=1e-5), off1[1])
+    assert (s2, t2) == (pytest.approx(off2[0], rel=1e-5), off2[1])
+
+
+def test_partial_text_progresses(rng):
+    models = _models(seed=5)
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=2, chunk_size=4, max_frames=64,
+    )
+    utt = _utterances(models, 1, rng)[0]
+    slot = pool.start()
+    assert pool.partial_text(slot) == ""
+    seen = []
+    for start in range(0, len(utt), 4):
+        pool.step({slot: utt[start : start + 4]})
+        seen.append(pool.partial_text(slot))
+    assert all(isinstance(s, str) for s in seen)
+    # The final partial under best-exit termination equals finalize's text
+    # up to the termination rule; finalize itself must be offline-exact.
+    _score, text = pool.finalize([slot])[slot]
+    assert text == _offline(pool.composite, utt)[1]
+
+
+def test_gmm_streaming(rng):
+    from cs304_tpu.models.train_continuous_gmm import promote_to_gmm
+
+    models = promote_to_gmm(_models(seed=7), 2, jitter=0.3)
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=2, chunk_size=8, max_frames=64,
+    )
+    assert pool._gmm_params is not None
+    base = {l: m for l, m in _models(seed=7).items()}
+    utt = _utterances(base, 1, rng)[0]
+    slot = pool.start()
+    pool.step({slot: utt[:8]})
+    pool.step({slot: utt[8:16]})
+    score, text = pool.finalize([slot])[slot]
+    assert np.isfinite(score)
+    assert isinstance(text, str)
+
+    # GMM result matches the single-stream GMM decoder on the same frames.
+    from cs304_tpu.ops.streaming import StreamingComposite
+
+    single = StreamingComposite.from_models(models, penalty=-5.0, chunk_size=8)
+    single.feed(utt[:16])
+    s_score, s_path = single.finalize()
+    assert score == pytest.approx(s_score, rel=1e-5)
+    assert text == "".join(pool.composite.path_to_labels(s_path))
+
+
+def test_ring_dtype_and_capacity_errors(rng):
+    import jax.numpy as jnp
+
+    assert ring_dtype(58) == jnp.int8
+    assert ring_dtype(127) == jnp.int8
+    assert ring_dtype(128) == jnp.int32
+
+    models = _models()
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=1, chunk_size=4, max_frames=8,
+    )
+    assert pool._ring.dtype == jnp.int8
+    slot = pool.start()
+    with pytest.raises(RuntimeError, match="slots busy"):
+        pool.start()
+    utt = _utterances(models, 1, rng)[0]
+    with pytest.raises(ValueError, match="exceeds chunk_size"):
+        pool.step({slot: utt[:6]})
+    pool.step({slot: utt[:4]})
+    pool.step({slot: utt[4:8]})
+    with pytest.raises(ValueError, match="max_frames"):
+        pool.step({slot: utt[8:12]})
+    with pytest.raises(KeyError):
+        pool.step({slot + 1: utt[:2]})
+    pool.release(slot)
+    with pytest.raises(KeyError):
+        pool.partial_text(slot)
+
+
+def test_idle_steps_do_not_disturb_state(rng):
+    models = _models(seed=9)
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=2, chunk_size=8, max_frames=64,
+    )
+    utt = _utterances(models, 1, rng)[0]
+    a, b = pool.start(), pool.start()
+    pool.step({a: utt[:8]})
+    # b idles through several steps with other slots active; an empty step
+    # is a no-op.
+    pool.step({})
+    pool.step({a: utt[8:16]})
+    pool.step({b: utt[:8]})
+    pool.step({b: utt[8:16]})
+    ra = pool.finalize([a])[a]
+    rb = pool.finalize([b])[b]
+    off = _offline(pool.composite, utt[:16])
+    assert ra == (pytest.approx(off[0], rel=1e-5), off[1])
+    assert rb == (pytest.approx(off[0], rel=1e-5), off[1])
