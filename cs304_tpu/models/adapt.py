@@ -1,0 +1,148 @@
+"""MAP speaker adaptation: shift trained Gaussian means toward a speaker.
+
+Classical maximum-a-posteriori (Gauveau-Lee style) mean adaptation: align a
+few ENROLLMENT utterances (with known transcripts) from the target speaker,
+pool per-(label, state) frame statistics, and interpolate
+
+    mu' = (tau * mu0 + sum_x) / (tau + count)
+
+so states with little enrollment evidence stay at the speaker-independent
+prior (tau = equivalent prior frame count). Covariances and transitions are
+left untouched — with seconds of enrollment audio, adapting means only is
+the stable regime.
+
+The reference has no adaptation capability at all; its answer to a new
+microphone/speaker was retraining from scratch. Statistics come from the
+same alignment pass embedded training uses (models/train_continuous.py
+_stats_pass — Viterbi one-hot stats), so adaptation costs one device
+dispatch per transcript group.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .hmm import WordHMM
+from .train_continuous import (
+    _sentence_log_a,
+    _stats_pass,
+    _topology,
+    insert_silence,
+)
+
+
+def map_adapt(
+    models: Dict[str, WordHMM],
+    labeled_features: Dict[str, Sequence[np.ndarray]],
+    tau: float = 20.0,
+    insert_sil: bool = True,
+    cross_word: str = "exit_only",
+    adapt_silence: bool = False,
+) -> Dict[str, WordHMM]:
+    """Adapt word-model means to enrollment data.
+
+    labeled_features: transcript -> (T_i, D) feature list (the embedded
+    trainer's corpus shape — a handful of utterances is enough). Only
+    single-Gaussian WordHMMs are supported (GMM adaptation would need
+    per-mixture occupancies; promote after adapting instead).
+    adapt_silence=False keeps the silence model at the prior (channel noise
+    in seconds of enrollment audio is a poor silence estimate).
+
+    Returns a NEW model dict; the input models are not mutated.
+    """
+    from .gmm_hmm import GMMWordHMM
+
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    for label, m in models.items():
+        if isinstance(m, GMMWordHMM):
+            raise ValueError(
+                f"model {label!r} is a GMM — map_adapt supports "
+                "single-Gaussian models (adapt first, then promote_to_gmm)"
+            )
+    counts, sums, labels, s_max = _enrollment_stats(
+        models, labeled_features, insert_sil, cross_word
+    )
+
+    out: Dict[str, WordHMM] = {}
+    for label, m in models.items():
+        if label == "S" and not adapt_silence:
+            out[label] = m
+            continue
+        i = labels.index(label)
+        s = m.num_states
+        c = counts[i, :s][:, None]  # (S, 1)
+        new_means = (tau * m.means + sums[i, :s]) / (tau + c)
+        # Fresh construction (not dataclasses.replace) so the cached
+        # emission params are rebuilt for the new means.
+        out[label] = WordHMM(
+            label=m.label, means=new_means.astype(np.float32),
+            covariances=m.covariances, log_a=m.log_a,
+        )
+    return out
+
+
+def _enrollment_stats(
+    models: Dict[str, WordHMM],
+    labeled_features: Dict[str, Sequence[np.ndarray]],
+    insert_sil: bool,
+    cross_word: str,
+) -> Tuple[np.ndarray, np.ndarray, List[str], int]:
+    """Pooled per-(label, state) frame counts and sums from Viterbi
+    alignments of the enrollment utterances."""
+    from ..data.batching import pad_batch
+
+    labels = sorted(models)
+    if insert_sil and "S" not in labels:
+        raise ValueError(
+            "insert_sil=True needs a silence model 'S' (pass "
+            "insert_sil=False for silence-free enrollment transcripts)"
+        )
+    label_index = {l: i for i, l in enumerate(labels)}
+    state_counts = {l: models[l].num_states for l in labels}
+    s_max = max(state_counts.values())
+    l_num = len(labels)
+    dim = models[labels[0]].means.shape[-1]
+
+    means_g = np.zeros((l_num, s_max, dim), np.float32)
+    covs_g = np.tile(np.eye(dim, dtype=np.float32), (l_num, s_max, 1, 1))
+    log_a_g = np.full((l_num, s_max, s_max), -np.inf, np.float32)
+    for l, i in label_index.items():
+        s = state_counts[l]
+        means_g[i, :s] = models[l].means
+        covs_g[i, :s] = models[l].covariances
+        log_a_g[i, :s, :s] = models[l].log_a
+
+    counts = np.zeros((l_num, s_max), np.float64)
+    sums = np.zeros((l_num, s_max, dim), np.float64)
+    if not labeled_features:
+        raise ValueError("no enrollment utterances")
+    for transcript, features in labeled_features.items():
+        if not features:
+            continue
+        missing = sorted(set(transcript) - set(labels))
+        if missing:
+            raise ValueError(
+                f"enrollment transcript {transcript!r} uses unknown words "
+                f"{missing}"
+            )
+        sentence = (
+            insert_silence(transcript) if insert_sil else transcript
+        )
+        topo = _topology(sentence, state_counts, label_index)
+        log_a_sent = _sentence_log_a(topo, log_a_g, cross_word)
+        padded = pad_batch([np.asarray(f, np.float32) for f in features], 64)
+        c, sm, _tr, _paths = _stats_pass(
+            jnp.asarray(means_g[topo.lab_of_state, topo.loc_of_state]),
+            jnp.asarray(covs_g[topo.lab_of_state, topo.loc_of_state]),
+            jnp.asarray(log_a_sent),
+            jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
+            jnp.asarray(topo.pos_of_state),
+            jnp.asarray(padded.data), jnp.asarray(padded.lengths),
+            l_num, s_max,
+        )
+        counts += np.asarray(c, np.float64)
+        sums += np.asarray(sm, np.float64)
+    return counts, sums, labels, s_max
