@@ -44,6 +44,12 @@ _EXPORTS = {
     "train_word_hmm": ".models.train_kmeans",
     "SegmentalKMeansConfig": ".models.train_kmeans",
     "ContinuousDecoder": ".models.decoder",
+    "WordDFA": ".ops.grammar",
+    "BatchedStreamingComposite": ".ops.streaming_batch",
+    "ForcedAligner": ".models.align",
+    "map_adapt": ".models.adapt",
+    "AlignResult": ".models.align",
+    "WordSegment": ".models.align",
     "ModelCollection": ".models.collection",
     "ContinuousTrainer": ".models.train_continuous",
     "insert_silence": ".models.train_continuous",
