@@ -143,7 +143,12 @@ class BatchedStreamingComposite:
 
     def __init__(self, composite, num_slots: int = 64, chunk_size: int = 16,
                  max_frames: int = 2048, gmm_params=None,
-                 max_words: int = 64) -> None:
+                 max_words: int = 64, mesh=None) -> None:
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — slots are
+        sharded over it (each stream's recursion is independent, so the step
+        and finalize programs partition with zero collectives: multi-chip
+        serving capacity is num_devices x the single-chip pool). num_slots
+        must divide evenly by the mesh size."""
         self.composite = composite
         self.num_slots = int(num_slots)
         self.chunk_size = int(chunk_size)
@@ -166,10 +171,26 @@ class BatchedStreamingComposite:
         if gmm_params is None:
             p = c.emission_params()
             self._emission = (p.means, p.whiten, p.log_norm)
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            if self.num_slots % n_dev:
+                raise ValueError(
+                    f"num_slots={self.num_slots} must divide evenly over the "
+                    f"{n_dev}-device mesh"
+                )
+            self._sharding = NamedSharding(mesh, P("data"))
         self._alpha = jnp.full((self.num_slots, s), -jnp.inf, jnp.float32)
         self._ring = jnp.full(
             (self.num_slots, self.max_frames, s), -1, ring_dtype(s)
         )
+        if self._sharding is not None:
+            import jax as _jax
+
+            self._alpha = _jax.device_put(self._alpha, self._sharding)
+            self._ring = _jax.device_put(self._ring, self._sharding)
         self._t = np.zeros(self.num_slots, np.int32)  # exact host mirror
         self._free: List[int] = list(range(self.num_slots))[::-1]
         self._active: set[int] = set()
@@ -261,28 +282,46 @@ class BatchedStreamingComposite:
                 )
             chunk[slot, :c] = feats
             valid[slot] = c
-        t_dev = jnp.asarray(self._t)
+        t_dev, valid_dev, chunk_dev = self._put_sharded(
+            self._t, valid, chunk
+        )
         if self._gmm_params is not None:
             self._alpha, self._ring, _ = _step_gmm(
-                self._alpha, self._ring, t_dev, jnp.asarray(valid),
-                jnp.asarray(chunk), self._trans, self._seed_bias,
+                self._alpha, self._ring, t_dev, valid_dev,
+                chunk_dev, self._trans, self._seed_bias,
                 self._is_entry, self._gmm_params,
             )
         else:
             means, whiten, log_norm = self._emission
             self._alpha, self._ring, _ = _step_gaussian(
-                self._alpha, self._ring, t_dev, jnp.asarray(valid),
-                jnp.asarray(chunk), self._trans, self._seed_bias,
+                self._alpha, self._ring, t_dev, valid_dev,
+                chunk_dev, self._trans, self._seed_bias,
                 self._is_entry, means, whiten, log_norm,
             )
-        self._t += valid
+        # Non-inplace: the device transfer of the OLD t may be zero-copy
+        # (CPU backend aliases host numpy buffers), so never mutate it.
+        self._t = self._t + valid
+
+    def _put_sharded(self, *arrays):
+        """Slot-dim arrays onto the mesh (or plain device arrays without one).
+
+        Always copies host numpy inputs: jnp.asarray/device_put can alias the
+        host buffer (zero-copy on the CPU backend), and the caller's arrays
+        must stay mutation-safe while the async dispatch reads them."""
+        import jax as _jax
+
+        if self._sharding is None:
+            return tuple(jnp.asarray(np.array(a)) for a in arrays)
+        return tuple(_jax.device_put(np.array(a), self._sharding)
+                     for a in arrays)
 
     # -- results --------------------------------------------------------------
     def _run_finalize(self, any_state: bool):
         c = self.composite
         sil = c.labels.index("S") if "S" in c.labels else -1
+        (t_dev,) = self._put_sharded(self._t)
         return _finalize_batch(
-            self._alpha, self._ring, jnp.asarray(self._t), self._is_exit,
+            self._alpha, self._ring, t_dev, self._is_exit,
             jnp.asarray(c.word_of_state.astype(np.int32)),
             jnp.asarray(c.lowers.astype(np.int32)),
             jnp.asarray(c.uppers.astype(np.int32)),
@@ -305,8 +344,9 @@ class BatchedStreamingComposite:
         texts = ids_to_strings(ids, counts, self.composite.labels)
         if not skip_silence:  # re-run compaction keeping silence
             c = self.composite
+            (t_dev,) = self._put_sharded(self._t)
             sil_keep = _finalize_batch(
-                self._alpha, self._ring, jnp.asarray(self._t), self._is_exit,
+                self._alpha, self._ring, t_dev, self._is_exit,
                 jnp.asarray(c.word_of_state.astype(np.int32)),
                 jnp.asarray(c.lowers.astype(np.int32)),
                 jnp.asarray(c.uppers.astype(np.int32)),

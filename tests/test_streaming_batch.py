@@ -178,6 +178,42 @@ def test_ring_dtype_and_capacity_errors(rng):
         pool.partial_text(slot)
 
 
+def test_mesh_sharded_matches_single(rng):
+    """Slots sharded over the 8-device virtual mesh (conftest) decode
+    identically to the unsharded pool — the multi-chip serving path."""
+    import jax
+    from jax.sharding import Mesh
+
+    models = _models(seed=11)
+    utts = _utterances(models, 4, rng)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    def run(mesh_arg):
+        pool = BatchedStreamingComposite.from_models(
+            models, penalty=-5.0, num_slots=8, chunk_size=8, max_frames=64,
+            mesh=mesh_arg,
+        )
+        slots = [pool.start() for _ in utts]
+        for start in range(0, 40, 8):
+            pool.step({
+                s: utts[i][start : start + 8]
+                for i, s in enumerate(slots)
+                if start < len(utts[i])
+            })
+        return pool.finalize(slots)
+
+    sharded, single = run(mesh), run(None)
+    assert set(sharded) == set(single)
+    for slot in single:
+        assert sharded[slot][0] == pytest.approx(single[slot][0], rel=1e-5)
+        assert sharded[slot][1] == single[slot][1]
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        BatchedStreamingComposite.from_models(
+            models, penalty=-5.0, num_slots=9, mesh=mesh,
+        )
+
+
 def test_idle_steps_do_not_disturb_state(rng):
     models = _models(seed=9)
     pool = BatchedStreamingComposite.from_models(
