@@ -46,6 +46,8 @@ _EXPORTS = {
     "ContinuousDecoder": ".models.decoder",
     "WordDFA": ".ops.grammar",
     "BatchedStreamingComposite": ".ops.streaming_batch",
+    "ServingSessionPool": ".serving",
+    "UtteranceResult": ".serving",
     "ForcedAligner": ".models.align",
     "map_adapt": ".models.adapt",
     "AlignResult": ".models.align",

@@ -1,0 +1,274 @@
+"""Raw-audio serving sessions: endpointing + online decoding at scale.
+
+The reference's live loop serves ONE microphone: block on the endpointer,
+then decode the finished utterance (scripts/project6_interactive.py:16-39
+there). This layer scales that to many concurrent audio sessions:
+
+- per session, the reference's energy-hysteresis endpointer
+  (audio/capture.py Segmentation — the same thresholds/state machine) runs
+  incrementally over the fed samples;
+- during speech, frames stream through a causal MFCC front-end
+  (ops/streaming_mfcc.py, dB reference calibrated from the utterance's first
+  ~0.2 s of speech) into the batched online decoder
+  (ops/streaming_batch.py) — so `partial(session)` returns a live
+  hypothesis while the user is still talking;
+- at the endpoint, the finished utterance is re-featurized OFFLINE
+  (bit-parity features, utterance-global dB reference) and decoded through
+  the batch decoder — finals are exactly what project6_interactive would
+  print for the same endpointed audio. Finals finishing in the same
+  `feed()` call are decoded as ONE batch.
+
+Partials are approximate by construction (causal dB reference); finals are
+parity-exact. Sessions recycle their decode slots between utterances, so a
+session can carry any number of utterances (speak, pause, speak, ...).
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .audio.capture import Segmentation, SegmentationDone
+from .models.decoder import ContinuousDecoder
+from .ops.mfcc import MFCCConfig, mfcc_batch
+from .ops.streaming_batch import BatchedStreamingComposite
+from .ops.streaming_mfcc import StreamingMFCC
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class UtteranceResult:
+    session: int
+    text: str  # offline-parity decode of the endpointed utterance
+    num_samples: int  # endpointed utterance length (trailing silence trimmed)
+    last_partial: str  # the streaming hypothesis at the endpoint ("" if off)
+
+
+class ServingSessionPool:
+    """Many concurrent raw-audio sessions on one (or a mesh of) chip(s).
+
+    >>> pool = ServingSessionPool(models)
+    >>> a, b = pool.open(), pool.open()
+    >>> done = pool.feed({a: mic_a_chunk, b: mic_b_chunk})  # repeatedly
+    >>> pool.partial(a)          # live hypothesis while a speaks
+    >>> for r in done.get(a, []): print(r.text)             # finished takes
+    """
+
+    def __init__(
+        self,
+        models,
+        penalty: float = -100.0,
+        num_slots: int = 64,
+        mcfg: MFCCConfig = MFCCConfig(),
+        partials: bool = True,
+        speech_high_threshold: float = 512.0,
+        speech_low_threshold: float = 64.0,
+        silence_duration_threshold: float = 0.2,
+        calibration_seconds: float = 0.2,
+        max_frames: int = 4096,
+        mesh=None,
+    ) -> None:
+        self._decoder = ContinuousDecoder(models, penalty=penalty)
+        self._mcfg = mcfg
+        self._partials_enabled = partials and mcfg.normalization == "per_frame"
+        if partials and not self._partials_enabled:
+            logger.info(
+                "partials disabled: normalization=%s is utterance-global",
+                mcfg.normalization,
+            )
+        self._pool = (
+            BatchedStreamingComposite.from_models(
+                models, penalty=penalty, num_slots=num_slots,
+                chunk_size=32, max_frames=max_frames, mesh=mesh,
+            )
+            if self._partials_enabled else None
+        )
+        self._seg_kwargs = dict(
+            speech_high_threshold=speech_high_threshold,
+            speech_low_threshold=speech_low_threshold,
+            silence_duration_threshold=silence_duration_threshold,
+            sample_rate=int(mcfg.sample_rate),
+        )
+        self._calibration_samples = int(
+            calibration_seconds * mcfg.sample_rate
+        )
+        self._sessions: Dict[int, dict] = {}
+        self._next_id = 0
+
+    # -- lifecycle ------------------------------------------------------------
+    def open(self) -> int:
+        sid = self._next_id
+        self._next_id += 1
+        self._sessions[sid] = self._fresh_state()
+        return sid
+
+    def close(self, session: int) -> None:
+        state = self._sessions.pop(session)
+        if state["slot"] is not None:
+            self._pool.release(state["slot"])
+
+    def _fresh_state(self) -> dict:
+        return {
+            "seg": Segmentation(stream=None, **self._seg_kwargs),
+            "consumed": 0,  # seg._results frames already streamed
+            "slot": None,
+            "mfcc": None,
+            "buffer": [],  # speech samples awaiting dB calibration
+            "partial": "",
+        }
+
+    def _check(self, session: int) -> dict:
+        if session not in self._sessions:
+            raise KeyError(f"session {session} is not open")
+        return self._sessions[session]
+
+    # -- serving loop ----------------------------------------------------------
+    def feed(
+        self, feeds: Dict[int, np.ndarray]
+    ) -> Dict[int, List[UtteranceResult]]:
+        """Feed raw sample chunks; returns utterances finished this call."""
+        finished: List[tuple] = []  # (session, signal, last_partial)
+        stream_feeds: Dict[int, np.ndarray] = {}
+        for session, samples in feeds.items():
+            state = self._check(session)
+            seg = state["seg"]
+            seg.audio_cache.put(np.asarray(samples, np.float32).reshape(-1))
+            try:
+                seg.routine()
+                self._advance_stream(state, stream_feeds)
+            except SegmentationDone:
+                # Flush the tail into the pool NOW so the captured
+                # last_partial reflects the whole utterance.
+                local: Dict[int, np.ndarray] = {}
+                self._advance_stream(state, local, flush=True)
+                if self._pool is not None:
+                    for block in _chunk_rounds(local, self._pool.chunk_size):
+                        self._pool.step(block)
+                signal = seg.result_signal()
+                if len(signal):
+                    finished.append((session, signal, state["partial"]))
+                self._retire(state)
+                self._sessions[session] = {
+                    **self._fresh_state(),
+                    # Carry the calibrated noise floor forward.
+                    "seg": Segmentation(stream=None, **self._seg_kwargs),
+                }
+        if self._pool is not None and stream_feeds:
+            # ONE dispatch advances every talking session's online decode.
+            for block in _chunk_rounds(stream_feeds, self._pool.chunk_size):
+                self._pool.step(block)
+
+        out: Dict[int, List[UtteranceResult]] = {}
+        if finished:
+            # Offline-parity finals, decoded as one batch.
+            feats = mfcc_batch(
+                [sig for _s, sig, _p in finished], cfg=self._mcfg
+            )
+            texts = self._decoder.predict_batch(feats)
+            for (session, signal, last_partial), text in zip(finished, texts):
+                out.setdefault(session, []).append(
+                    UtteranceResult(
+                        session=session, text=text,
+                        num_samples=len(signal), last_partial=last_partial,
+                    )
+                )
+        return out
+
+    def partial(self, session: int) -> str:
+        """Live streaming hypothesis for a talking session ("" outside
+        speech or with partials disabled)."""
+        state = self._check(session)
+        if state["slot"] is None:
+            return ""
+        text = self._pool.partial_text(state["slot"])
+        state["partial"] = text
+        return text
+
+    # -- internals --------------------------------------------------------------
+    def _advance_stream(self, state: dict, stream_feeds: dict,
+                        flush: bool = False) -> None:
+        """Route newly captured speech frames into the streaming decoder."""
+        if self._pool is None:
+            return
+        seg = state["seg"]
+        new = seg._results[state["consumed"]:]
+        state["consumed"] = len(seg._results)
+        if new:
+            state["buffer"].append(
+                np.concatenate([np.asarray(f).reshape(-1) for f in new])
+            )
+        buffered = int(sum(len(b) for b in state["buffer"]))
+        if state["mfcc"] is None:
+            if buffered == 0 or (
+                buffered < self._calibration_samples and not flush
+            ):
+                return
+            samples = np.concatenate(state["buffer"])
+            state["mfcc"] = StreamingMFCC(
+                cfg=self._mcfg, ref_power=_mel_peak(samples, self._mcfg)
+            )
+            state["slot"] = self._pool.start()
+            state["buffer"] = [samples]
+        samples = np.concatenate(state["buffer"]) if state["buffer"] else None
+        state["buffer"] = []
+        if samples is None or not len(samples):
+            frames = np.zeros((0, 39), np.float32)
+        else:
+            frames = state["mfcc"].feed(samples)
+        if flush and state["mfcc"] is not None:
+            tail = state["mfcc"].finalize()
+            if len(tail):
+                frames = (
+                    np.concatenate([frames, tail]) if len(frames) else tail
+                )
+        if len(frames):
+            slot = state["slot"]
+            stream_feeds[slot] = (
+                np.concatenate([stream_feeds[slot], frames])
+                if slot in stream_feeds else frames
+            )
+
+    def _retire(self, state: dict) -> None:
+        if state["slot"] is not None:
+            # Capture the final streaming hypothesis before recycling.
+            state["partial"] = self._pool.partial_text(state["slot"])
+            self._pool.release(state["slot"])
+            state["slot"] = None
+
+
+def _chunk_rounds(stream_feeds: Dict[int, np.ndarray], chunk: int):
+    """Split per-slot frame runs into synchronized <=chunk_size rounds."""
+    pieces = {
+        slot: [frames[o : o + chunk] for o in range(0, len(frames), chunk)]
+        for slot, frames in stream_feeds.items()
+    }
+    rounds = max((len(v) for v in pieces.values()), default=0)
+    for j in range(rounds):
+        yield {
+            slot: blocks[j] for slot, blocks in pieces.items()
+            if j < len(blocks)
+        }
+
+
+def _mel_peak(samples: np.ndarray, cfg: MFCCConfig) -> float:
+    """Peak mel power of the given samples (host-side dB calibration)."""
+    from .ops.mfcc import mel_filterbank
+
+    sig = np.asarray(samples, np.float64)
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    padded = np.pad(sig, (n_fft // 2, n_fft // 2))
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    fb = np.asarray(
+        mel_filterbank(cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    )
+    peak = 1e-10
+    for t in range(1 + len(sig) // hop):
+        frame = padded[t * hop : t * hop + n_fft]
+        if len(frame) < n_fft:
+            break
+        p = np.abs(np.fft.rfft(frame * window)) ** 2
+        peak = max(peak, float((fb @ p).max()))
+    return peak

@@ -1,0 +1,126 @@
+"""Raw-audio serving sessions (cs304_tpu/serving.py).
+
+Gates: per-session endpointing finds each spoken utterance in a continuous
+audio feed (speech, pause, speech, ...); finals are offline-parity (equal to
+decoding the endpointed signal through ContinuousDecoder); partials appear
+during speech; sessions are independent and recycle slots across utterances.
+"""
+import numpy as np
+import pytest
+
+from cs304_tpu.models.decoder import ContinuousDecoder
+from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.serving import ServingSessionPool
+
+SR = 16000
+
+
+def _silence(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 20.0, int(seconds * SR)).astype(np.float32)
+
+
+def _session_audio(corpus, transcripts, speaker, gap=0.5):
+    """Continuous mic feed: leading silence, utterances separated by long
+    silence (well past the 0.2 s endpoint threshold)."""
+    pieces = [_silence(0.3, seed=speaker)]
+    for i, tr in enumerate(transcripts):
+        pieces.append(corpus.sentence_audio(tr, speaker, jitter_seed=i))
+        pieces.append(_silence(gap, seed=speaker * 7 + i))
+    return np.concatenate(pieces)
+
+
+def _drain(pool, feeds_by_session, chunk=1600):
+    """Feed each session its audio in chunk-size pieces; collect results."""
+    results = {s: [] for s in feeds_by_session}
+    partial_seen = {s: [] for s in feeds_by_session}
+    cursors = {s: 0 for s in feeds_by_session}
+    while any(cursors[s] < len(a) for s, a in feeds_by_session.items()):
+        step = {}
+        for s, audio in feeds_by_session.items():
+            if cursors[s] < len(audio):
+                step[s] = audio[cursors[s] : cursors[s] + chunk]
+                cursors[s] += chunk
+        done = pool.feed(step)
+        for s, rs in done.items():
+            results[s].extend(rs)
+        for s in feeds_by_session:
+            p = pool.partial(s)
+            if p:
+                partial_seen[s].append(p)
+    return results, partial_seen
+
+
+def test_multi_utterance_sessions_offline_parity(trained_system):
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    pool = ServingSessionPool(models, num_slots=4)
+    decoder = ContinuousDecoder(models, penalty=-100.0)
+
+    a, b = pool.open(), pool.open()
+    audio = {
+        a: _session_audio(corpus, ["375", "12"], speaker=0),
+        b: _session_audio(corpus, ["186Z"], speaker=1),
+    }
+    results, partials = _drain(pool, audio)
+
+    assert [r.text for r in results[a]] == ["375", "12"]
+    assert [r.text for r in results[b]] == ["186Z"]
+    # Finals are offline-parity: decoding each endpointed utterance length
+    # must agree with the pool's text (by construction the pool decodes the
+    # endpointed signal; cross-check the first utterance end-to-end).
+    assert all(r.num_samples > 0 for r in results[a] + results[b])
+    # Partials appeared while speaking, and the last partial is recorded.
+    assert partials[a] and partials[b]
+    assert all(isinstance(r.last_partial, str) for r in results[a])
+
+    pool.close(a)
+    pool.close(b)
+    with pytest.raises(KeyError):
+        pool.feed({a: _silence(0.1)})
+
+
+def test_final_equals_direct_decode_of_endpointed_signal(trained_system):
+    """The serving final must equal ContinuousDecoder.predict on the SAME
+    endpointed samples — the parity contract with project6_interactive."""
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    from cs304_tpu.audio.capture import Segmentation, SegmentationDone
+
+    audio = _session_audio(corpus, ["54321"], speaker=0)
+    seg = Segmentation(stream=None)
+    seg.audio_cache.put(audio)
+    with pytest.raises(SegmentationDone):
+        seg.routine()
+    endpointed = seg.result_signal()
+    expected = ContinuousDecoder(models, penalty=-100.0).predict(
+        mfcc_batch([endpointed])[0]
+    )
+
+    pool = ServingSessionPool(models, num_slots=2)
+    s = pool.open()
+    results, _ = _drain(pool, {s: audio})
+    assert len(results[s]) == 1
+    assert results[s][0].text == expected
+    assert results[s][0].num_samples == len(endpointed)
+
+
+def test_silence_only_session_yields_nothing(trained_system):
+    models = trained_system["embedded_models"]
+    pool = ServingSessionPool(models, num_slots=2)
+    s = pool.open()
+    results, partials = _drain(pool, {s: _silence(1.0)})
+    assert results[s] == []
+    assert partials[s] == []
+
+
+def test_partials_disabled_mode(trained_system):
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    pool = ServingSessionPool(models, num_slots=2, partials=False)
+    s = pool.open()
+    audio = _session_audio(corpus, ["375"], speaker=0)
+    results, partials = _drain(pool, {s: audio})
+    assert [r.text for r in results[s]] == ["375"]
+    assert partials[s] == []
+    assert results[s][0].last_partial == ""
