@@ -45,6 +45,7 @@ class UtteranceResult:
     text: str  # offline-parity decode of the endpointed utterance
     num_samples: int  # endpointed utterance length (trailing silence trimmed)
     last_partial: str  # the streaming hypothesis at the endpoint ("" if off)
+    confidence: Optional[float] = None  # min per-word posterior (if enabled)
 
 
 class ServingSessionPool:
@@ -70,7 +71,13 @@ class ServingSessionPool:
         calibration_seconds: float = 0.2,
         max_frames: int = 4096,
         mesh=None,
+        confidences: bool = False,
     ) -> None:
+        """confidences=True scores every final with a per-utterance posterior
+        confidence (the minimum per-word posterior from the sum-semiring
+        forward/backward pass, ops/lattice.py) — the rejection signal for
+        open-mic serving. Costs one extra vmapped pass per finals batch."""
+        self._confidences = confidences
         self._decoder = ContinuousDecoder(models, penalty=penalty)
         self._mcfg = mcfg
         self._partials_enabled = partials and mcfg.normalization == "per_frame"
@@ -167,12 +174,26 @@ class ServingSessionPool:
             feats = mfcc_batch(
                 [sig for _s, sig, _p in finished], cfg=self._mcfg
             )
-            texts = self._decoder.predict_batch(feats)
-            for (session, signal, last_partial), text in zip(finished, texts):
+            confs: List[Optional[float]]
+            if self._confidences:
+                scored = self._decoder.predict_batch_with_confidence(feats)
+                texts = ["".join(w for w, _s, _e, _c in words)
+                         for words in scored]
+                confs = [
+                    min((c for _w, _s, _e, c in words), default=0.0)
+                    for words in scored
+                ]
+            else:
+                texts = self._decoder.predict_batch(feats)
+                confs = [None] * len(texts)
+            for (session, signal, last_partial), text, conf in zip(
+                finished, texts, confs
+            ):
                 out.setdefault(session, []).append(
                     UtteranceResult(
                         session=session, text=text,
                         num_samples=len(signal), last_partial=last_partial,
+                        confidence=conf,
                     )
                 )
         return out

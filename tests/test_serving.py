@@ -114,6 +114,25 @@ def test_silence_only_session_yields_nothing(trained_system):
     assert partials[s] == []
 
 
+def test_confidence_scoring(trained_system):
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    pool = ServingSessionPool(models, num_slots=2, confidences=True)
+    s = pool.open()
+    audio = _session_audio(corpus, ["375"], speaker=0)
+    results, _ = _drain(pool, {s: audio})
+    assert [r.text for r in results[s]] == ["375"]
+    conf = results[s][0].confidence
+    assert conf is not None and 0.0 <= conf <= 1.0
+    # A clean, correctly decoded utterance should be high-confidence.
+    assert conf > 0.5
+    # Default mode leaves confidence unset.
+    pool2 = ServingSessionPool(models, num_slots=2)
+    s2 = pool2.open()
+    results2, _ = _drain(pool2, {s2: audio})
+    assert results2[s2][0].confidence is None
+
+
 def test_partials_disabled_mode(trained_system):
     corpus = trained_system["corpus"]
     models = trained_system["embedded_models"]
