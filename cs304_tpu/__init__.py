@@ -50,6 +50,7 @@ _EXPORTS = {
     "UtteranceResult": ".serving",
     "ForcedAligner": ".models.align",
     "map_adapt": ".models.adapt",
+    "self_adapt": ".models.adapt",
     "AlignResult": ".models.align",
     "WordSegment": ".models.align",
     "ModelCollection": ".models.collection",

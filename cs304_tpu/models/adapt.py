@@ -91,6 +91,56 @@ def map_adapt(
     return out
 
 
+def self_adapt(
+    models: Dict[str, WordHMM],
+    features: Sequence[np.ndarray],
+    tau: float = 1.0,
+    penalty: float = -100.0,
+    min_confidence: float = 0.7,
+) -> Tuple[Dict[str, WordHMM], int]:
+    """Unsupervised MAP adaptation: no transcripts needed.
+
+    Decodes the given utterances with per-word posterior confidences
+    (ops/lattice.py), keeps only utterances whose LEAST confident word
+    clears min_confidence (a wrong pseudo-transcript would anchor the
+    statistics to the wrong states, so the filter errs conservative), and
+    MAP-adapts on the kept (prediction -> features) pairs.
+
+    Operating envelope (measured, round 2, statics-offset channel): helps in
+    the MILD-mismatch regime where the 1-best is mostly right (offset 2.5:
+    4->2 eval errors at tau=1) and HURTS under strong mismatch where the
+    decoder is confidently wrong (offset 3.0: 5->9) — the confidence filter
+    cannot catch confident errors, so for strong mismatch use supervised
+    map_adapt with true transcripts. Small tau is deliberate: halfway
+    mean interpolation can land in a decode-competition valley that scores
+    worse than either endpoint (tau=3 measured worse than tau=1 AND worse
+    than no adaptation), so when the pseudo-labels are trusted at all,
+    trust them nearly fully.
+
+    Returns (adapted models, number of utterances kept). With nothing kept,
+    returns the input models unchanged (same objects) and 0.
+    """
+    from .decoder import ContinuousDecoder
+
+    decoder = ContinuousDecoder(models, penalty=penalty)
+    scored = decoder.predict_batch_with_confidence(
+        [np.asarray(f) for f in features]
+    )
+    labeled: Dict[str, List[np.ndarray]] = {}
+    kept = 0
+    for feats, words in zip(features, scored):
+        if not words:
+            continue
+        text = "".join(w for w, _s, _e, _c in words)
+        confidence = min(c for _w, _s, _e, c in words)
+        if text and confidence >= min_confidence:
+            labeled.setdefault(text, []).append(np.asarray(feats))
+            kept += 1
+    if not labeled:
+        return models, 0
+    return map_adapt(models, labeled, tau=tau), kept
+
+
 def _enrollment_stats(
     models: Dict[str, WordHMM],
     labeled_features: Dict[str, Sequence[np.ndarray]],

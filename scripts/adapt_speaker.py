@@ -28,15 +28,31 @@ def main() -> None:
     parser.add_argument("--wav", action="append", default=[], required=True,
                         help="enrollment WAV (repeatable)")
     parser.add_argument("--transcript", action="append", default=[],
-                        required=True,
-                        help="digit transcript for the matching --wav")
-    parser.add_argument("--tau", type=float, default=20.0,
+                        help="digit transcript for the matching --wav "
+                             "(omit all of them with --unsupervised)")
+    parser.add_argument("--unsupervised", action="store_true",
+                        help="self-adaptation: pseudo-transcripts from the "
+                             "decoder's own confident predictions "
+                             "(models/adapt.py self_adapt — mild-mismatch "
+                             "use; strong mismatch needs true transcripts)")
+    parser.add_argument("--min-confidence", type=float, default=0.7,
+                        help="per-word posterior bar for --unsupervised")
+    parser.add_argument("--tau", type=float, default=None,
                         help="MAP prior weight (equivalent prior frames per "
-                             "state; smaller = trust enrollment more)")
-    parser.add_argument("--adapt-silence", action="store_true",
-                        help="also adapt the silence model")
+                             "state; smaller = trust enrollment more; "
+                             "default 20, or 1 with --unsupervised)")
+    parser.add_argument("--no-adapt-silence", action="store_true",
+                        help="keep the silence model at the prior (silence "
+                             "adapts with the words by default — measured "
+                             "necessary, see models/adapt.py)")
     args = parser.parse_args()
-    if len(args.wav) != len(args.transcript):
+    if args.unsupervised:
+        if args.transcript:
+            raise SystemExit(
+                "error: --unsupervised takes no --transcript "
+                "(that's what supervised mode is for)"
+            )
+    elif len(args.wav) != len(args.transcript):
         raise SystemExit("error: need one --transcript per --wav")
     cfg = load_config(args)
     adopt_checkpoint_frontend(cfg, args)
@@ -45,17 +61,36 @@ def main() -> None:
     models = load_models(cfg.checkpoint_dir)
     from cs304_tpu.audio.wav import read_wav
 
-    labeled = {}
-    for wav_path, transcript in zip(args.wav, args.transcript):
+    def featurize(wav_path):
         rate, signal = read_wav(wav_path)
-        feats = mfcc_batch(
+        return mfcc_batch(
             [signal], cfg=replace(mcfg, sample_rate=float(rate))
-        )
-        labeled.setdefault(transcript, []).append(feats[0])
+        )[0]
 
-    adapted = map_adapt(
-        models, labeled, tau=args.tau, adapt_silence=args.adapt_silence
-    )
+    if args.unsupervised:
+        from cs304_tpu.models.adapt import self_adapt
+
+        adapted, kept = self_adapt(
+            models, [featurize(w) for w in args.wav],
+            tau=1.0 if args.tau is None else args.tau,
+            penalty=cfg.decode.word_penalty,
+            min_confidence=args.min_confidence,
+        )
+        if kept == 0:
+            raise SystemExit(
+                "error: no utterance cleared the confidence bar "
+                f"({args.min_confidence}) — lower --min-confidence or "
+                "provide transcripts"
+            )
+        print(f"self-adaptation kept {kept}/{len(args.wav)} utterance(s)")
+    else:
+        labeled = {}
+        for wav_path, transcript in zip(args.wav, args.transcript):
+            labeled.setdefault(transcript, []).append(featurize(wav_path))
+        adapted = map_adapt(
+            models, labeled, tau=20.0 if args.tau is None else args.tau,
+            adapt_silence=not args.no_adapt_silence,
+        )
     frontend = None
     try:
         frontend = load_manifest(cfg.checkpoint_dir).get("frontend")
@@ -63,7 +98,7 @@ def main() -> None:
         pass
     save_models(adapted, args.out_dir, frontend=frontend)
     print(f"adapted {len(adapted)} models on {len(args.wav)} enrollment "
-          f"utterance(s) (tau={args.tau}) -> {args.out_dir}")
+          f"utterance(s) -> {args.out_dir}")
 
 
 if __name__ == "__main__":

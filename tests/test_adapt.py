@@ -121,6 +121,53 @@ def test_tau_limits(trained_system):
     assert d_light > d_mid
 
 
+def test_self_adapt_mild_mismatch(trained_system):
+    """Unsupervised adaptation in its operating envelope: a mild channel
+    offset (decode mostly right), pseudo-labels from the decoder's own
+    confident predictions, errors go down."""
+    from cs304_tpu.models.adapt import self_adapt
+
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    decoder = ContinuousDecoder(models, penalty=-100.0)
+
+    eval_truth = ["186Z", "186Z", "375", "375", "54321", "54321",
+                  "12", "12", "4Z", "9O2"]
+    eval_raw = mfcc_batch(
+        [corpus.sentence_audio(t, 0, jitter_seed=2 + i % 2)
+         for i, t in enumerate(eval_truth)]
+    )
+    unlabeled_raw = mfcc_batch(
+        [corpus.sentence_audio(t, 0, jitter_seed=7 + i)
+         for i, t in enumerate(["375", "186Z", "54321", "12", "9O2", "4Z"])]
+    )
+
+    def errs(preds):
+        return sum(p != t for p, t in zip(preds, eval_truth))
+
+    improved = False
+    for scale in (2.0, 2.5):
+        off = _offset(scale)
+        eval_feats = [np.asarray(f) + off for f in eval_raw]
+        base_errs = errs(decoder.predict_batch(eval_feats))
+        if base_errs == 0:
+            continue
+        adapted, kept = self_adapt(
+            models, [np.asarray(f) + off for f in unlabeled_raw]
+        )
+        assert kept >= 3  # confident pseudo-labels survive the filter
+        adapted_errs = errs(ContinuousDecoder(
+            adapted, penalty=-100.0
+        ).predict_batch(eval_feats))
+        assert adapted_errs <= base_errs, (scale, base_errs, adapted_errs)
+        improved = improved or adapted_errs < base_errs
+    assert improved, "self-adaptation never reduced errors in its envelope"
+
+    # Nothing clears an impossible confidence bar: models pass through.
+    same, kept = self_adapt(models, unlabeled_raw, min_confidence=1.01)
+    assert kept == 0 and same is models
+
+
 def test_validation(trained_system):
     models = trained_system["embedded_models"]
     feats = [np.zeros((20, 39), np.float32)]
