@@ -19,8 +19,10 @@ dispatch per transcript group.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,9 +46,10 @@ def map_adapt(
     """Adapt word-model means to enrollment data.
 
     labeled_features: transcript -> (T_i, D) feature list (the embedded
-    trainer's corpus shape — a handful of utterances is enough). Only
-    single-Gaussian WordHMMs are supported (GMM adaptation would need
-    per-mixture occupancies; promote after adapting instead).
+    trainer's corpus shape — a handful of utterances is enough). K-mixture
+    GMMWordHMM dicts adapt per-mixture (responsibility-weighted occupancies,
+    see _map_adapt_gmm); mixed Gaussian/GMM dicts are rejected — promote the
+    stragglers first.
 
     adapt_silence=True (default) adapts the silence model from the
     enrollment's aligned silence segments as well. Measured (round 2,
@@ -63,12 +66,17 @@ def map_adapt(
 
     if tau <= 0:
         raise ValueError(f"tau must be positive, got {tau}")
-    for label, m in models.items():
-        if isinstance(m, GMMWordHMM):
+    gmm_flags = [isinstance(m, GMMWordHMM) for m in models.values()]
+    if any(gmm_flags):
+        if not all(gmm_flags):
             raise ValueError(
-                f"model {label!r} is a GMM — map_adapt supports "
-                "single-Gaussian models (adapt first, then promote_to_gmm)"
+                "map_adapt needs a uniform model dict — promote the "
+                "single-Gaussian models first (promote_to_gmm)"
             )
+        return _map_adapt_gmm(
+            models, labeled_features, tau, insert_sil, cross_word,
+            adapt_silence,
+        )
     counts, sums, labels, s_max = _enrollment_stats(
         models, labeled_features, insert_sil, cross_word
     )
@@ -89,6 +97,137 @@ def map_adapt(
             covariances=m.covariances, log_a=m.log_a,
         )
     return out
+
+
+def _map_adapt_gmm(
+    models, labeled_features, tau: float, insert_sil: bool, cross_word: str,
+    adapt_silence: bool,
+):
+    """Per-mixture MAP mean adaptation for K-mixture models.
+
+    Same alignment as the single-Gaussian path, but each aligned frame is
+    soft-assigned across its state's mixtures by the posterior
+    responsibilities r_k ∝ w_k N_k(x) (the embedded-GMM trainer's E-step),
+    and each mixture's mean interpolates with its own occupancy:
+    mu'_{s,k} = (tau mu_{s,k} + Σ r_k x) / (tau + Σ r_k).
+    Weights, covariances, and transitions stay at the prior.
+    """
+    from ..data.batching import pad_batch
+    from .gmm_hmm import GMMWordHMM
+
+    labels = sorted(models)
+    if insert_sil and "S" not in labels:
+        raise ValueError(
+            "insert_sil=True needs a silence model 'S' (pass "
+            "insert_sil=False for silence-free enrollment transcripts)"
+        )
+    label_index = {l: i for i, l in enumerate(labels)}
+    state_counts = {l: models[l].num_states for l in labels}
+    s_max = max(state_counts.values())
+    k_max = max(models[l].num_mixtures for l in labels)
+    l_num = len(labels)
+    dim = models[labels[0]].means.shape[-1]
+
+    means_g = np.zeros((l_num, s_max, k_max, dim), np.float32)
+    covs_g = np.tile(
+        np.eye(dim, dtype=np.float32), (l_num, s_max, k_max, 1, 1)
+    )
+    weights_g = np.zeros((l_num, s_max, k_max), np.float32)
+    log_a_g = np.full((l_num, s_max, s_max), -np.inf, np.float32)
+    for l, i in label_index.items():
+        m = models[l]
+        s, k = m.num_states, m.num_mixtures
+        means_g[i, :s, :k] = m.means
+        covs_g[i, :s, :k] = m.covariances
+        weights_g[i, :s, :k] = m.weights
+        log_a_g[i, :s, :s] = m.log_a
+
+    counts = np.zeros((l_num, s_max, k_max), np.float64)
+    sums = np.zeros((l_num, s_max, k_max, dim), np.float64)
+    if not labeled_features:
+        raise ValueError("no enrollment utterances")
+    for transcript, features in labeled_features.items():
+        if not features:
+            continue
+        missing = sorted(set(transcript) - set(labels))
+        if missing:
+            raise ValueError(
+                f"enrollment transcript {transcript!r} uses unknown words "
+                f"{missing}"
+            )
+        sentence = insert_silence(transcript) if insert_sil else transcript
+        topo = _topology(sentence, state_counts, label_index)
+        log_a_sent = _sentence_log_a(topo, log_a_g, cross_word)
+        padded = pad_batch([np.asarray(f, np.float32) for f in features], 64)
+        lab, loc = topo.lab_of_state, topo.loc_of_state
+        c, sm = _gmm_stats_pass(
+            jnp.asarray(means_g[lab, loc]), jnp.asarray(covs_g[lab, loc]),
+            jnp.asarray(weights_g[lab, loc]), jnp.asarray(log_a_sent),
+            jnp.asarray(lab), jnp.asarray(loc),
+            jnp.asarray(padded.data), jnp.asarray(padded.lengths),
+            l_num, s_max,
+        )
+        counts += np.asarray(c, np.float64)
+        sums += np.asarray(sm, np.float64)
+
+    out: Dict[str, GMMWordHMM] = {}
+    for label, m in models.items():
+        if label == "S" and not adapt_silence:
+            out[label] = m
+            continue
+        i = label_index[label]
+        s, k = m.num_states, m.num_mixtures
+        c = counts[i, :s, :k][..., None]  # (S, K, 1)
+        new_means = (tau * m.means + sums[i, :s, :k]) / (tau + c)
+        out[label] = GMMWordHMM(
+            label=m.label, means=new_means.astype(np.float32),
+            covariances=m.covariances, weights=m.weights, log_a=m.log_a,
+        )
+    return out
+
+
+@partial(jax.jit, static_argnames=("num_labels", "s_max"))
+def _gmm_stats_pass(
+    means_sent, covs_sent, weights_sent, log_a_sent, lab_of_state,
+    loc_of_state, batch, lengths, num_labels: int, s_max: int,
+):
+    """Viterbi alignment + mixture-responsibility-weighted zeroth/first-order
+    statistics over the sentence state space.
+
+    Returns (counts (L, S, K), sums (L, S, K, D))."""
+    from ..ops.gaussian import gmm_log_pdf, make_gmm_params
+    from ..ops.viterbi import viterbi_banded_batch
+
+    params = make_gmm_params(means_sent, covs_sent, weights_sent)
+
+    def per_clip(x):
+        return gmm_log_pdf(params, x, return_components=True)
+
+    log_b, weighted = jax.vmap(per_clip)(batch)  # (B,T,S), (B,T,S,K)
+    _scores, paths = viterbi_banded_batch(log_b, log_a_sent, lengths)
+
+    b, t, _d = batch.shape
+    k = weighted.shape[-1]
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    # Responsibilities of the ALIGNED state's mixtures (zero-weight padding
+    # mixtures carry log 0 = -inf and softmax to 0).
+    aligned = jnp.take_along_axis(
+        weighted, paths[:, :, None, None], axis=2
+    )[:, :, 0, :]  # (B, T, K)
+    r = jax.nn.softmax(aligned, axis=-1) * mask[..., None]
+
+    lab = lab_of_state[paths]
+    loc = loc_of_state[paths]
+    flat = lab * s_max + loc
+    oh = jax.nn.one_hot(flat, num_labels * s_max, dtype=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    counts = jnp.einsum("btf,btk->fk", oh, r, precision=hi).reshape(
+        num_labels, s_max, k
+    )
+    sums = jnp.einsum(
+        "btf,btk,btd->fkd", oh, r, batch, precision=hi
+    ).reshape(num_labels, s_max, k, -1)
+    return counts, sums
 
 
 def self_adapt(

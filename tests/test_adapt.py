@@ -168,6 +168,62 @@ def test_self_adapt_mild_mismatch(trained_system):
     assert kept == 0 and same is models
 
 
+def test_gmm_adaptation_k1_equals_gaussian(trained_system):
+    """The GMM path with K=1 must reproduce the single-Gaussian MAP update
+    exactly (one mixture takes responsibility 1 for every aligned frame)."""
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    k1 = {
+        l: GMMWordHMM(
+            label=m.label, means=m.means[:, None],
+            covariances=m.covariances[:, None],
+            weights=np.ones((m.num_states, 1), np.float32), log_a=m.log_a,
+        )
+        for l, m in models.items()
+    }
+    enroll = {"375": mfcc_batch(
+        [corpus.sentence_audio("375", 0, jitter_seed=0)]
+    )}
+    plain = map_adapt(models, enroll, tau=5.0)
+    gmm = map_adapt(k1, enroll, tau=5.0)
+    for label in models:
+        np.testing.assert_allclose(
+            gmm[label].means[:, 0], plain[label].means,
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            gmm[label].covariances[:, 0], plain[label].covariances
+        )
+
+
+def test_gmm_adaptation_k2(trained_system):
+    """K=2 adaptation: enrolled states move (per-mixture), unseen words and
+    weights/covariances stay at the prior, decode still works."""
+    from cs304_tpu.models.train_continuous_gmm import promote_to_gmm
+
+    corpus = trained_system["corpus"]
+    gmm_models = promote_to_gmm(trained_system["embedded_models"], 2)
+    enroll = {"375": mfcc_batch(
+        [corpus.sentence_audio("375", 0, jitter_seed=t) for t in (0, 1)]
+    )}
+    adapted = map_adapt(gmm_models, enroll, tau=2.0)
+    assert not np.allclose(adapted["3"].means, gmm_models["3"].means,
+                           atol=1e-4)
+    np.testing.assert_allclose(adapted["7"].weights, gmm_models["7"].weights)
+    np.testing.assert_allclose(
+        adapted["3"].covariances, gmm_models["3"].covariances
+    )
+    for label in ("9", "O", "1"):
+        np.testing.assert_allclose(
+            adapted[label].means, gmm_models[label].means, atol=1e-6
+        )
+    feats = mfcc_batch([corpus.sentence_audio("375", 0, jitter_seed=2)])
+    pred = ContinuousDecoder(adapted, penalty=-100.0).predict_batch(feats)
+    assert pred == ["375"]
+
+
 def test_validation(trained_system):
     models = trained_system["embedded_models"]
     feats = [np.zeros((20, 39), np.float32)]
@@ -184,5 +240,7 @@ def test_validation(trained_system):
     from cs304_tpu.models.train_continuous_gmm import promote_to_gmm
 
     gmm = promote_to_gmm(models, 2)
-    with pytest.raises(ValueError, match="GMM"):
-        map_adapt(gmm, {"1": feats})
+    mixed = dict(gmm)
+    mixed["1"] = models["1"]
+    with pytest.raises(ValueError, match="uniform"):
+        map_adapt(mixed, {"1": feats})
