@@ -27,12 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .hmm import WordHMM
-from .train_continuous import (
-    _sentence_log_a,
-    _stats_pass,
-    _topology,
-    insert_silence,
-)
+from .train_continuous import _stats_pass
 
 
 def map_adapt(
@@ -112,58 +107,20 @@ def _map_adapt_gmm(
     mu'_{s,k} = (tau mu_{s,k} + Σ r_k x) / (tau + Σ r_k).
     Weights, covariances, and transitions stay at the prior.
     """
-    from ..data.batching import pad_batch
     from .gmm_hmm import GMMWordHMM
+    from .stacking import enrollment_batches, stack_models
 
-    labels = sorted(models)
-    if insert_sil and "S" not in labels:
-        raise ValueError(
-            "insert_sil=True needs a silence model 'S' (pass "
-            "insert_sil=False for silence-free enrollment transcripts)"
-        )
-    label_index = {l: i for i, l in enumerate(labels)}
-    state_counts = {l: models[l].num_states for l in labels}
-    s_max = max(state_counts.values())
-    k_max = max(models[l].num_mixtures for l in labels)
-    l_num = len(labels)
-    dim = models[labels[0]].means.shape[-1]
-
-    means_g = np.zeros((l_num, s_max, k_max, dim), np.float32)
-    covs_g = np.tile(
-        np.eye(dim, dtype=np.float32), (l_num, s_max, k_max, 1, 1)
-    )
-    weights_g = np.zeros((l_num, s_max, k_max), np.float32)
-    log_a_g = np.full((l_num, s_max, s_max), -np.inf, np.float32)
-    for l, i in label_index.items():
-        m = models[l]
-        s, k = m.num_states, m.num_mixtures
-        means_g[i, :s, :k] = m.means
-        covs_g[i, :s, :k] = m.covariances
-        weights_g[i, :s, :k] = m.weights
-        log_a_g[i, :s, :s] = m.log_a
-
+    stacked = stack_models(models, require_silence=insert_sil)
+    l_num, s_max = len(stacked.labels), stacked.s_max
+    k_max = stacked.weights.shape[-1]
     counts = np.zeros((l_num, s_max, k_max), np.float64)
-    sums = np.zeros((l_num, s_max, k_max, dim), np.float64)
-    if not labeled_features:
-        raise ValueError("no enrollment utterances")
-    for transcript, features in labeled_features.items():
-        if not features:
-            continue
-        missing = sorted(set(transcript) - set(labels))
-        if missing:
-            raise ValueError(
-                f"enrollment transcript {transcript!r} uses unknown words "
-                f"{missing}"
-            )
-        sentence = insert_silence(transcript) if insert_sil else transcript
-        topo = _topology(sentence, state_counts, label_index)
-        log_a_sent = _sentence_log_a(topo, log_a_g, cross_word)
-        padded = pad_batch([np.asarray(f, np.float32) for f in features], 64)
-        lab, loc = topo.lab_of_state, topo.loc_of_state
+    sums = np.zeros((l_num, s_max, k_max, stacked.dim), np.float64)
+    for topo, log_a_sent, emission, padded in enrollment_batches(
+        stacked, labeled_features, insert_sil, cross_word
+    ):
         c, sm = _gmm_stats_pass(
-            jnp.asarray(means_g[lab, loc]), jnp.asarray(covs_g[lab, loc]),
-            jnp.asarray(weights_g[lab, loc]), jnp.asarray(log_a_sent),
-            jnp.asarray(lab), jnp.asarray(loc),
+            *(jnp.asarray(e) for e in emission), jnp.asarray(log_a_sent),
+            jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
             jnp.asarray(padded.data), jnp.asarray(padded.lengths),
             l_num, s_max,
         )
@@ -175,7 +132,7 @@ def _map_adapt_gmm(
         if label == "S" and not adapt_silence:
             out[label] = m
             continue
-        i = label_index[label]
+        i = stacked.label_index[label]
         s, k = m.num_states, m.num_mixtures
         c = counts[i, :s, :k][..., None]  # (S, K, 1)
         new_means = (tau * m.means + sums[i, :s, :k]) / (tau + c)
@@ -288,52 +245,17 @@ def _enrollment_stats(
 ) -> Tuple[np.ndarray, np.ndarray, List[str], int]:
     """Pooled per-(label, state) frame counts and sums from Viterbi
     alignments of the enrollment utterances."""
-    from ..data.batching import pad_batch
+    from .stacking import enrollment_batches, stack_models
 
-    labels = sorted(models)
-    if insert_sil and "S" not in labels:
-        raise ValueError(
-            "insert_sil=True needs a silence model 'S' (pass "
-            "insert_sil=False for silence-free enrollment transcripts)"
-        )
-    label_index = {l: i for i, l in enumerate(labels)}
-    state_counts = {l: models[l].num_states for l in labels}
-    s_max = max(state_counts.values())
-    l_num = len(labels)
-    dim = models[labels[0]].means.shape[-1]
-
-    means_g = np.zeros((l_num, s_max, dim), np.float32)
-    covs_g = np.tile(np.eye(dim, dtype=np.float32), (l_num, s_max, 1, 1))
-    log_a_g = np.full((l_num, s_max, s_max), -np.inf, np.float32)
-    for l, i in label_index.items():
-        s = state_counts[l]
-        means_g[i, :s] = models[l].means
-        covs_g[i, :s] = models[l].covariances
-        log_a_g[i, :s, :s] = models[l].log_a
-
+    stacked = stack_models(models, require_silence=insert_sil)
+    l_num, s_max = len(stacked.labels), stacked.s_max
     counts = np.zeros((l_num, s_max), np.float64)
-    sums = np.zeros((l_num, s_max, dim), np.float64)
-    if not labeled_features:
-        raise ValueError("no enrollment utterances")
-    for transcript, features in labeled_features.items():
-        if not features:
-            continue
-        missing = sorted(set(transcript) - set(labels))
-        if missing:
-            raise ValueError(
-                f"enrollment transcript {transcript!r} uses unknown words "
-                f"{missing}"
-            )
-        sentence = (
-            insert_silence(transcript) if insert_sil else transcript
-        )
-        topo = _topology(sentence, state_counts, label_index)
-        log_a_sent = _sentence_log_a(topo, log_a_g, cross_word)
-        padded = pad_batch([np.asarray(f, np.float32) for f in features], 64)
+    sums = np.zeros((l_num, s_max, stacked.dim), np.float64)
+    for topo, log_a_sent, emission, padded in enrollment_batches(
+        stacked, labeled_features, insert_sil, cross_word
+    ):
         c, sm, _tr, _paths = _stats_pass(
-            jnp.asarray(means_g[topo.lab_of_state, topo.loc_of_state]),
-            jnp.asarray(covs_g[topo.lab_of_state, topo.loc_of_state]),
-            jnp.asarray(log_a_sent),
+            *(jnp.asarray(e) for e in emission), jnp.asarray(log_a_sent),
             jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
             jnp.asarray(topo.pos_of_state),
             jnp.asarray(padded.data), jnp.asarray(padded.lengths),
@@ -341,4 +263,4 @@ def _enrollment_stats(
         )
         counts += np.asarray(c, np.float64)
         sums += np.asarray(sm, np.float64)
-    return counts, sums, labels, s_max
+    return counts, sums, stacked.labels, s_max

@@ -30,7 +30,6 @@ from ..ops.gaussian import (
     make_gmm_params,
 )
 from ..ops.viterbi import viterbi_banded_batch
-from .train_continuous import _sentence_log_a, _topology, insert_silence
 
 
 @dataclass(frozen=True)
@@ -92,93 +91,16 @@ class ForcedAligner:
         cross_word: str = "exit_only",
         hop_s: float = 160.0 / 16000.0,
     ) -> None:
-        from .gmm_hmm import GMMWordHMM
+        from .stacking import stack_models
 
-        if insert_sil and "S" not in models:
-            raise ValueError(
-                "insert_sil=True needs a silence model 'S' in the model dict "
-                "(train one with project5_train_no_empty or pass insert_sil=False)"
-            )
         self.insert_sil = insert_sil
         if cross_word not in ("exit_only", "band"):
             raise ValueError(f"unknown cross_word {cross_word!r}")
         self.cross_word = cross_word
         self.hop_s = float(hop_s)
-        self.labels = sorted(models)
-        self.label_index = {l: i for i, l in enumerate(self.labels)}
-        self.state_counts = {l: models[l].num_states for l in self.labels}
-        s_max = max(self.state_counts.values())
-        self._is_gmm = any(
-            isinstance(models[l], GMMWordHMM) for l in self.labels
-        )
-        l_num = len(self.labels)
-        d = (
-            models[self.labels[0]].means.shape[-1]
-        )
-        if self._is_gmm:
-            k_max = max(
-                getattr(models[l], "num_mixtures", 1) for l in self.labels
-            )
-            means = np.zeros((l_num, s_max, k_max, d), np.float32)
-            covs = np.tile(
-                np.eye(d, dtype=np.float32), (l_num, s_max, k_max, 1, 1)
-            )
-            weights = np.zeros((l_num, s_max, k_max), np.float32)
-            for l, i in self.label_index.items():
-                m = models[l]
-                s = m.num_states
-                if isinstance(m, GMMWordHMM):
-                    k = m.num_mixtures
-                    means[i, :s, :k] = m.means
-                    covs[i, :s, :k] = m.covariances
-                    weights[i, :s, :k] = m.weights
-                else:
-                    means[i, :s, 0] = m.means
-                    covs[i, :s, 0] = m.covariances
-                    weights[i, :s, 0] = 1.0
-            self._weights_g = weights
-        else:
-            means = np.zeros((l_num, s_max, d), np.float32)
-            covs = np.tile(np.eye(d, dtype=np.float32), (l_num, s_max, 1, 1))
-            for l, i in self.label_index.items():
-                m = models[l]
-                s = m.num_states
-                means[i, :s] = m.means
-                covs[i, :s] = m.covariances
-            self._weights_g = None
-        log_a = np.full((l_num, s_max, s_max), -np.inf, np.float32)
-        for l, i in self.label_index.items():
-            s = self.state_counts[l]
-            log_a[i, :s, :s] = models[l].log_a
-        self._means_g = means
-        self._covs_g = covs
-        self._log_a_g = log_a
-
-    # -- sentence assembly ---------------------------------------------------
-    def _sentence(self, transcript: str) -> str:
-        missing = sorted(set(transcript) - set(self.labels))
-        if missing:
-            raise ValueError(
-                f"transcript {transcript!r} uses unknown words {missing}; "
-                f"known: {self.labels}"
-            )
-        if not transcript:
-            raise ValueError("empty transcript")
-        return insert_silence(transcript) if self.insert_sil else transcript
-
-    def _sentence_arrays(self, sentence: str):
-        topo = _topology(sentence, self.state_counts, self.label_index)
-        log_a = _sentence_log_a(topo, self._log_a_g, self.cross_word)
-        lab, loc = topo.lab_of_state, topo.loc_of_state
-        if self._is_gmm:
-            emission = (
-                self._means_g[lab, loc],
-                self._covs_g[lab, loc],
-                self._weights_g[lab, loc],
-            )
-        else:
-            emission = (self._means_g[lab, loc], self._covs_g[lab, loc])
-        return topo, log_a, emission
+        self._stack = stack_models(models, require_silence=insert_sil)
+        self.labels = self._stack.labels
+        self._is_gmm = self._stack.is_gmm
 
     # -- alignment -----------------------------------------------------------
     def align(self, features: np.ndarray, transcript: str) -> AlignResult:
@@ -190,9 +112,20 @@ class ForcedAligner:
     ) -> List[AlignResult]:
         """Align a ragged list of feature matrices that share one transcript
         (the shape embedded training consumes: all takes of one sentence)."""
-        sentence = self._sentence(transcript)
-        topo, log_a, emission = self._sentence_arrays(sentence)
-        padded = pad_batch([np.asarray(f) for f in features], 128)
+        if not features:
+            raise ValueError("no utterances to align")
+        features = [np.asarray(f) for f in features]
+        for i, f in enumerate(features):
+            if f.ndim != 2 or f.shape[0] == 0:
+                raise ValueError(
+                    f"utterance {i}: expected a non-empty (T, D) feature "
+                    f"matrix, got shape {f.shape} (too-short audio can "
+                    "yield zero frames)"
+                )
+        sentence, topo, log_a, emission = self._stack.sentence_for(
+            transcript, self.insert_sil, self.cross_word
+        )
+        padded = pad_batch(features, 128)
         scores, paths = _align_device(
             tuple(jnp.asarray(e) for e in emission),
             jnp.asarray(log_a),

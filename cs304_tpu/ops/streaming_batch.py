@@ -316,9 +316,12 @@ class BatchedStreamingComposite:
                      for a in arrays)
 
     # -- results --------------------------------------------------------------
-    def _run_finalize(self, any_state: bool):
+    def _run_finalize(self, any_state: bool, skip_silence: bool):
         c = self.composite
-        sil = c.labels.index("S") if "S" in c.labels else -1
+        sil = (
+            c.labels.index("S")
+            if (skip_silence and "S" in c.labels) else -1
+        )
         (t_dev,) = self._put_sharded(self._t)
         return _finalize_batch(
             self._alpha, self._ring, t_dev, self._is_exit,
@@ -340,30 +343,38 @@ class BatchedStreamingComposite:
             self._check_slot(slot)
             if self._t[slot] == 0:
                 raise ValueError(f"slot {slot} has no frames to finalize")
-        scores, ids, counts = jax.device_get(self._run_finalize(False))
+        scores, ids, counts = jax.device_get(
+            self._run_finalize(False, skip_silence)
+        )
         texts = ids_to_strings(ids, counts, self.composite.labels)
-        if not skip_silence:  # re-run compaction keeping silence
-            c = self.composite
-            (t_dev,) = self._put_sharded(self._t)
-            sil_keep = _finalize_batch(
-                self._alpha, self._ring, t_dev, self._is_exit,
-                jnp.asarray(c.word_of_state.astype(np.int32)),
-                jnp.asarray(c.lowers.astype(np.int32)),
-                jnp.asarray(c.uppers.astype(np.int32)),
-                -1, False, self.max_words,
-            )
-            _, ids, counts = jax.device_get(sil_keep)
-            texts = ids_to_strings(ids, counts, self.composite.labels)
         return {
             slot: (float(scores[slot]), texts[slot]) for slot in slots
         }
 
-    def partial_text(self, slot: int, skip_silence: bool = True) -> str:
-        """Best hypothesis so far for one slot (any state may end it)."""
+    def partial_texts(
+        self, slots: Sequence[int] | None = None, skip_silence: bool = True
+    ) -> Dict[int, str]:
+        """Best hypotheses so far for many slots — ONE finalize dispatch
+        and one readback regardless of how many slots are polled (any state
+        may end a partial). Slots with no frames yet map to ""."""
         from .words import ids_to_strings
 
-        self._check_slot(slot)
-        if self._t[slot] == 0:
-            return ""
-        _scores, ids, counts = jax.device_get(self._run_finalize(True))
-        return ids_to_strings(ids, counts, self.composite.labels)[slot]
+        if slots is None:
+            slots = sorted(self._active)
+        for slot in slots:
+            self._check_slot(slot)
+        if not any(self._t[slot] > 0 for slot in slots):
+            return {slot: "" for slot in slots}
+        _scores, ids, counts = jax.device_get(
+            self._run_finalize(True, skip_silence)
+        )
+        texts = ids_to_strings(ids, counts, self.composite.labels)
+        return {
+            slot: (texts[slot] if self._t[slot] > 0 else "")
+            for slot in slots
+        }
+
+    def partial_text(self, slot: int, skip_silence: bool = True) -> str:
+        """Best hypothesis so far for one slot. Polling many slots? Use
+        partial_texts — this costs a full-pool finalize per call."""
+        return self.partial_texts([slot], skip_silence)[slot]

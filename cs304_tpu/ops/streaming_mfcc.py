@@ -147,3 +147,32 @@ class StreamingMFCC:
             out.append(self._features_for(self._emitted, tail=True))
             self._emitted += 1
         return np.stack(out) if out else np.zeros((0, 3 * self.cfg.n_mfcc), np.float32)
+
+
+def mel_peak(samples: np.ndarray, cfg: MFCCConfig = MFCCConfig()) -> float:
+    """Peak mel power of the given samples — the dB reference calibrator.
+
+    When this equals the true utterance-wide peak, StreamingMFCC's frames
+    match the offline front-end exactly (power_to_db ref=max); a live system
+    calibrates from mic setup or the first speech frames instead. The
+    framing/window/filterbank conventions here must stay identical to the
+    offline pipeline's (ops/mfcc.py) — the one shared implementation is the
+    point (it had been duplicated in two demo scripts and the serving layer).
+    """
+    from .mfcc import mel_filterbank
+
+    sig = np.asarray(samples, np.float64)
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    padded = np.pad(sig, (n_fft // 2, n_fft // 2))
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    fb = np.asarray(
+        mel_filterbank(cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    )
+    peak = 1e-10
+    for t in range(1 + len(sig) // hop):
+        frame = padded[t * hop : t * hop + n_fft]
+        if len(frame) < n_fft:
+            break
+        p = np.abs(np.fft.rfft(frame * window)) ** 2
+        peak = max(peak, float((fb @ p).max()))
+    return peak

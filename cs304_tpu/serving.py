@@ -34,7 +34,7 @@ from .audio.capture import Segmentation, SegmentationDone
 from .models.decoder import ContinuousDecoder
 from .ops.mfcc import MFCCConfig, mfcc_batch
 from .ops.streaming_batch import BatchedStreamingComposite
-from .ops.streaming_mfcc import StreamingMFCC
+from .ops.streaming_mfcc import StreamingMFCC, mel_peak
 
 logger = logging.getLogger(__name__)
 
@@ -44,7 +44,13 @@ class UtteranceResult:
     session: int
     text: str  # offline-parity decode of the endpointed utterance
     num_samples: int  # endpointed utterance length (trailing silence trimmed)
-    last_partial: str  # the streaming hypothesis at the endpoint ("" if off)
+    # The streaming hypothesis at the endpoint ("" with partials off).
+    # Approximate by construction: the causal front-end's dB reference comes
+    # from the first ~0.2 s of speech, which distorts the LOW-energy trailing
+    # silence frames most — a spurious trailing word there is the common
+    # artifact. `text` is the contract; last_partial shows what the live
+    # hypothesis said.
+    last_partial: str
     confidence: Optional[float] = None  # min per-word posterior (if enabled)
 
 
@@ -124,7 +130,7 @@ class ServingSessionPool:
             "slot": None,
             "mfcc": None,
             "buffer": [],  # speech samples awaiting dB calibration
-            "partial": "",
+            "tail": np.zeros(0, np.float32),  # sub-frame sample remainder
         }
 
     def _check(self, session: int) -> dict:
@@ -140,29 +146,10 @@ class ServingSessionPool:
         finished: List[tuple] = []  # (session, signal, last_partial)
         stream_feeds: Dict[int, np.ndarray] = {}
         for session, samples in feeds.items():
-            state = self._check(session)
-            seg = state["seg"]
-            seg.audio_cache.put(np.asarray(samples, np.float32).reshape(-1))
-            try:
-                seg.routine()
-                self._advance_stream(state, stream_feeds)
-            except SegmentationDone:
-                # Flush the tail into the pool NOW so the captured
-                # last_partial reflects the whole utterance.
-                local: Dict[int, np.ndarray] = {}
-                self._advance_stream(state, local, flush=True)
-                if self._pool is not None:
-                    for block in _chunk_rounds(local, self._pool.chunk_size):
-                        self._pool.step(block)
-                signal = seg.result_signal()
-                if len(signal):
-                    finished.append((session, signal, state["partial"]))
-                self._retire(state)
-                self._sessions[session] = {
-                    **self._fresh_state(),
-                    # Carry the calibrated noise floor forward.
-                    "seg": Segmentation(stream=None, **self._seg_kwargs),
-                }
+            self._feed_session(
+                session, np.asarray(samples, np.float32).reshape(-1),
+                stream_feeds, finished,
+            )
         if self._pool is not None and stream_feeds:
             # ONE dispatch advances every talking session's online decode.
             for block in _chunk_rounds(stream_feeds, self._pool.chunk_size):
@@ -199,16 +186,93 @@ class ServingSessionPool:
         return out
 
     def partial(self, session: int) -> str:
-        """Live streaming hypothesis for a talking session ("" outside
-        speech or with partials disabled)."""
-        state = self._check(session)
-        if state["slot"] is None:
-            return ""
-        text = self._pool.partial_text(state["slot"])
-        state["partial"] = text
-        return text
+        """Live streaming hypothesis for one session ("" outside speech or
+        with partials disabled). Polling many sessions? Use partials()."""
+        return self.partials([session])[session]
+
+    def partials(self, sessions: Sequence[int] | None = None
+                 ) -> Dict[int, str]:
+        """Live hypotheses for many sessions in ONE finalize dispatch
+        (review finding: per-session polling cost N full-pool finalizes)."""
+        if sessions is None:
+            sessions = sorted(self._sessions)
+        states = {s: self._check(s) for s in sessions}
+        if self._pool is None:
+            return {s: "" for s in sessions}
+        slot_of = {
+            s: st["slot"] for s, st in states.items()
+            if st["slot"] is not None
+        }
+        texts = (
+            self._pool.partial_texts(list(slot_of.values()))
+            if slot_of else {}
+        )
+        return {
+            s: texts.get(slot_of.get(s), "") for s in sessions
+        }
 
     # -- internals --------------------------------------------------------------
+    def _feed_session(self, session: int, samples: np.ndarray,
+                      stream_feeds: dict, finished: list) -> None:
+        """Frame-accurate endpointing: samples buffer to exact 320-sample
+        frames (the sub-frame remainder carries across feed() calls AND
+        across utterances), and frames are run one at a time so audio after
+        an endpoint flows into the NEXT utterance instead of being lost
+        (review finding: Segmentation.routine drains its whole queue and
+        drops the remainder when it raises mid-chunk)."""
+        state = self._check(session)
+        fs = state["seg"].frame_size
+        buf = (
+            np.concatenate([state["tail"], samples])
+            if len(state["tail"]) else samples
+        )
+        n_full = len(buf) // fs
+        state["tail"] = buf[n_full * fs:]
+        i = 0
+        while i < n_full:
+            seg = state["seg"]
+            seg.audio_cache.put(buf[i * fs : (i + 1) * fs])
+            i += 1
+            try:
+                seg.routine()
+                self._advance_stream(state, stream_feeds)
+            except SegmentationDone:
+                # Flush the utterance's tail frames into the pool NOW so the
+                # recorded last_partial reflects the whole utterance. Frames
+                # already queued for this slot in the step-wide batch belong
+                # to THIS utterance — pull them into the local flush (the
+                # slot is released below; a successor utterance may reuse it).
+                local: Dict[int, np.ndarray] = {}
+                slot = state["slot"]
+                pending = (
+                    stream_feeds.pop(slot, None) if slot is not None else None
+                )
+                self._advance_stream(state, local, flush=True)
+                if pending is not None:
+                    local[slot] = (
+                        np.concatenate([pending, local[slot]])
+                        if slot in local else pending
+                    )
+                last_partial = ""
+                if self._pool is not None and state["slot"] is not None:
+                    for block in _chunk_rounds(local, self._pool.chunk_size):
+                        self._pool.step(block)
+                    # The utterance is complete here, so terminate the
+                    # stream like the offline decoder (best word-exit) —
+                    # any-state partial termination hallucinates a word
+                    # onset from the trailing silence frames.
+                    last_partial = self._pool.finalize(
+                        [state["slot"]]
+                    )[state["slot"]][1]
+                    self._pool.release(state["slot"])
+                    state["slot"] = None
+                signal = seg.result_signal()
+                if len(signal):
+                    finished.append((session, signal, last_partial))
+                tail = state["tail"]
+                state = self._fresh_state()
+                state["tail"] = tail
+                self._sessions[session] = state
     def _advance_stream(self, state: dict, stream_feeds: dict,
                         flush: bool = False) -> None:
         """Route newly captured speech frames into the streaming decoder."""
@@ -229,7 +293,7 @@ class ServingSessionPool:
                 return
             samples = np.concatenate(state["buffer"])
             state["mfcc"] = StreamingMFCC(
-                cfg=self._mcfg, ref_power=_mel_peak(samples, self._mcfg)
+                cfg=self._mcfg, ref_power=mel_peak(samples, self._mcfg)
             )
             state["slot"] = self._pool.start()
             state["buffer"] = [samples]
@@ -252,12 +316,6 @@ class ServingSessionPool:
                 if slot in stream_feeds else frames
             )
 
-    def _retire(self, state: dict) -> None:
-        if state["slot"] is not None:
-            # Capture the final streaming hypothesis before recycling.
-            state["partial"] = self._pool.partial_text(state["slot"])
-            self._pool.release(state["slot"])
-            state["slot"] = None
 
 
 def _chunk_rounds(stream_feeds: Dict[int, np.ndarray], chunk: int):
@@ -274,22 +332,3 @@ def _chunk_rounds(stream_feeds: Dict[int, np.ndarray], chunk: int):
         }
 
 
-def _mel_peak(samples: np.ndarray, cfg: MFCCConfig) -> float:
-    """Peak mel power of the given samples (host-side dB calibration)."""
-    from .ops.mfcc import mel_filterbank
-
-    sig = np.asarray(samples, np.float64)
-    n_fft, hop = cfg.n_fft, cfg.hop_length
-    padded = np.pad(sig, (n_fft // 2, n_fft // 2))
-    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
-    fb = np.asarray(
-        mel_filterbank(cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
-    )
-    peak = 1e-10
-    for t in range(1 + len(sig) // hop):
-        frame = padded[t * hop : t * hop + n_fft]
-        if len(frame) < n_fft:
-            break
-        p = np.abs(np.fft.rfft(frame * window)) ** 2
-        peak = max(peak, float((fb @ p).max()))
-    return peak

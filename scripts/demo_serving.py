@@ -63,12 +63,13 @@ def main() -> None:
                 cursors[mic] += chunk
         done = pool.feed(step)
         t += args.chunk_ms / 1000
+        live = pool.partials()  # ONE dispatch for every session's partial
         for mic in plans:
             for r in done.get(sessions[mic], []):
                 print(f"t={t:5.2f}s  mic {mic}: FINAL {r.text!r} "
                       f"({r.num_samples / sr:.2f}s; last partial "
                       f"{r.last_partial!r})")
-            p = pool.partial(sessions[mic])
+            p = live.get(sessions[mic], "")
             if p:
                 print(f"t={t:5.2f}s  mic {mic}: partial {p!r}")
     print("\nexpected:", {m: plans[m] for m in plans})

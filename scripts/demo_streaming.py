@@ -13,33 +13,10 @@ from _common import run_main, adopt_checkpoint_frontend, base_parser, load_confi
 import numpy as np
 
 from cs304_tpu.models.decoder import ContinuousDecoder
-from cs304_tpu.ops.mfcc import MFCCConfig, mfcc_batch
+from cs304_tpu.ops.mfcc import mfcc_batch
 from cs304_tpu.ops.streaming import StreamingComposite
-from cs304_tpu.ops.streaming_mfcc import StreamingMFCC
-from cs304_tpu.reporting.spectrograms import power_spectrogram_db
-from cs304_tpu.ops.mfcc import mel_filterbank
+from cs304_tpu.ops.streaming_mfcc import StreamingMFCC, mel_peak
 from cs304_tpu.utils.checkpoint import load_models
-
-
-def mel_peak(signal: np.ndarray, cfg: MFCCConfig) -> float:
-    """dB reference = the utterance's mel-power peak (a live system would use
-    mic calibration or the endpointer's running peak instead)."""
-    db = power_spectrogram_db(signal, cfg)  # normalized to 0 dB peak
-    power = 10 ** (db / 10)
-    # De-normalize: power_spectrogram_db scales to max 0 dB, so recompute the
-    # absolute peak from the raw frames' energy via one direct frame.
-    fb = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
-    # absolute power spectrogram
-    hop, n_fft = cfg.hop_length, cfg.n_fft
-    sig = np.asarray(signal, np.float64)
-    padded = np.pad(sig, (n_fft // 2, n_fft // 2))
-    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
-    peak = 0.0
-    for t in range(1 + len(sig) // hop):
-        frame = padded[t * hop : t * hop + n_fft] * window
-        p = np.abs(np.fft.rfft(frame)) ** 2
-        peak = max(peak, float((fb @ p).max()))
-    return peak
 
 
 def main() -> None:

@@ -18,9 +18,8 @@ import numpy as np
 from cs304_tpu.models.decoder import ContinuousDecoder
 from cs304_tpu.ops.mfcc import mfcc_batch
 from cs304_tpu.ops.streaming_batch import BatchedStreamingComposite
-from cs304_tpu.ops.streaming_mfcc import StreamingMFCC
+from cs304_tpu.ops.streaming_mfcc import StreamingMFCC, mel_peak
 from cs304_tpu.utils.checkpoint import load_models
-from demo_streaming import mel_peak
 
 
 def main() -> None:

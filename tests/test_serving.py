@@ -44,8 +44,8 @@ def _drain(pool, feeds_by_session, chunk=1600):
         done = pool.feed(step)
         for s, rs in done.items():
             results[s].extend(rs)
-        for s in feeds_by_session:
-            p = pool.partial(s)
+        live = pool.partials(list(feeds_by_session))
+        for s, p in live.items():
             if p:
                 partial_seen[s].append(p)
     return results, partial_seen
@@ -103,6 +103,24 @@ def test_final_equals_direct_decode_of_endpointed_signal(trained_system):
     assert len(results[s]) == 1
     assert results[s][0].text == expected
     assert results[s][0].num_samples == len(endpointed)
+
+
+def test_single_feed_spanning_two_utterances(trained_system):
+    """Audio after an endpoint inside one feed() chunk must flow into the
+    next utterance, not be dropped (frames are run one at a time and the
+    remainder carries into the fresh session state)."""
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    pool = ServingSessionPool(models, num_slots=2)
+    s = pool.open()
+    audio = _session_audio(corpus, ["375", "12"], speaker=0)
+    # Everything in ONE call, with a length that is NOT a frame multiple.
+    done = pool.feed({s: audio[: len(audio) - 13]})
+    texts = [r.text for r in done.get(s, [])]
+    # Trailing silence may leave the 2nd endpoint for a later feed; flush it.
+    done2 = pool.feed({s: audio[len(audio) - 13 :]})
+    texts += [r.text for r in done2.get(s, [])]
+    assert texts == ["375", "12"]
 
 
 def test_silence_only_session_yields_nothing(trained_system):
