@@ -335,27 +335,23 @@ class ContinuousTrainer:
         sufficient statistics are psum'd (parallel.data_parallel.dp_embedded_stats),
         replacing the reference's per-transcript ProcessPool
         (hidden_markov_model.py:746-750)."""
+        from .stacking import stack_models  # deferred: stacking imports us
+
         self.cfg = cfg
         self.mesh = mesh
         self._iterations_done = 0
         self._dev_state = None  # device-resident (means, covs, log_a) cache
-        self.labels: List[str] = sorted(models)
-        self.label_index = {l: i for i, l in enumerate(self.labels)}
-        self.state_counts = {l: models[l].num_states for l in self.labels}
-        self.s_max = max(self.state_counts.values())
-        self.dim = models[self.labels[0]].dim
-        l, s, d = len(self.labels), self.s_max, self.dim
-
-        # Stacked global parameters, padded to s_max states per label.
-        self.means_g = np.zeros((l, s, d), np.float32)
-        self.covs_g = np.tile(np.eye(d, dtype=np.float32), (l, s, 1, 1))
-        self.log_a_g = np.full((l, s, s), -np.inf, np.float32)
-        for label, m in models.items():
-            i = self.label_index[label]
-            n = m.num_states
-            self.means_g[i, :n] = m.means
-            self.covs_g[i, :n] = m.covariances
-            self.log_a_g[i, :n, :n] = m.log_a
+        stacked = stack_models(models)
+        self.labels: List[str] = stacked.labels
+        self.label_index = stacked.label_index
+        self.state_counts = stacked.state_counts
+        self.s_max = stacked.s_max
+        self.dim = stacked.dim
+        # Stacked global parameters, padded to s_max states per label —
+        # mutated in place across training iterations.
+        self.means_g = stacked.means
+        self.covs_g = stacked.covariances
+        self.log_a_g = stacked.log_a
 
     # -- public ---------------------------------------------------------
     def models(self) -> Dict[str, WordHMM]:

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Batch transcription: decode WAV files (or a directory) to a CSV/stdout.
+
+The operational front door to the serving stack: bucketed batch decoding
+with optional per-word posterior confidences, word timings, word-count or
+grammar constraints, and a bigram LM. (The reference has no batch tool —
+its eval scripts are corpus-specific.)
+
+Examples:
+  python scripts/transcribe.py --checkpoint-dir .cache/m6 --wav-dir recordings/
+  python scripts/transcribe.py --checkpoint-dir .cache/m6 --wav a.wav \
+      --confidence --timings --csv-out out.csv
+"""
+import glob
+import os
+from dataclasses import replace
+
+from _common import adopt_checkpoint_frontend, base_parser, load_config, run_main
+
+from cs304_tpu.models.decoder import ContinuousDecoder
+from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.utils.checkpoint import load_models
+
+
+def main() -> None:
+    parser = base_parser(__doc__)
+    parser.add_argument("--wav", action="append", default=[],
+                        help="WAV file to transcribe (repeatable)")
+    parser.add_argument("--wav-dir", default=None,
+                        help="transcribe every *.wav under this directory")
+    parser.add_argument("--csv-out", default=None,
+                        help="write results as pipe-CSV")
+    parser.add_argument("--confidence", action="store_true",
+                        help="per-utterance min word posterior")
+    parser.add_argument("--timings", action="store_true",
+                        help="include per-word start/end seconds (from the "
+                             "decode-confidence pass)")
+    parser.add_argument("--known-count", type=int, default=None,
+                        metavar="N", help="decode exactly N digits")
+    parser.add_argument("--grammar-strings", default=None, metavar="A,B,...",
+                        help="constrain to this finite transcript set "
+                             "(mutually exclusive with --known-count and "
+                             "--confidence/--timings, which use the "
+                             "unconstrained trellis)")
+    parser.add_argument("--batch-size", type=int, default=256)
+    args = parser.parse_args()
+    cfg = load_config(args)
+    adopt_checkpoint_frontend(cfg, args)
+    mcfg = cfg.frontend.mfcc_config()
+
+    paths = list(args.wav)
+    if args.wav_dir:
+        paths += sorted(glob.glob(os.path.join(args.wav_dir, "**", "*.wav"),
+                                  recursive=True))
+    if not paths:
+        raise SystemExit("error: no input — pass --wav and/or --wav-dir")
+
+    decoder = ContinuousDecoder(
+        load_models(cfg.checkpoint_dir), penalty=cfg.decode.word_penalty
+    )
+    grammar = None
+    if args.grammar_strings:
+        from cs304_tpu.ops.grammar import WordDFA
+
+        grammar = WordDFA.from_strings(
+            [s.strip() for s in args.grammar_strings.split(",") if s.strip()],
+            decoder.composite.labels,
+        )
+
+    from cs304_tpu.audio.wav import read_wav
+
+    rows = []
+    hop_s = mcfg.hop_length / mcfg.sample_rate
+    for start in range(0, len(paths), args.batch_size):
+        chunk = paths[start : start + args.batch_size]
+        feats = []
+        for p in chunk:
+            rate, signal = read_wav(p)
+            feats.append(
+                mfcc_batch([signal], cfg=replace(mcfg, sample_rate=float(rate)))[0]
+            )
+        if args.confidence or args.timings:
+            scored = decoder.predict_batch_with_confidence(feats)
+            for p, words in zip(chunk, scored):
+                text = "".join(w for w, _s, _e, _c in words)
+                conf = min((c for _w, _s, _e, c in words), default=0.0)
+                timing = ";".join(
+                    f"{w}:{s * hop_s:.2f}-{e * hop_s:.2f}"
+                    for w, s, e, _c in words
+                ) if args.timings else ""
+                rows.append([p, text, f"{conf:.3f}", timing])
+        elif args.known_count is not None:
+            for p, text in zip(
+                chunk, decoder.predict_batch_counted(feats, args.known_count)
+            ):
+                rows.append([p, text, "", ""])
+        elif grammar is not None:
+            for p, text in zip(
+                chunk, decoder.predict_batch_grammar(feats, grammar)
+            ):
+                rows.append([p, text, "", ""])
+        else:
+            for p, text in zip(chunk, decoder.predict_batch(feats)):
+                rows.append([p, text, "", ""])
+
+    for row in rows:
+        extras = "  ".join(c for c in row[2:] if c)
+        print(f"{row[0]}: {row[1]}" + (f"  [{extras}]" if extras else ""))
+    if args.csv_out:
+        from cs304_tpu.reporting.csvnia import CSVWriter
+
+        writer = CSVWriter(["wav", "text", "confidence", "timings"])
+        for row in rows:
+            writer.add_line(row)
+        writer.write(args.csv_out)
+
+
+if __name__ == "__main__":
+    run_main(main)

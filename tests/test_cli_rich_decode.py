@@ -106,6 +106,44 @@ def test_interactive_grammar_options(tiny_ckpt, tmp_path):
     assert len(text) == 3 and text[0] in "37"
 
 
+def test_transcribe_batch_tool(tiny_ckpt, tmp_path):
+    import csv as csvmod
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    import shutil
+
+    shutil.copy(tiny_ckpt["wav"], wav_dir / "utt1.wav")
+    shutil.copy(tiny_ckpt["wav"], wav_dir / "utt2.wav")
+    out_csv = str(tmp_path / "transcripts.csv")
+    out = run_script(
+        "transcribe.py", "--checkpoint-dir", tiny_ckpt["ckpt"],
+        "--wav-dir", str(wav_dir), "--confidence", "--timings",
+        "--csv-out", out_csv,
+        "--log-file", str(tmp_path / "runtime.log"),
+    )
+    assert "utt1.wav" in out and "utt2.wav" in out
+    with open(out_csv) as fh:
+        rows = list(csvmod.reader(fh, delimiter="|"))
+    header, body = rows[0], rows[1:]
+    assert len(body) == 2
+    text_i = header.index("text")
+    conf_i = header.index("confidence")
+    timing_i = header.index("timings")
+    for r in body:
+        assert r[text_i] == "375"
+        assert 0.0 <= float(r[conf_i]) <= 1.0
+        assert "3:" in r[timing_i]
+
+    # Grammar-constrained batch mode.
+    out2 = run_script(
+        "transcribe.py", "--checkpoint-dir", tiny_ckpt["ckpt"],
+        "--wav", tiny_ckpt["wav"], "--grammar-strings", "375,573",
+        "--log-file", str(tmp_path / "runtime.log"),
+    )
+    assert ": 375" in out2 or ": 573" in out2
+
+
 def test_ndigits_eval_wer_and_bigram(tiny_ckpt, tmp_path):
     out = run_script(
         "project5_test_ndigits.py", "--synthetic",
