@@ -64,6 +64,11 @@ class ServingSessionPool:
     >>> for r in done.get(a, []): print(r.text)             # finished takes
     """
 
+    # Upgrade the causal dB reference (and replay the utterance so far) when
+    # new audio's mel peak exceeds it by this factor (~+6 dB): rare enough
+    # to cost at most a couple of extra pool steps per utterance.
+    RECALIBRATION_RATIO = 4.0
+
     def __init__(
         self,
         models,
@@ -130,6 +135,8 @@ class ServingSessionPool:
             "slot": None,
             "mfcc": None,
             "buffer": [],  # speech samples awaiting dB calibration
+            "speech": [],  # all streamed speech samples (for ref replays)
+            "ref": None,  # current causal dB reference (mel power)
             "tail": np.zeros(0, np.float32),  # sub-frame sample remainder
         }
 
@@ -275,7 +282,22 @@ class ServingSessionPool:
                 self._sessions[session] = state
     def _advance_stream(self, state: dict, stream_feeds: dict,
                         flush: bool = False) -> None:
-        """Route newly captured speech frames into the streaming decoder."""
+        """Route newly captured speech frames into the streaming decoder.
+
+        The causal dB reference starts from the first ~0.2 s of speech; when
+        later audio exceeds it by RECALIBRATION_RATIO (speech onsets are
+        quieter than peaks, so the initial estimate is usually low), the
+        reference upgrades and the utterance-so-far REPLAYS through a fresh
+        front-end and a fresh slot — a ~1 s replay is one extra pool step.
+
+        Streaming also HOLDS BACK the endpointer's trailing-trim window
+        (maximum_silence_frames worth of samples): the offline path never
+        decodes those trailing-silence frames (result_signal trims them),
+        and under the utterance-global dB floor they clip into features the
+        silence model has never seen — measured to decode as a spurious
+        trailing word even with parity features. Held-back samples stream
+        once newer audio proves they are not trailing; at the endpoint they
+        are dropped exactly like result_signal drops them."""
         if self._pool is None:
             return
         seg = state["seg"]
@@ -285,24 +307,57 @@ class ServingSessionPool:
             state["buffer"].append(
                 np.concatenate([np.asarray(f).reshape(-1) for f in new])
             )
-        buffered = int(sum(len(b) for b in state["buffer"]))
+        holdback = seg._end_counter.frame_count_threshold * seg.frame_size
+        pending = (
+            np.concatenate(state["buffer"])
+            if state["buffer"] else np.zeros(0, np.float32)
+        )
+        if flush:
+            # Drop the trailing-trim window (kept whole when trimming would
+            # leave nothing — mirroring result_signal's fallback).
+            streamed = int(sum(len(s) for s in state["speech"]))
+            if streamed + len(pending) > holdback:
+                samples = pending[: max(len(pending) - holdback, 0)]
+            else:
+                samples = pending
+            state["buffer"] = []
+        else:
+            samples = pending[: max(len(pending) - holdback, 0)]
+            state["buffer"] = [pending[len(samples):]]
+        frames = np.zeros((0, 39), np.float32)
         if state["mfcc"] is None:
-            if buffered == 0 or (
-                buffered < self._calibration_samples and not flush
+            if len(samples) == 0 or (
+                len(samples) < self._calibration_samples and not flush
             ):
+                # Not calibrating yet: nothing was consumed — keep ALL
+                # pending samples buffered (the slice above must not lose
+                # the feedable prefix).
+                state["buffer"] = [pending] if len(pending) else []
                 return
-            samples = np.concatenate(state["buffer"])
+            state["ref"] = mel_peak(samples, self._mcfg)
             state["mfcc"] = StreamingMFCC(
-                cfg=self._mcfg, ref_power=mel_peak(samples, self._mcfg)
+                cfg=self._mcfg, ref_power=state["ref"]
             )
             state["slot"] = self._pool.start()
-            state["buffer"] = [samples]
-        samples = np.concatenate(state["buffer"]) if state["buffer"] else None
-        state["buffer"] = []
-        if samples is None or not len(samples):
-            frames = np.zeros((0, 39), np.float32)
-        else:
+            state["speech"] = [samples]
             frames = state["mfcc"].feed(samples)
+        elif len(samples):
+            peak = mel_peak(samples, self._mcfg)
+            if peak > state["ref"] * self.RECALIBRATION_RATIO:
+                state["ref"] = peak
+                state["mfcc"] = StreamingMFCC(
+                    cfg=self._mcfg, ref_power=peak
+                )
+                stream_feeds.pop(state["slot"], None)
+                self._pool.release(state["slot"])
+                state["slot"] = self._pool.start()
+                state["speech"].append(samples)
+                frames = state["mfcc"].feed(
+                    np.concatenate(state["speech"])
+                )
+            else:
+                state["speech"].append(samples)
+                frames = state["mfcc"].feed(samples)
         if flush and state["mfcc"] is not None:
             tail = state["mfcc"].finalize()
             if len(tail):
