@@ -165,6 +165,61 @@ class ContinuousDecoder:
         if pending is not None:
             yield self._consume(pending)
 
+    def predict_signal_batch(
+        self, signals: Sequence[np.ndarray], skip_silence: bool = True,
+        mcfg=None, length_multiple: int = 16000,
+    ) -> List[str]:
+        """Decode RAW audio end-to-end on device: MFCC + trellis + word
+        compaction in ONE program per length bucket — no feature round-trip.
+        Profiled in benchmarks/serving_bench.py: the serving finals path
+        spent most of its wall time pulling device features to the host and
+        re-uploading them; this is the fused alternative (the same shape as
+        bench.py's headline program plus the word epilogue)."""
+        from ..ops.mfcc import MFCCConfig
+
+        if mcfg is None:
+            mcfg = MFCCConfig()
+        out: List[str] = [""] * len(signals)
+        buckets: Dict[int, List[int]] = {}
+        for i, s in enumerate(signals):
+            key = -(-max(len(s), 1) // length_multiple) * length_multiple
+            buckets.setdefault(key, []).append(i)
+        c = self.composite
+        wos, lowers, uppers, sil = self._word_args(skip_silence)
+        pen, lm_extras = self._penalty_arg()
+        from ..ops.words import ids_to_strings
+
+        for key, idx in buckets.items():
+            padded = np.zeros((len(idx), key), np.float32)
+            n_samples = np.zeros(len(idx), np.int32)
+            for row, i in enumerate(idx):
+                sig = np.asarray(signals[i], np.float32).reshape(-1)
+                padded[row, : len(sig)] = sig
+                n_samples[row] = len(sig)
+            if self._gmm is not None:
+                means, covs, weights = self._gmm
+                handles = _decode_signals_gmm_words(
+                    jnp.asarray(means), jnp.asarray(covs),
+                    jnp.asarray(weights), jnp.asarray(c.log_a),
+                    jnp.asarray(c.lower_of_state), jnp.asarray(c.is_entry),
+                    jnp.asarray(c.is_exit), pen,
+                    jnp.asarray(padded), jnp.asarray(n_samples),
+                    wos, lowers, uppers, sil, mcfg, self.backend, lm_extras,
+                )
+            else:
+                handles = _decode_signals_words(
+                    jnp.asarray(c.means), jnp.asarray(c.covariances),
+                    jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+                    jnp.asarray(c.is_entry), jnp.asarray(c.is_exit), pen,
+                    jnp.asarray(padded), jnp.asarray(n_samples),
+                    wos, lowers, uppers, sil, mcfg, self.backend, lm_extras,
+                )
+            _scores, ids, counts = jax.device_get(handles)
+            texts = ids_to_strings(ids, counts, c.labels)
+            for row, i in enumerate(idx):
+                out[i] = texts[row]
+        return out
+
     def predict_batch_with_confidence(
         self, features: Sequence[np.ndarray], skip_silence: bool = True
     ):
@@ -568,6 +623,58 @@ def _decode_batch_words(
     )
     ids, counts = words_from_paths(
         paths, lengths, word_of_state, lowers, uppers, silence_word,
+        max_words=max_words,
+    )
+    return scores, ids, counts
+
+
+@partial(jax.jit, static_argnames=("mcfg", "backend", "max_words"))
+def _decode_signals_words(
+    means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, signals,
+    n_samples, word_of_state, lowers, uppers, silence_word, mcfg,
+    backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
+):
+    """Raw (B, L) audio -> (scores, word ids, counts), one XLA program."""
+    from ..ops.mfcc import mfcc_features
+    from ..ops.words import words_from_paths
+
+    feats, n_frames = jax.vmap(
+        lambda s, n: mfcc_features(s, n, mcfg)
+    )(signals, n_samples)
+    params = make_gaussian_params(means, covs)
+    log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(feats)
+    scores, paths = _run_impl(
+        backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
+        n_frames, lm_extras,
+    )
+    ids, counts = words_from_paths(
+        paths, n_frames, word_of_state, lowers, uppers, silence_word,
+        max_words=max_words,
+    )
+    return scores, ids, counts
+
+
+@partial(jax.jit, static_argnames=("mcfg", "backend", "max_words"))
+def _decode_signals_gmm_words(
+    means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
+    signals, n_samples, word_of_state, lowers, uppers, silence_word, mcfg,
+    backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
+):
+    from ..ops.gaussian import gmm_log_pdf, make_gmm_params
+    from ..ops.mfcc import mfcc_features
+    from ..ops.words import words_from_paths
+
+    feats, n_frames = jax.vmap(
+        lambda s, n: mfcc_features(s, n, mcfg)
+    )(signals, n_samples)
+    params = make_gmm_params(means, covs, weights)
+    log_b = jax.vmap(lambda x: gmm_log_pdf(params, x))(feats)
+    scores, paths = _run_impl(
+        backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
+        n_frames, lm_extras,
+    )
+    ids, counts = words_from_paths(
+        paths, n_frames, word_of_state, lowers, uppers, silence_word,
         max_words=max_words,
     )
     return scores, ids, counts

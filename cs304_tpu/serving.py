@@ -165,11 +165,11 @@ class ServingSessionPool:
         out: Dict[int, List[UtteranceResult]] = {}
         if finished:
             # Offline-parity finals, decoded as one batch.
-            feats = mfcc_batch(
-                [sig for _s, sig, _p in finished], cfg=self._mcfg
-            )
             confs: List[Optional[float]]
             if self._confidences:
+                feats = mfcc_batch(
+                    [sig for _s, sig, _p in finished], cfg=self._mcfg
+                )
                 scored = self._decoder.predict_batch_with_confidence(feats)
                 texts = ["".join(w for w, _s, _e, _c in words)
                          for words in scored]
@@ -178,7 +178,12 @@ class ServingSessionPool:
                     for words in scored
                 ]
             else:
-                texts = self._decoder.predict_batch(feats)
+                # Fused raw-audio decode: MFCC + trellis + word compaction in
+                # one program — no feature round-trip (profiled dominant in
+                # benchmarks/serving_bench.py).
+                texts = self._decoder.predict_signal_batch(
+                    [sig for _s, sig, _p in finished], mcfg=self._mcfg
+                )
                 confs = [None] * len(texts)
             for (session, signal, last_partial), text, conf in zip(
                 finished, texts, confs

@@ -132,6 +132,31 @@ def test_silence_only_session_yields_nothing(trained_system):
     assert partials[s] == []
 
 
+def test_predict_signal_batch_parity(trained_system):
+    """The fused raw-audio decode (one program: MFCC+trellis+words) must
+    equal the two-stage mfcc_batch -> predict_batch path exactly."""
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    decoder = ContinuousDecoder(models, penalty=-100.0)
+    signals = [
+        corpus.sentence_audio("375", 0, jitter_seed=0),
+        corpus.sentence_audio("186Z", 1, jitter_seed=1),
+        corpus.sentence_audio("54321", 0, jitter_seed=2),
+    ]
+    fused = decoder.predict_signal_batch(signals)
+    staged = decoder.predict_batch(mfcc_batch(signals))
+    assert fused == staged
+
+    from cs304_tpu.models.train_continuous_gmm import promote_to_gmm
+
+    gmm_decoder = ContinuousDecoder(
+        promote_to_gmm(models, 2), penalty=-100.0
+    )
+    fused_g = gmm_decoder.predict_signal_batch(signals[:2])
+    staged_g = gmm_decoder.predict_batch(mfcc_batch(signals[:2]))
+    assert fused_g == staged_g
+
+
 def test_confidence_scoring(trained_system):
     corpus = trained_system["corpus"]
     models = trained_system["embedded_models"]
