@@ -190,8 +190,13 @@ class ContinuousDecoder:
         from ..ops.words import ids_to_strings
 
         for key, idx in buckets.items():
-            padded = np.zeros((len(idx), key), np.float32)
-            n_samples = np.zeros(len(idx), np.int32)
+            # Pad the BATCH dimension to a power of two as well: serving
+            # finals arrive in arbitrary group sizes, and every new (B, L)
+            # shape otherwise compiles a fresh program (~1.7 s each through
+            # the remote compiler — profiled dominant in serving_bench).
+            b_pad = max(4, 1 << (len(idx) - 1).bit_length())
+            padded = np.zeros((b_pad, key), np.float32)
+            n_samples = np.full(b_pad, 160, np.int32)  # 1-frame dummies
             for row, i in enumerate(idx):
                 sig = np.asarray(signals[i], np.float32).reshape(-1)
                 padded[row, : len(sig)] = sig

@@ -17,6 +17,7 @@ samples -> features -> partial hypotheses, all online.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List
 
 import numpy as np
@@ -159,14 +160,11 @@ def mel_peak(samples: np.ndarray, cfg: MFCCConfig = MFCCConfig()) -> float:
     offline pipeline's (ops/mfcc.py) — the one shared implementation is the
     point (it had been duplicated in two demo scripts and the serving layer).
     """
-    from .mfcc import mel_filterbank
-
     sig = np.asarray(samples, np.float64)
     n_fft, hop = cfg.n_fft, cfg.hop_length
     padded = np.pad(sig, (n_fft // 2, n_fft // 2))
-    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
-    fb = np.asarray(
-        mel_filterbank(cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    window, fb = _mel_peak_constants(
+        cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
     )
     peak = 1e-10
     for t in range(1 + len(sig) // hop):
@@ -176,3 +174,15 @@ def mel_peak(samples: np.ndarray, cfg: MFCCConfig = MFCCConfig()) -> float:
         p = np.abs(np.fft.rfft(frame * window)) ** 2
         peak = max(peak, float((fb @ p).max()))
     return peak
+
+
+@lru_cache(maxsize=8)
+def _mel_peak_constants(sr: float, n_fft: int, n_mels: int,
+                        fmin: float, fmax: float):
+    """Window + filterbank for mel_peak — cached: serving calls mel_peak per
+    session per chunk and rebuilding the filterbank dominated its cost."""
+    from .mfcc import mel_filterbank
+
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    fb = np.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    return window, fb
