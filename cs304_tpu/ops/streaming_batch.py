@@ -323,8 +323,20 @@ class BatchedStreamingComposite:
             if (skip_silence and "S" in c.labels) else -1
         )
         (t_dev,) = self._put_sharded(self._t)
+        # Slice the ring to a 512-frame bucket over the deepest fill: the
+        # backtrace is a sequential reverse scan over the ring's time axis,
+        # so scanning all max_frames rows for short fills multiplies partial
+        # polling cost (one compile per bucket, then cached).
+        t_bucket = min(
+            self.max_frames,
+            max(512, -(-int(self._t.max(initial=0)) // 512) * 512),
+        )
+        ring = (
+            self._ring if t_bucket == self.max_frames
+            else self._ring[:, :t_bucket]
+        )
         return _finalize_batch(
-            self._alpha, self._ring, t_dev, self._is_exit,
+            self._alpha, ring, t_dev, self._is_exit,
             jnp.asarray(c.word_of_state.astype(np.int32)),
             jnp.asarray(c.lowers.astype(np.int32)),
             jnp.asarray(c.uppers.astype(np.int32)),

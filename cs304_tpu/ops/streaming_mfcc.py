@@ -85,22 +85,27 @@ class StreamingMFCC:
         interior1, el1, er1 = self._d1
         interior2, el2, er2 = self._d2
         n = len(self._mfcc)
-        stack = np.stack(self._mfcc)  # (n, 13)
+
+        # Stack only the <= w frames each window needs: stacking the WHOLE
+        # history here made long utterances quadratic (profiled dominant in
+        # the serving host loop at 1024 sessions).
+        def window_of(lo, hi):
+            return np.stack(self._mfcc[lo:hi])
 
         def delta(ops_interior, edge_left, edge_right, i):
             if i < self._half:
-                window = stack[:w]
+                window = window_of(0, w)
                 if len(window) < w:  # ultra-short utterance: pad by repeat
                     window = np.pad(window, ((0, w - len(window)), (0, 0)), "edge")
                 return edge_left[i] @ window
             if tail and i >= n - self._half:
-                window = stack[max(n - w, 0):]
+                window = window_of(max(n - w, 0), n)
                 if len(window) < w:
                     window = np.pad(window, ((w - len(window), 0), (0, 0)), "edge")
                 return edge_right[i - (n - self._half)] @ window
-            return ops_interior @ stack[i - self._half : i + self._half + 1]
+            return ops_interior @ window_of(i - self._half, i + self._half + 1)
 
-        mfcc = stack[idx]
+        mfcc = self._mfcc[idx]
         mean = mfcc.mean()
         std = mfcc.std()
         norm = (mfcc - mean) / (std + self.cfg.normalize_eps)

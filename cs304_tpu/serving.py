@@ -150,17 +150,38 @@ class ServingSessionPool:
         self, feeds: Dict[int, np.ndarray]
     ) -> Dict[int, List[UtteranceResult]]:
         """Feed raw sample chunks; returns utterances finished this call."""
-        finished: List[tuple] = []  # (session, signal, last_partial)
+        # pending: (session, signal, slot-or-None) per endpoint this call.
+        pending: List[tuple] = []
         stream_feeds: Dict[int, np.ndarray] = {}
         for session, samples in feeds.items():
             self._feed_session(
                 session, np.asarray(samples, np.float32).reshape(-1),
-                stream_feeds, finished,
+                stream_feeds, pending,
             )
+        # ONE round set advances every talking session's online decode —
+        # endpoint flushes included (slots released only below, so a
+        # successor utterance in the same call cannot collide). Batching
+        # these was measured essential: per-endpoint step+finalize paid a
+        # full-pool upload and a ~90 ms readback sync EACH (the dominant
+        # cost of the partials path at 1024 sessions).
         if self._pool is not None and stream_feeds:
-            # ONE dispatch advances every talking session's online decode.
             for block in _chunk_rounds(stream_feeds, self._pool.chunk_size):
                 self._pool.step(block)
+        last_partials: Dict[int, str] = {}
+        endpointed = [slot for _s, _sig, slot in pending if slot is not None]
+        if self._pool is not None and endpointed:
+            results = self._pool.finalize(endpointed)
+            for slot in endpointed:
+                # The utterance is complete, so terminate like the offline
+                # decoder (best word-exit) — any-state partial termination
+                # would hallucinate a word onset from residual frames.
+                last_partials[slot] = results[slot][1]
+                self._pool.release(slot)
+        finished = [
+            (session, signal, last_partials.get(slot, ""))
+            for session, signal, slot in pending
+            if len(signal)
+        ]
 
         out: Dict[int, List[UtteranceResult]] = {}
         if finished:
@@ -225,13 +246,15 @@ class ServingSessionPool:
 
     # -- internals --------------------------------------------------------------
     def _feed_session(self, session: int, samples: np.ndarray,
-                      stream_feeds: dict, finished: list) -> None:
+                      stream_feeds: dict, pending: list) -> None:
         """Frame-accurate endpointing: samples buffer to exact 320-sample
         frames (the sub-frame remainder carries across feed() calls AND
         across utterances), and frames are run one at a time so audio after
         an endpoint flows into the NEXT utterance instead of being lost
         (review finding: Segmentation.routine drains its whole queue and
-        drops the remainder when it raises mid-chunk)."""
+        drops the remainder when it raises mid-chunk). Endpoints append
+        (session, signal, slot) to `pending`; feed() finalizes/releases the
+        slots in one batch."""
         state = self._check(session)
         fs = state["seg"].frame_size
         buf = (
@@ -247,40 +270,23 @@ class ServingSessionPool:
             i += 1
             try:
                 seg.routine()
-                self._advance_stream(state, stream_feeds)
+                if i == n_full:
+                    # Stream once per feed() call, not per frame: the
+                    # per-frame variant made the host loop quadratic at
+                    # scale (every call re-ran the holdback/calibration
+                    # bookkeeping and the causal front-end's edge logic).
+                    self._advance_stream(state, stream_feeds)
             except SegmentationDone:
-                # Flush the utterance's tail frames into the pool NOW so the
-                # recorded last_partial reflects the whole utterance. Frames
-                # already queued for this slot in the step-wide batch belong
-                # to THIS utterance — pull them into the local flush (the
-                # slot is released below; a successor utterance may reuse it).
-                local: Dict[int, np.ndarray] = {}
-                slot = state["slot"]
-                pending = (
-                    stream_feeds.pop(slot, None) if slot is not None else None
+                # Flush the utterance's tail frames into the step-wide batch
+                # so the final streaming hypothesis covers the whole
+                # utterance. The flush may extend frames already queued for
+                # this slot; the slot itself is finalized+released by feed()
+                # AFTER the batched rounds run, and a successor utterance
+                # cannot collide with it because release is deferred.
+                self._advance_stream(state, stream_feeds, flush=True)
+                pending.append(
+                    (session, seg.result_signal(), state["slot"])
                 )
-                self._advance_stream(state, local, flush=True)
-                if pending is not None:
-                    local[slot] = (
-                        np.concatenate([pending, local[slot]])
-                        if slot in local else pending
-                    )
-                last_partial = ""
-                if self._pool is not None and state["slot"] is not None:
-                    for block in _chunk_rounds(local, self._pool.chunk_size):
-                        self._pool.step(block)
-                    # The utterance is complete here, so terminate the
-                    # stream like the offline decoder (best word-exit) —
-                    # any-state partial termination hallucinates a word
-                    # onset from the trailing silence frames.
-                    last_partial = self._pool.finalize(
-                        [state["slot"]]
-                    )[state["slot"]][1]
-                    self._pool.release(state["slot"])
-                    state["slot"] = None
-                signal = seg.result_signal()
-                if len(signal):
-                    finished.append((session, signal, last_partial))
                 tail = state["tail"]
                 state = self._fresh_state()
                 state["tail"] = tail
