@@ -45,11 +45,10 @@ class UtteranceResult:
     text: str  # offline-parity decode of the endpointed utterance
     num_samples: int  # endpointed utterance length (trailing silence trimmed)
     # The streaming hypothesis at the endpoint ("" with partials off).
-    # Approximate by construction: the causal front-end's dB reference comes
-    # from the first ~0.2 s of speech, which distorts the LOW-energy trailing
-    # silence frames most — a spurious trailing word there is the common
-    # artifact. `text` is the contract; last_partial shows what the live
-    # hypothesis said.
+    # Approximate by construction (causal dB reference vs the offline
+    # utterance-global one) — the stream holds back the endpointer's
+    # trailing-trim window and terminates best-exit at the endpoint, which
+    # in practice makes it match `text`; `text` remains the contract.
     last_partial: str
     confidence: Optional[float] = None  # min per-word posterior (if enabled)
 

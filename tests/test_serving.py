@@ -176,6 +176,26 @@ def test_confidence_scoring(trained_system):
     assert results2[s2][0].confidence is None
 
 
+def test_gmm_checkpoint_sessions(trained_system):
+    """GMM model dicts serve end-to-end (lifted emissions in both the
+    streaming pool and the fused finals path)."""
+    from cs304_tpu.models.train_continuous_gmm import promote_to_gmm
+
+    corpus = trained_system["corpus"]
+    # jitter=0: both mixtures identical, so the GMM densities equal the K=1
+    # model's exactly — this tests the GMM serving PLUMBING (lifted
+    # emissions in the pool and the fused finals) without the model-quality
+    # noise of an unrefined mixture split (which measurably degrades decode
+    # until GMMContinuousTrainer re-estimates it).
+    models = promote_to_gmm(trained_system["embedded_models"], 2, jitter=0.0)
+    pool = ServingSessionPool(models, num_slots=2)
+    s = pool.open()
+    audio = _session_audio(corpus, ["375"], speaker=0)
+    results, partials = _drain(pool, {s: audio})
+    assert [r.text for r in results[s]] == ["375"]
+    assert partials[s]
+
+
 def test_partials_disabled_mode(trained_system):
     corpus = trained_system["corpus"]
     models = trained_system["embedded_models"]
