@@ -80,7 +80,6 @@ def run(num_sessions: int, seconds: float, partials: bool,
     )
     sessions = {i: pool.open() for i in range(num_sessions)}
     chunk = int(0.1 * sr)
-    cursors = {i: 0 for i in range(num_sessions)}
 
     # Warmup: drive one COMPLETE utterance through a scratch session so the
     # streaming step, finalize, and the finals decode program all compile
@@ -97,7 +96,6 @@ def run(num_sessions: int, seconds: float, partials: bool,
     pool.close(scratch)
 
     def window():
-        nonlocal sessions
         count = 0
         cursors = {i: 0 for i in range(num_sessions)}
         t0 = time.perf_counter()

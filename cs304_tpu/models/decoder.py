@@ -220,7 +220,19 @@ class ContinuousDecoder:
                     wos, lowers, uppers, sil, mcfg, self.backend, lm_extras,
                 )
             _scores, ids, counts = jax.device_get(handles)
-            texts = ids_to_strings(ids, counts, c.labels)
+            try:
+                texts = ids_to_strings(ids, counts, c.labels)[: len(idx)]
+            except ValueError:
+                # A transcript exceeded the device word buffer (>64 words):
+                # fall back to the staged path, whose own fallback walks the
+                # full path on the host — never silently truncates (same
+                # contract as predict_batch._consume).
+                from ..ops.mfcc import mfcc_batch
+
+                texts = self.predict_batch(
+                    mfcc_batch([signals[i] for i in idx], cfg=mcfg),
+                    skip_silence,
+                )
             for row, i in enumerate(idx):
                 out[i] = texts[row]
         return out
@@ -640,12 +652,10 @@ def _decode_signals_words(
     backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
 ):
     """Raw (B, L) audio -> (scores, word ids, counts), one XLA program."""
-    from ..ops.mfcc import mfcc_features
+    from ..ops.mfcc import mfcc_features_batch
     from ..ops.words import words_from_paths
 
-    feats, n_frames = jax.vmap(
-        lambda s, n: mfcc_features(s, n, mcfg)
-    )(signals, n_samples)
+    feats, n_frames = mfcc_features_batch(signals, n_samples, mcfg)
     params = make_gaussian_params(means, covs)
     log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(feats)
     scores, paths = _run_impl(
@@ -666,12 +676,10 @@ def _decode_signals_gmm_words(
     backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
 ):
     from ..ops.gaussian import gmm_log_pdf, make_gmm_params
-    from ..ops.mfcc import mfcc_features
+    from ..ops.mfcc import mfcc_features_batch
     from ..ops.words import words_from_paths
 
-    feats, n_frames = jax.vmap(
-        lambda s, n: mfcc_features(s, n, mcfg)
-    )(signals, n_samples)
+    feats, n_frames = mfcc_features_batch(signals, n_samples, mcfg)
     params = make_gmm_params(means, covs, weights)
     log_b = jax.vmap(lambda x: gmm_log_pdf(params, x))(feats)
     scores, paths = _run_impl(

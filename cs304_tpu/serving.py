@@ -344,11 +344,23 @@ class ServingSessionPool:
                 # the feedable prefix).
                 state["buffer"] = [pending] if len(pending) else []
                 return
+            try:
+                state["slot"] = self._pool.start()
+            except RuntimeError:
+                # Pool momentarily exhausted — e.g. a session endpointed AND
+                # its successor utterance calibrated within one feed() call
+                # while every slot was claimed (endpoint releases are
+                # deferred past the batched rounds). Keep the speech
+                # buffered; the stream starts on a later call once slots
+                # free up. Finals are unaffected.
+                logger.info("streaming pool full; partials for this "
+                            "utterance start when a slot frees")
+                state["buffer"] = [pending] if len(pending) else []
+                return
             state["ref"] = mel_peak(samples, self._mcfg)
             state["mfcc"] = StreamingMFCC(
                 cfg=self._mcfg, ref_power=state["ref"]
             )
-            state["slot"] = self._pool.start()
             state["speech"] = [samples]
             frames = state["mfcc"].feed(samples)
         elif len(samples):

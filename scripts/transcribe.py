@@ -55,6 +55,20 @@ def main() -> None:
     if not paths:
         raise SystemExit("error: no input — pass --wav and/or --wav-dir")
 
+    constraint_flags = (args.known_count is not None) + bool(
+        args.grammar_strings
+    )
+    if constraint_flags > 1:
+        raise SystemExit(
+            "error: --known-count and --grammar-strings are mutually "
+            "exclusive"
+        )
+    if constraint_flags and (args.confidence or args.timings):
+        raise SystemExit(
+            "error: --confidence/--timings decode the unconstrained trellis "
+            "and would silently drop --known-count/--grammar-strings — "
+            "pick one mode"
+        )
     decoder = ContinuousDecoder(
         load_models(cfg.checkpoint_dir), penalty=cfg.decode.word_penalty
     )
@@ -70,18 +84,20 @@ def main() -> None:
     from cs304_tpu.audio.wav import read_wav
 
     rows = []
-    hop_s = mcfg.hop_length / mcfg.sample_rate
     for start in range(0, len(paths), args.batch_size):
         chunk = paths[start : start + args.batch_size]
-        feats = []
+        feats, hops_s = [], []
         for p in chunk:
             rate, signal = read_wav(p)
             feats.append(
                 mfcc_batch([signal], cfg=replace(mcfg, sample_rate=float(rate)))[0]
             )
+            # Frame hop in seconds at THIS file's rate (a fixed 16 kHz hop_s
+            # halved every timing on 8 kHz files).
+            hops_s.append(mcfg.hop_length / float(rate))
         if args.confidence or args.timings:
             scored = decoder.predict_batch_with_confidence(feats)
-            for p, words in zip(chunk, scored):
+            for p, words, hop_s in zip(chunk, scored, hops_s):
                 text = "".join(w for w, _s, _e, _c in words)
                 conf = min((c for _w, _s, _e, c in words), default=0.0)
                 timing = ";".join(
