@@ -123,6 +123,24 @@ def test_single_feed_spanning_two_utterances(trained_system):
     assert texts == ["375", "12"]
 
 
+def test_pool_exhaustion_degrades_gracefully(trained_system):
+    """With ONE slot, a feed spanning two utterances momentarily exhausts
+    the pool (endpoint release is deferred past the batched rounds): the
+    successor's partials start late instead of feed() crashing, and finals
+    stay correct."""
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    pool = ServingSessionPool(models, num_slots=1)
+    s = pool.open()
+    audio = _session_audio(corpus, ["375", "12"], speaker=0)
+    texts = []
+    done = pool.feed({s: audio})  # everything in one call
+    texts += [r.text for r in done.get(s, [])]
+    done = pool.feed({s: _silence(0.5)})  # flush any pending endpoint
+    texts += [r.text for r in done.get(s, [])]
+    assert texts == ["375", "12"]
+
+
 def test_silence_only_session_yields_nothing(trained_system):
     models = trained_system["embedded_models"]
     pool = ServingSessionPool(models, num_slots=2)
