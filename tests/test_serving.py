@@ -214,6 +214,29 @@ def test_gmm_checkpoint_sessions(trained_system):
     assert partials[s]
 
 
+def test_mesh_sharded_sessions_match_single(trained_system):
+    """ServingSessionPool with the streaming pool sharded over the 8-device
+    virtual mesh produces identical finals and partials to the unsharded
+    pool — the multi-chip serving story end-to-end."""
+    import jax
+    from jax.sharding import Mesh
+
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    audio = _session_audio(corpus, ["375", "12"], speaker=0)
+
+    def run(mesh_arg):
+        pool = ServingSessionPool(models, num_slots=8, mesh=mesh_arg)
+        s = pool.open()
+        results, partials = _drain(pool, {s: audio})
+        return [r.text for r in results[s]], partials[s]
+
+    sharded, single = run(mesh), run(None)
+    assert sharded[0] == single[0] == ["375", "12"]
+    assert sharded[1] == single[1]
+
+
 def test_partials_disabled_mode(trained_system):
     corpus = trained_system["corpus"]
     models = trained_system["embedded_models"]
