@@ -102,14 +102,14 @@ def main() -> None:
     scores, paths = decode(sj, nj)
     np.asarray(scores), np.asarray(paths)
 
-    # Best of 3 windows of 10 reps. The clock stops only after the last
+    # Best of 3 windows of 20 reps. The clock stops only after the last
     # window's outputs are materialized on the HOST (np.asarray): through the
     # axon tunnel, block_until_ready alone can return before remote execution
     # of unread buffers actually completes, inflating throughput ~1.4x.
     # Methodology audit (round 2): a chained variant with a data dependence
     # between reps (each rep's score feeds the next input, so no rep can be
     # elided or overlapped past the timer) measures within 0.3% of this
-    # window — the 10 programs execute serially and the final materialization
+    # window — the 20 programs execute serially and the final materialization
     # covers them all.
     reps = 20
     best_dt = float("inf")

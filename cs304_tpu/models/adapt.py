@@ -193,6 +193,7 @@ def self_adapt(
     tau: float = 1.0,
     penalty: float = -100.0,
     min_confidence: float = 0.7,
+    adapt_silence: bool = True,
 ) -> Tuple[Dict[str, WordHMM], int]:
     """Unsupervised MAP adaptation: no transcripts needed.
 
@@ -234,7 +235,9 @@ def self_adapt(
             kept += 1
     if not labeled:
         return models, 0
-    return map_adapt(models, labeled, tau=tau), kept
+    return map_adapt(
+        models, labeled, tau=tau, adapt_silence=adapt_silence
+    ), kept
 
 
 def _enrollment_stats(

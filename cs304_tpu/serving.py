@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -137,6 +137,9 @@ class ServingSessionPool:
             "speech": [],  # all streamed speech samples (for ref replays)
             "ref": None,  # current causal dB reference (mel power)
             "tail": np.zeros(0, np.float32),  # sub-frame sample remainder
+            # Streaming abandoned for this utterance (ring overflow) —
+            # finals are unaffected; resets with the next utterance.
+            "overflow": False,
         }
 
     def _check(self, session: int) -> dict:
@@ -313,6 +316,11 @@ class ServingSessionPool:
         seg = state["seg"]
         new = seg._results[state["consumed"]:]
         state["consumed"] = len(seg._results)
+        if state["overflow"]:
+            # Ring overflowed earlier in this utterance: streaming is off
+            # until the endpoint (fresh state resets the flag). New frames
+            # are consumed and dropped so buffers stay bounded.
+            return
         if new:
             state["buffer"].append(
                 np.concatenate([np.asarray(f).reshape(-1) for f in new])
@@ -388,6 +396,29 @@ class ServingSessionPool:
                 )
         if len(frames):
             slot = state["slot"]
+            # Ring-capacity guard (advisor finding): one utterance with
+            # continuous speech past max_frames must not ValueError out of
+            # pool.step() and abort the whole feed() call. On overflow the
+            # slot is released and this utterance continues finals-only,
+            # mirroring the pool-exhaustion path.
+            queued = len(stream_feeds.get(slot, ()))
+            if (
+                self._pool.fill().get(slot, 0) + queued + len(frames)
+                > self._pool.max_frames
+            ):
+                logger.info(
+                    "streaming ring full (slot %s, max_frames=%d): partials "
+                    "stop for this utterance; finals unaffected",
+                    slot, self._pool.max_frames,
+                )
+                stream_feeds.pop(slot, None)
+                self._pool.release(slot)
+                state["slot"] = None
+                state["mfcc"] = None
+                state["buffer"] = []
+                state["speech"] = []
+                state["overflow"] = True
+                return
             stream_feeds[slot] = (
                 np.concatenate([stream_feeds[slot], frames])
                 if slot in stream_feeds else frames

@@ -75,6 +75,7 @@ def main() -> None:
             tau=1.0 if args.tau is None else args.tau,
             penalty=cfg.decode.word_penalty,
             min_confidence=args.min_confidence,
+            adapt_silence=not args.no_adapt_silence,
         )
         if kept == 0:
             raise SystemExit(

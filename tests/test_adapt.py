@@ -167,6 +167,12 @@ def test_self_adapt_mild_mismatch(trained_system):
     same, kept = self_adapt(models, unlabeled_raw, min_confidence=1.01)
     assert kept == 0 and same is models
 
+    # adapt_silence=False pins silence to the prior in unsupervised mode
+    # too (advisor finding: the flag used to be silently dropped).
+    frozen, kept = self_adapt(models, unlabeled_raw, adapt_silence=False)
+    assert kept >= 1
+    np.testing.assert_array_equal(frozen["S"].means, models["S"].means)
+
 
 def test_gmm_adaptation_k1_equals_gaussian(trained_system):
     """The GMM path with K=1 must reproduce the single-Gaussian MAP update

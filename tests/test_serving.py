@@ -141,6 +141,24 @@ def test_pool_exhaustion_degrades_gracefully(trained_system):
     assert texts == ["375", "12"]
 
 
+def test_ring_overflow_degrades_gracefully(trained_system):
+    """An utterance whose speech outruns the streaming ring (max_frames)
+    must NOT abort feed() for every session (advisor finding: pool.step()
+    raised ValueError out of feed()). The overflowing utterance goes
+    finals-only; streaming resumes with the next utterance."""
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    # 48 frames = 0.48 s of speech: every corpus sentence overflows this.
+    pool = ServingSessionPool(models, num_slots=2, max_frames=48)
+    s = pool.open()
+    audio = _session_audio(corpus, ["375", "12"], speaker=0)
+    results, _partials = _drain(pool, {s: audio})
+    texts = [r.text for r in results[s]]
+    done = pool.feed({s: _silence(0.5)})  # flush any pending endpoint
+    texts += [r.text for r in done.get(s, [])]
+    assert texts == ["375", "12"]
+
+
 def test_silence_only_session_yields_nothing(trained_system):
     models = trained_system["embedded_models"]
     pool = ServingSessionPool(models, num_slots=2)
