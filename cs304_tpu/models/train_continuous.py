@@ -104,8 +104,9 @@ class ContinuousTrainConfig:
     # (parity-tested); statistics accumulate in f32 HIGHEST-precision einsums
     # on-device instead of float64 on the host. Covers update="viterbi" AND
     # "baum_welch", single-device and mesh-sharded (the statistics psum over
-    # the data axis); fused=False falls back to the legacy per-transcript
-    # dispatch path.
+    # the data axis). fused=False runs the legacy per-transcript oracle — an
+    # independent implementation kept for parity tests and benchmarks;
+    # single-host only (mesh + fused=False is rejected at construction).
     fused: bool = True
     # Emission layout inside the fused programs. "whiten" (default):
     # HIGHEST-precision whitening matmul, f32-exact, legacy-parity. "quad":
@@ -330,13 +331,24 @@ class ContinuousTrainer:
         cfg: ContinuousTrainConfig = ContinuousTrainConfig(),
         mesh=None,
     ) -> None:
-        """mesh: optional jax.sharding.Mesh — when given, each transcript's
-        alignment batch is sharded over the mesh's data axis and the
-        sufficient statistics are psum'd (parallel.data_parallel.dp_embedded_stats),
+        """mesh: optional jax.sharding.Mesh — when given, the fused training
+        program shards each length-bucket's batch over the mesh's data axis
+        and psums the sufficient statistics inside the compiled step,
         replacing the reference's per-transcript ProcessPool
-        (hidden_markov_model.py:746-750)."""
+        (hidden_markov_model.py:746-750). Requires cfg.fused (the default);
+        the legacy fused=False oracle is single-host."""
         from .stacking import stack_models  # deferred: stacking imports us
 
+        if cfg.update not in ("viterbi", "baum_welch"):
+            raise ValueError(
+                f"update={cfg.update!r} is not one of 'viterbi'/'baum_welch'"
+            )
+        if mesh is not None and not cfg.fused:
+            raise ValueError(
+                "fused=False is the single-host parity oracle (kept as an "
+                "independent implementation for tests/benchmarks); mesh "
+                "training requires fused=True (the default)"
+            )
         self.cfg = cfg
         self.mesh = mesh
         self._iterations_done = 0
@@ -382,9 +394,7 @@ class ContinuousTrainer:
         `resume(checkpoint_dir)` — surviving interrupts mid-run instead of
         only at the reference's KeyboardInterrupt save point
         (scripts/project6_train.py:38-41 there)."""
-        use_fused = self.cfg.fused and self.cfg.update in (
-            "viterbi", "baum_welch"
-        )
+        use_fused = self.cfg.fused
         if use_fused:
             from .train_fused import prepare_fused_corpus
 
@@ -749,33 +759,13 @@ class ContinuousTrainer:
             )
         return batches
 
-    def _run_stats_pass(self, topo, means_sent, covs_sent, log_a_sent, item, l, s):
-        if self.mesh is not None:
-            from ..parallel.data_parallel import dp_embedded_stats
-
-            return dp_embedded_stats(
-                jnp.asarray(means_sent), jnp.asarray(covs_sent),
-                jnp.asarray(log_a_sent),
-                jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
-                jnp.asarray(topo.pos_of_state),
-                item["batch"], item["lengths"], self.mesh, l, s,
-            )
-        return _stats_pass(
-            jnp.asarray(means_sent), jnp.asarray(covs_sent),
-            jnp.asarray(log_a_sent),
-            jnp.asarray(topo.lab_of_state), jnp.asarray(topo.loc_of_state),
-            jnp.asarray(topo.pos_of_state),
-            item["batch"], item["lengths"], l, s,
-        )
-
     def _iteration(self, batches) -> bool:
+        """Legacy per-transcript iteration — retained ONLY as the
+        independently-implemented parity oracle for the fused programs
+        (float64 host-side statistics, one dispatch pair per transcript).
+        Single-host by construction; __init__ rejects mesh + fused=False."""
         l, s, d = self.means_g.shape[0], self.s_max, self.dim
         baum_welch = self.cfg.update == "baum_welch"
-        if baum_welch and self.mesh is not None:
-            raise NotImplementedError(
-                "update='baum_welch' is single-host for now; shard with "
-                "update='viterbi' or drop the mesh"
-            )
         counts = np.zeros((l, s), np.float64)
         sums = np.zeros((l, s, d), np.float64)
         trans = np.zeros((l, s, s), np.float64)
@@ -796,8 +786,13 @@ class ContinuousTrainer:
                 )
                 weights_per_batch.append(gamma_f)
             else:
-                c, sm, tr, paths = self._run_stats_pass(
-                    topo, means_sent, covs_sent, log_a_sent, item, l, s
+                c, sm, tr, paths = _stats_pass(
+                    jnp.asarray(means_sent), jnp.asarray(covs_sent),
+                    jnp.asarray(log_a_sent),
+                    jnp.asarray(topo.lab_of_state),
+                    jnp.asarray(topo.loc_of_state),
+                    jnp.asarray(topo.pos_of_state),
+                    item["batch"], item["lengths"], l, s,
                 )
                 weights_per_batch.append(paths)
             counts += np.asarray(c, np.float64)

@@ -12,12 +12,14 @@ coefficients *per frame* (axis=0 of the (13, T) array), despite its docstring
 claiming per-coefficient-over-time; we replicate that exactly for parity
 (SURVEY.md §7 "known defects").
 
-Everything here is a static linear operator: framing is a reshape (hop is
-exactly n_fft/2), the 320-point real DFT is two (320, 161) matmuls, the mel
-filterbank and DCT are matmuls, and the Savitzky-Golay deltas are a small
-convolution plus two static edge matrices. All of it maps onto the MXU and
-fuses under jit; the whole corpus runs as one vmapped batch instead of the
-reference's per-clip Python loop (mfcc.py:71-84).
+Everything here is a static linear operator: framing decomposes into
+gcd-sized signal blocks (a plain reshape at the flagship hop == n_fft/2; see
+_power_spectrogram for the general strided-block form covering e.g. the
+standard 25 ms/10 ms config), the real DFT is windowed (block, bins) matmuls,
+the mel filterbank and DCT are matmuls, and the Savitzky-Golay deltas are a
+small convolution plus two static edge matrices. All of it maps onto the MXU
+and fuses under jit; the whole corpus runs as one vmapped batch instead of
+the reference's per-clip Python loop (mfcc.py:71-84).
 
 Padded-batch correctness: per-utterance reductions (the db reference max, the
 top_db clamp, the 'interp' right edge of the deltas) are masked/dynamically
@@ -203,41 +205,102 @@ def _precision(cfg: MFCCConfig):
     )
 
 
+def _framing_blocks(cfg: MFCCConfig) -> int:
+    """Block size g for matmul framing: the largest unit that tiles both the
+    hop grid and the center pad, so frame t = g-blocks [t*hop/g, ... +n_fft/g).
+    g == hop iff hop*2 == n_fft (the flagship reshape path)."""
+    import math
+
+    return math.gcd(math.gcd(cfg.n_fft, cfg.hop_length), cfg.n_fft // 2)
+
+
+def _gather_frames(signal: jax.Array, cfg: MFCCConfig, t_frames: int):
+    """General centered framing: (L,) -> (t_frames, n_fft), zero pad_mode.
+
+    Gather-based fallback for configs whose (n_fft, hop) share no useful
+    block structure (e.g. odd sizes); the block paths below never call this
+    for the flagship or the standard 25 ms/10 ms configs."""
+    pad = cfg.n_fft // 2
+    padded = jnp.pad(signal, (pad, cfg.n_fft))
+    idx = (
+        cfg.hop_length * np.arange(t_frames)[:, None]
+        + np.arange(cfg.n_fft)[None, :]
+    )
+    return padded[idx]
+
+
 def _power_spectrogram(signal: jax.Array, cfg: MFCCConfig, dft_cos, dft_sin):
     """(L,) -> (T, n_bins) power spectrogram, centered, zero pad_mode.
 
-    hop == n_fft/2, so framing is a reshape: frame t = blocks[t] ++ blocks[t+1]
-    of the center-padded signal split into hop-sized blocks.
+    Framing never materializes (T, n_fft) windows on the fast paths: the
+    center-padded signal is split into g-sample blocks (g = gcd of n_fft,
+    hop, and the n_fft//2 center pad), frame t is blocks
+    [t*(hop/g) .. t*(hop/g) + n_fft/g), and each block position hits its own
+    (g, bins) slice of the DFT matrix — so the DFT is n_fft/g strided-slice
+    matmuls summed, paying each input sample once per covering frame. With
+    the flagship hop == n_fft/2 this degenerates to the 2-block reshape
+    trick; the standard 25 ms/10 ms config (n_fft=400, hop=160) gets g=40.
     """
     hop = cfg.hop_length
     length = signal.shape[0]
     t_frames = 1 + length // hop
-    # Center pad by n_fft//2 (== hop), then round up to a whole block.
-    pad_tail = hop + (-(length + 2 * hop) % hop) + hop
-    padded = jnp.pad(signal, (hop, pad_tail))
-    blocks = padded.reshape(-1, hop)
+    g = _framing_blocks(cfg)
+    prec = _precision(cfg)
     if cfg.spectrogram == "fft":
-        frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)[:t_frames]
         hann, *_ = _cached_constants(cfg)
+        if hop * 2 == cfg.n_fft:
+            pad_tail = hop + (-(length + 2 * hop) % hop) + hop
+            padded = jnp.pad(signal, (hop, pad_tail))
+            blocks = padded.reshape(-1, hop)
+            frames = jnp.concatenate(
+                [blocks[:-1], blocks[1:]], axis=1
+            )[:t_frames]
+        else:
+            frames = _gather_frames(signal, cfg, t_frames)
         spec = jnp.fft.rfft(frames * hann[None, :], axis=-1)
         return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     # "matmul": explicit DFT at cfg.precision (HIGHEST = f32-exact default;
     # MXU bf16 rounding at lower settings costs bit-comparability).
-    # hop == n_fft/2 means frame t = blocks[t] ++ blocks[t+1], so each block
-    # hits each half of the DFT matrix exactly once: computing per-block
-    # partial spectra and summing adjacent rows halves the matmul FLOPs vs
-    # the naive (T, n_fft) x (n_fft, bins) product. Summation order differs
-    # from the single-dot form only in the final f32 add of two exact halves
-    # (<1e-6 relative), within every parity tolerance in the suite.
-    prec = _precision(cfg)
-    n_blocks_used = t_frames + 1  # frame t needs blocks t and t+1
-    blk = blocks[:n_blocks_used]
-    re_lo = jnp.dot(blk, dft_cos[:hop], precision=prec)
-    re_hi = jnp.dot(blk, dft_cos[hop:], precision=prec)
-    im_lo = jnp.dot(blk, dft_sin[:hop], precision=prec)
-    im_hi = jnp.dot(blk, dft_sin[hop:], precision=prec)
-    re = re_lo[:-1] + re_hi[1:]
-    im = im_lo[:-1] + im_hi[1:]
+    if hop * 2 == cfg.n_fft:
+        # Flagship path: frame t = blocks[t] ++ blocks[t+1], each block hits
+        # each half of the DFT matrix exactly once — half the matmul FLOPs of
+        # the naive (T, n_fft) x (n_fft, bins) product. Summation order
+        # differs from the single-dot form only in the final f32 add of two
+        # exact halves (<1e-6 relative), within every parity tolerance.
+        pad_tail = hop + (-(length + 2 * hop) % hop) + hop
+        padded = jnp.pad(signal, (hop, pad_tail))
+        blocks = padded.reshape(-1, hop)
+        n_blocks_used = t_frames + 1  # frame t needs blocks t and t+1
+        blk = blocks[:n_blocks_used]
+        re_lo = jnp.dot(blk, dft_cos[:hop], precision=prec)
+        re_hi = jnp.dot(blk, dft_cos[hop:], precision=prec)
+        im_lo = jnp.dot(blk, dft_sin[:hop], precision=prec)
+        im_hi = jnp.dot(blk, dft_sin[hop:], precision=prec)
+        re = re_lo[:-1] + re_hi[1:]
+        im = im_lo[:-1] + im_hi[1:]
+        return re * re + im * im
+    if g >= 16:
+        # General block path: parts = n_fft/g strided-slice matmuls.
+        stride = hop // g
+        parts = cfg.n_fft // g
+        pad_left = cfg.n_fft // 2  # a multiple of g by construction
+        n_blocks = (t_frames - 1) * stride + parts
+        pad_right = max(0, n_blocks * g - pad_left - length)
+        padded = jnp.pad(signal, (pad_left, pad_right))[: n_blocks * g]
+        blocks = padded.reshape(n_blocks, g)
+        re = im = 0.0
+        for b in range(parts):
+            part = blocks[b : b + (t_frames - 1) * stride + 1 : stride]
+            re = re + jnp.dot(
+                part, dft_cos[b * g : (b + 1) * g], precision=prec
+            )
+            im = im + jnp.dot(
+                part, dft_sin[b * g : (b + 1) * g], precision=prec
+            )
+        return re * re + im * im
+    frames = _gather_frames(signal, cfg, t_frames)
+    re = jnp.dot(frames, dft_cos, precision=prec)
+    im = jnp.dot(frames, dft_sin, precision=prec)
     return re * re + im * im
 
 

@@ -23,6 +23,28 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Integration tier: modules that shell out to the CLI scripts (each subprocess
+# re-imports jax and re-compiles) or train real systems inline. Everything
+# else — kernel/oracle/parity coverage — is the fast default tier.
+_SLOW_MODULES = {
+    "test_cli_chain",
+    "test_cli_rich_decode",
+    "test_scripts_smoke",
+    "test_tidigits_tree",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-tier: anything using the session-scoped trained_system fixture or
+    living in a subprocess-CLI module is `slow`. Default runs stay fast with
+    `pytest -m "not slow"`; the full suite is unchanged."""
+    for item in items:
+        if (
+            "trained_system" in getattr(item, "fixturenames", ())
+            or item.module.__name__ in _SLOW_MODULES
+        ):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -100,3 +100,79 @@ def test_spectrogram_backends_agree(rng):
         np.asarray(fft_feats)[: int(t1)], np.asarray(mm_feats)[: int(t2)],
         rtol=2e-3, atol=2e-3,
     )
+
+
+# -- general framing (VERDICT r2 #7): hop need not be n_fft/2 ----------------
+
+def oracle_features(signal, cfg):
+    """reference_mfcc_features generalized over (n_fft, hop, n_mels, ...)."""
+    from reference_mfcc import power_to_db, stft_power
+
+    power = stft_power(np.asarray(signal, np.float64), cfg.n_fft,
+                       cfg.hop_length)
+    melspec = mel_fb(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin,
+                     cfg.fmax) @ power
+    log_mel = power_to_db(melspec)
+    mfccs = scipy.fft.dct(log_mel, axis=-2, type=2, norm="ortho")[: cfg.n_mfcc]
+    d1 = scipy.signal.savgol_filter(mfccs, cfg.delta_width, polyorder=1,
+                                    deriv=1, axis=-1, mode="interp")
+    d2 = scipy.signal.savgol_filter(mfccs, cfg.delta_width, polyorder=2,
+                                    deriv=2, axis=-1, mode="interp")
+    norm = (mfccs - mfccs.mean(axis=0)) / (mfccs.std(axis=0) + 1e-8)
+    return np.concatenate([norm, d1, d2], axis=0).T
+
+
+def test_standard_25ms_10ms_config(rng):
+    """The industry-standard 25 ms / 10 ms framing (n_fft=400, hop=160) must
+    work and match the oracle — it used to die in an opaque reshape error
+    (hop*2 != n_fft takes the general strided-block DFT path, g=40)."""
+    cfg = MFCCConfig(n_fft=400, hop_length=160)
+    for n in (4000, 7031):
+        sig = make_signal(rng, n)
+        want = oracle_features(sig, cfg)
+        got, t_valid = mfcc_features(jnp.asarray(sig), cfg=cfg)
+        got = np.asarray(got)[: int(t_valid)]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_gather_framing_fallback(rng):
+    """(n_fft, hop) with no useful block structure (g=5 < 16) exercises the
+    gather-framing fallback; still oracle-exact."""
+    cfg = MFCCConfig(n_fft=250, hop_length=110)
+    sig = make_signal(rng, 6000)
+    want = oracle_features(sig, cfg)
+    got, t_valid = mfcc_features(jnp.asarray(sig), cfg=cfg)
+    got = np.asarray(got)[: int(t_valid)]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_general_framing_fft_backend(rng):
+    """The fft backend frames by gather when hop*2 != n_fft; both backends
+    agree with each other and the oracle at 25 ms/10 ms."""
+    cfg = MFCCConfig(n_fft=400, hop_length=160, spectrogram="fft")
+    sig = make_signal(rng, 5000)
+    want = oracle_features(sig, cfg)
+    got, t_valid = mfcc_features(jnp.asarray(sig), cfg=cfg)
+    got = np.asarray(got)[: int(t_valid)]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_general_framing_padding_invariance(rng):
+    """Padded-batch masking holds on the general framing path too."""
+    cfg = MFCCConfig(n_fft=400, hop_length=160)
+    sig = make_signal(rng, 5000)
+    bare, t_bare = mfcc_features(jnp.asarray(sig), cfg=cfg)
+    padded = np.concatenate(
+        [sig, rng.normal(size=3000).astype(np.float32) * 1e4]
+    )
+    pad_feats, t_pad = mfcc_features(
+        jnp.asarray(padded), num_samples=5000, cfg=cfg
+    )
+    assert int(t_bare) == int(t_pad)
+    np.testing.assert_allclose(
+        np.asarray(bare)[: int(t_bare)],
+        np.asarray(pad_feats)[: int(t_pad)],
+        rtol=1e-5, atol=1e-5,
+    )
