@@ -60,6 +60,17 @@ def main() -> None:
     parser.add_argument("--lattice-beam", type=float, default=50.0,
                         help="score beam (nats below the best path) for "
                              "--lattice-method forward")
+    parser.add_argument("--rescore-lm", default=None, metavar="FILE",
+                        help="second-pass lattice rescoring: train a "
+                             "word-bigram LM from the transcripts in FILE "
+                             "(one per line, e.g. '375') and rescore the "
+                             "forward lattice (--lattice-beam) with it")
+    parser.add_argument("--lm-weight", type=float, default=1.0,
+                        help="LM weight for --rescore-lm")
+    parser.add_argument("--consensus-net", action="store_true",
+                        help="confusion-network ('sausage') decoding: print "
+                             "the slots with word posteriors and the "
+                             "per-slot MBR decode")
     parser.add_argument("--grammar-strings", default=None, metavar="A,B,...",
                         help="constrain decoding to this finite transcript "
                              "set (comma-separated), e.g. '375,186Z' — the "
@@ -97,6 +108,7 @@ def main() -> None:
         log_b = None
         if decoder._gmm is not None and (
             args.confidence or args.lattice_dot or args.spot
+            or args.rescore_lm or args.consensus_net
         ):
             import jax.numpy as jnp
 
@@ -145,6 +157,43 @@ def main() -> None:
             with open(args.lattice_dot, "w") as f:
                 f.write(lat.to_dot())
             print(f"lattice: {len(lat.arcs)} arcs -> {args.lattice_dot}")
+        if args.rescore_lm:
+            from cs304_tpu.ops.lattice import forward_lattice
+            from cs304_tpu.ops.lm import train_word_bigram
+            from cs304_tpu.ops.rescore import lattice_rescore
+
+            with open(args.rescore_lm) as f:
+                transcripts = [ln.strip() for ln in f if ln.strip()]
+            bigram = train_word_bigram(
+                transcripts, labels=decoder.composite.labels
+            )
+            lat = forward_lattice(
+                decoder.composite, feats[0], beam=args.lattice_beam,
+                log_b=log_b,
+            )
+            score, text, _arcs = lattice_rescore(
+                decoder.composite, lat, features=feats[0], log_b=log_b,
+                bigram=bigram, lm_weight=args.lm_weight,
+            )
+            print(f"rescored: {text}  (score {score:.2f}, "
+                  f"{len(lat.arcs)} arcs, lm_weight {args.lm_weight})")
+        if args.consensus_net:
+            from cs304_tpu.ops.rescore import cn_decode, confusion_network
+
+            slots = confusion_network(
+                decoder.composite, feats[0], beam=args.lattice_beam,
+                log_b=log_b,
+            )
+            for s in slots:
+                hyps = ", ".join(
+                    f"{w}:{p:.3f}"
+                    for w, p in sorted(s.hyps.items(), key=lambda kv: -kv[1])
+                )
+                eps = s.eps()
+                if eps > 1e-3:
+                    hyps += f", eps:{eps:.3f}"
+                print(f"  slot [{s.start:4d},{s.end:4d})  {hyps}")
+            print("consensus-net:", cn_decode(slots))
         return
 
     from cs304_tpu.audio.capture import Segmentation

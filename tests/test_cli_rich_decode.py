@@ -154,3 +154,24 @@ def test_ndigits_eval_wer_and_bigram(tiny_ckpt, tmp_path):
     assert "exact-sequence accuracy" in out
     assert "WER" in out
     assert "bigram LM" in out
+
+
+def test_interactive_rescore_and_consensus_net(tiny_ckpt, tmp_path):
+    """--rescore-lm (lattice LM rescoring) and --consensus-net (sausage
+    decode) both run end-to-end and emit vocabulary-only hypotheses."""
+    lm_file = tmp_path / "lm.txt"
+    lm_file.write_text("375\n573\n735\n")
+    out = run_script(
+        "project6_interactive.py", "--wav", tiny_ckpt["wav"],
+        "--checkpoint-dir", tiny_ckpt["ckpt"],
+        "--rescore-lm", str(lm_file), "--lm-weight", "1.0",
+        "--consensus-net",
+        "--log-file", str(tmp_path / "runtime.log"),
+    )
+    rescored = [l for l in out.splitlines() if l.startswith("rescored:")]
+    assert rescored and set(rescored[0].split()[1]) <= set("357")
+    cn = [l for l in out.splitlines() if l.startswith("consensus-net:")]
+    assert cn
+    assert "slot [" in out  # slot table printed
+    if len(cn[0].split()) > 1:
+        assert set(cn[0].split()[1]) <= set("357")
