@@ -20,7 +20,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from .ti_digits import DIGIT_LABELS, DataLoader
+from .ti_digits import DataLoader
 
 SAMPLE_RATE = 16000
 
@@ -40,6 +40,24 @@ _DIGIT_PHONES: Dict[str, tuple] = {
     "O": ((450, 900), (650, 1100), (850, 1600)),
     "Z": ((800, 2600), (350, 1400), (500, 2200)),
 }
+
+
+def join_transcript(words: Sequence[str]):
+    """Canonical corpus key for a word sequence: the concatenated string when
+    every label is one character (the reference's digit-string transcripts,
+    e.g. "4Z2Z1"), else the tuple of labels (multi-char vocabularies — a
+    joined string would be ambiguous to split back into words)."""
+    words = tuple(str(w) for w in words)
+    if all(len(w) == 1 for w in words):
+        return "".join(words)
+    return words
+
+
+def transcript_seed_key(transcript) -> bytes:
+    """Deterministic bytes for seeding RNGs from a str-or-tuple transcript."""
+    if isinstance(transcript, str):
+        return transcript.encode()
+    return "|".join(transcript).encode()
 
 
 @dataclass
@@ -80,6 +98,10 @@ class SyntheticTIDigits:
     formant_scale_range: tuple = (0.93, 1.08)
     rate_range: tuple = (0.85, 1.2)
     formant_jitter: float = 0.015
+    # Vocabulary: label -> ((f1, f2), ...) phone templates. None = the 11
+    # TI-Digits labels above; data.wordvocab generates 100+-word inventories
+    # (multi-char labels, tuple transcripts) through this same knob.
+    phone_templates: Dict[str, tuple] | None = None
 
     @classmethod
     def hard(cls, **overrides) -> "SyntheticTIDigits":
@@ -98,6 +120,10 @@ class SyntheticTIDigits:
         )
         defaults.update(overrides)
         return cls(**defaults)
+
+    @property
+    def labels(self) -> List[str]:
+        return list(self.phone_templates or _DIGIT_PHONES)
 
     def __post_init__(self) -> None:
         rng = np.random.default_rng(self.seed)
@@ -127,10 +153,10 @@ class SyntheticTIDigits:
 
     def _add_sentences(self, loader: DataLoader, speakers) -> None:
         rng = np.random.default_rng(self.seed + 99)
-        labels = list(DIGIT_LABELS)
+        labels = self.labels
         for n in self.sentence_lengths:
             for k in range(self.sentences_per_length):
-                transcript = "".join(rng.choice(labels, size=n))
+                transcript = join_transcript(rng.choice(labels, size=n))
                 loader.data.setdefault(transcript, []).extend(
                     self.sentence_audio(transcript, spk, jitter_seed=k * 31 + take)
                     for spk in speakers
@@ -150,7 +176,7 @@ class SyntheticTIDigits:
     def _build_split(self, speakers) -> DataLoader:
         data: Dict[str, List[np.ndarray]] = {}
         for spk in speakers:
-            for label in DIGIT_LABELS:
+            for label in self.labels:
                 for take in range(self.takes_per_digit):
                     clip = self.isolated_clip(label, spk, take)
                     data.setdefault(label, []).append(clip)
@@ -225,7 +251,7 @@ class SyntheticTIDigits:
         key = zlib.crc32(f"{label}|{speaker}|{jitter_seed}|{self.seed}".encode())
         rng = np.random.default_rng(key)
         pieces = []
-        for f1, f2 in _DIGIT_PHONES[label]:
+        for f1, f2 in (self.phone_templates or _DIGIT_PHONES)[label]:
             dur = rng.uniform(0.055, 0.10) * params["rate"]
             n = max(int(dur * SAMPLE_RATE), 240)
             t = np.arange(n) / SAMPLE_RATE
@@ -284,7 +310,7 @@ class SyntheticTIDigits:
         sentence = np.concatenate(pieces)
         import zlib
 
-        key = zlib.crc32(transcript.encode()) % 99991
+        key = zlib.crc32(transcript_seed_key(transcript)) % 99991
         return self._degrade(sentence, speaker, jitter_seed * 131 + key), segments
 
     def sentence_corpus(

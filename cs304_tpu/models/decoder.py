@@ -41,6 +41,7 @@ class ContinuousDecoder:
         backend: str = "fast",
         bigram=None,
         lm_weight: float = 1.0,
+        beam: float | None = None,
     ) -> None:
         if isinstance(models, dict):
             models = list(models.values())
@@ -56,7 +57,16 @@ class ContinuousDecoder:
             # a (W, W) tropical matvec over per-word best exits.
             logger.info("bigram LM decoding uses the fast banded backend")
             backend = "fast"
+        if beam is not None:
+            if beam <= 0:
+                raise ValueError(f"beam must be positive, got {beam}")
+            if backend != "fast":
+                # Only the banded fast step implements the per-frame prune
+                # (ops/viterbi.viterbi_composite_batch_fast's beam arg).
+                logger.info("beam pruning uses the fast banded backend")
+                backend = "fast"
         self.backend = backend
+        self.beam = beam
         self._bigram = bigram
         self._lm_weight = lm_weight
 
@@ -101,6 +111,9 @@ class ContinuousDecoder:
             jnp.asarray(self.composite.word_of_state, dtype=jnp.int32),
             jnp.asarray(self.composite.uppers, dtype=jnp.int32),
         )
+
+    def _beam_arg(self):
+        return None if self.beam is None else jnp.float32(self.beam)
 
     def predict(self, features, skip_silence: bool = True) -> str:
         return self.predict_batch([np.asarray(features)], skip_silence)[0]
@@ -210,6 +223,7 @@ class ContinuousDecoder:
                     jnp.asarray(c.is_exit), pen,
                     jnp.asarray(padded), jnp.asarray(n_samples),
                     wos, lowers, uppers, sil, mcfg, self.backend, lm_extras,
+                    beam=self._beam_arg(),
                 )
             else:
                 handles = _decode_signals_words(
@@ -218,6 +232,7 @@ class ContinuousDecoder:
                     jnp.asarray(c.is_entry), jnp.asarray(c.is_exit), pen,
                     jnp.asarray(padded), jnp.asarray(n_samples),
                     wos, lowers, uppers, sil, mcfg, self.backend, lm_extras,
+                    beam=self._beam_arg(),
                 )
             _scores, ids, counts = jax.device_get(handles)
             try:
@@ -434,7 +449,7 @@ class ContinuousDecoder:
                 pen,
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
                 wos, lowers, uppers, sil,
-                self.backend, lm_extras,
+                self.backend, lm_extras, beam=self._beam_arg(),
             )
         return _decode_batch_words(
             jnp.asarray(c.means), jnp.asarray(c.covariances),
@@ -443,7 +458,7 @@ class ContinuousDecoder:
             pen,
             jnp.asarray(padded.data), jnp.asarray(padded.lengths),
             wos, lowers, uppers, sil,
-            self.backend, lm_extras,
+            self.backend, lm_extras, beam=self._beam_arg(),
         )
 
     def _consume(self, handles):
@@ -497,7 +512,7 @@ class ContinuousDecoder:
                 jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
                 pen,
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
-                self.backend, lm_extras,
+                self.backend, lm_extras, beam=self._beam_arg(),
             )
         else:
             pen, lm_extras = self._penalty_arg()
@@ -511,7 +526,7 @@ class ContinuousDecoder:
                 pen,
                 jnp.asarray(padded.data),
                 jnp.asarray(padded.lengths),
-                self.backend, lm_extras,
+                self.backend, lm_extras, beam=self._beam_arg(),
             )
         return np.asarray(scores), np.asarray(paths), padded.lengths
 
@@ -574,17 +589,20 @@ def _select_impl(backend: str):
 
 
 def _run_impl(backend, log_b, log_a, lower_of_state, is_entry, is_exit,
-              penalty, lengths, lm_extras):
-    if lm_extras is not None:
-        # Bigram LM per-pair penalties: only the fast banded step takes
-        # them directly (the scan route gets an (S, S) penalty instead).
+              penalty, lengths, lm_extras, beam=None):
+    if lm_extras is not None or beam is not None:
+        # Bigram LM per-pair penalties and beam pruning: only the fast
+        # banded step takes them directly (the scan route gets an (S, S)
+        # penalty instead; no other backend implements the prune).
         from ..ops.viterbi import viterbi_composite_batch_fast
 
-        pair, word_of_state, uppers = lm_extras
+        pair, word_of_state, uppers = (
+            lm_extras if lm_extras is not None else (None, None, None)
+        )
         return viterbi_composite_batch_fast(
             log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
             lengths, pair_penalty=pair, word_of_state=word_of_state,
-            uppers=uppers,
+            uppers=uppers, beam=beam,
         )
     return _select_impl(backend)(
         log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths
@@ -594,13 +612,13 @@ def _run_impl(backend, log_b, log_a, lower_of_state, is_entry, is_exit,
 @partial(jax.jit, static_argnames=("backend",))
 def _decode_batch(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths,
-    backend: str = "scan", lm_extras=None,
+    backend: str = "scan", lm_extras=None, beam=None,
 ):
     params = make_gaussian_params(means, covs)
     log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)  # (B, T, S)
     return _run_impl(
         backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
-        lengths, lm_extras,
+        lengths, lm_extras, beam,
     )
 
 
@@ -631,12 +649,13 @@ def _decode_batch_words(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch,
     lengths, word_of_state, lowers, uppers, silence_word,
     backend: str = "scan", lm_extras=None, max_words: int = MAX_WORDS,
+    beam=None,
 ):
     from ..ops.words import words_from_paths
 
     scores, paths = _decode_batch(
         means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,
-        batch, lengths, backend, lm_extras,
+        batch, lengths, backend, lm_extras, beam,
     )
     ids, counts = words_from_paths(
         paths, lengths, word_of_state, lowers, uppers, silence_word,
@@ -650,6 +669,7 @@ def _decode_signals_words(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, signals,
     n_samples, word_of_state, lowers, uppers, silence_word, mcfg,
     backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
+    beam=None,
 ):
     """Raw (B, L) audio -> (scores, word ids, counts), one XLA program."""
     from ..ops.mfcc import mfcc_features_batch
@@ -660,7 +680,7 @@ def _decode_signals_words(
     log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(feats)
     scores, paths = _run_impl(
         backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
-        n_frames, lm_extras,
+        n_frames, lm_extras, beam,
     )
     ids, counts = words_from_paths(
         paths, n_frames, word_of_state, lowers, uppers, silence_word,
@@ -674,6 +694,7 @@ def _decode_signals_gmm_words(
     means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
     signals, n_samples, word_of_state, lowers, uppers, silence_word, mcfg,
     backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
+    beam=None,
 ):
     from ..ops.gaussian import gmm_log_pdf, make_gmm_params
     from ..ops.mfcc import mfcc_features_batch
@@ -684,7 +705,7 @@ def _decode_signals_gmm_words(
     log_b = jax.vmap(lambda x: gmm_log_pdf(params, x))(feats)
     scores, paths = _run_impl(
         backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
-        n_frames, lm_extras,
+        n_frames, lm_extras, beam,
     )
     ids, counts = words_from_paths(
         paths, n_frames, word_of_state, lowers, uppers, silence_word,
@@ -698,12 +719,13 @@ def _decode_batch_gmm_words(
     means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
     batch, lengths, word_of_state, lowers, uppers, silence_word,
     backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
+    beam=None,
 ):
     from ..ops.words import words_from_paths
 
     scores, paths = _decode_batch_gmm(
         means, covs, weights, log_a, lower_of_state, is_entry, is_exit,
-        penalty, batch, lengths, backend, lm_extras,
+        penalty, batch, lengths, backend, lm_extras, beam,
     )
     ids, counts = words_from_paths(
         paths, lengths, word_of_state, lowers, uppers, silence_word,

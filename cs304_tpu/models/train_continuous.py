@@ -45,9 +45,21 @@ logger = logging.getLogger(__name__)
 SILENCE_LABEL = "S"
 
 
-def insert_silence(labels: str) -> str:
-    """'4Z2' -> 'S4SZS2S' (reference hidden_markov_model.py:794-797)."""
-    return "S" + "S".join(labels) + "S" if labels else "S"
+def insert_silence(labels):
+    """'4Z2' -> 'S4SZS2S' (reference hidden_markov_model.py:794-797).
+
+    Transcripts are either strings of single-char labels (the reference's
+    digit strings) or sequences of multi-char word labels (100+-word
+    vocabularies, data/wordvocab.py); the interleaved sentence keeps the
+    input's type so topology caches key consistently.
+    """
+    if isinstance(labels, str):
+        return "S" + "S".join(labels) + "S" if labels else "S"
+    out = ["S"]
+    for label in labels:
+        out.append(label)
+        out.append("S")
+    return tuple(out)
 
 
 class HMMTrainMeanFail(RuntimeError):

@@ -246,7 +246,7 @@ def viterbi_composite_batch(
 def viterbi_composite_batch_fast(
     log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
     quirk_backtrace: bool = True, pair_penalty=None, word_of_state=None,
-    uppers=None,
+    uppers=None, beam=None,
 ):
     """Structure-exploiting composite batch decode.
 
@@ -274,6 +274,18 @@ def viterbi_composite_batch_fast(
     (hidden_markov_model.py:533-547), which diverges from the dense scan
     there exactly as the flat-penalty fast path does (see
     composite_transition_matrix's tie-break caveat).
+
+    beam: classic per-frame beam pruning — after each update, states whose
+    score falls more than `beam` below the frame's best are set to -inf
+    (the reference prunes its DTW trellis the same relative way,
+    dynamic_time_wrapping.py:89-95; its HMM decoder never needed it at 58
+    states). beam=None (default) and beam=inf are exact. Honest TPU cost
+    note: on dense vectorized hardware the masking saves no FLOPs — the
+    lever's value here is hypothesis control (it changes WHICH paths
+    survive at large vocabularies, trading exactness for robustness to
+    score-scale pathologies) and search-semantics parity with classic
+    large-vocabulary decoders, not speed. Pruned states can only revive
+    through a surviving predecessor, exactly like a token-passing decoder.
     """
     b, t_total, s = log_b.shape
 
@@ -336,12 +348,18 @@ def viterbi_composite_batch_fast(
         bp_e = jnp.where(c_pen >= c_self, best_exit_idx, to[None, :])
 
         new_alpha = jnp.where(is_entry[None, :], val_e, val_ne) + log_b_t
+        if beam is not None:
+            thresh = jnp.max(new_alpha, axis=1, keepdims=True) - beam
+            new_alpha = jnp.where(new_alpha >= thresh, new_alpha, neg)
         bp = jnp.where(is_entry[None, :], bp_e, bp_ne).astype(jnp.int32)
         live = (t < lengths)[:, None]
         return jnp.where(live, new_alpha, alpha), bp
 
     diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
     alpha0 = jnp.where(is_entry[None, :], log_b[:, 0, :] + diag_init[None, :], neg)
+    if beam is not None:
+        thresh0 = jnp.max(alpha0, axis=1, keepdims=True) - beam
+        alpha0 = jnp.where(alpha0 >= thresh0, alpha0, neg)
     ts = jnp.arange(1, t_total, dtype=jnp.int32)
     alpha, bps = jax.lax.scan(
         step, alpha0, (ts, jnp.swapaxes(log_b[:, 1:], 0, 1))
