@@ -75,7 +75,8 @@ def prepare(corpus: SyntheticTIDigits, mcfg: MFCCConfig):
 
 
 def evaluate(decoder: ContinuousDecoder, corpus: SyntheticTIDigits,
-             mcfg: MFCCConfig, known_count: bool = False) -> dict:
+             mcfg: MFCCConfig, known_count: bool = False,
+             min_duration: int | None = None) -> dict:
     """Exact-sequence accuracy per (digit count, split) + pooled WER."""
     from cs304_tpu.reporting.metrics import corpus_wer
 
@@ -92,6 +93,10 @@ def evaluate(decoder: ContinuousDecoder, corpus: SyntheticTIDigits,
             feats = mfcc_batch(clips, cfg=mcfg)
             if known_count:
                 preds = decoder.predict_batch_counted(feats, n)
+            elif min_duration is not None:
+                preds = decoder.predict_batch_duration(
+                    feats, min_duration=min_duration
+                )
             else:
                 preds = decoder.predict_batch(feats)
             acc = float(np.mean([p == t for p, t in zip(preds, truths)]))
@@ -107,7 +112,7 @@ def evaluate(decoder: ContinuousDecoder, corpus: SyntheticTIDigits,
 def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
         cov_reg: float = 0.1, penalty: float = -100.0,
         update: str = "viterbi", gmm_mixtures: int = 0,
-        known_count: bool = False,
+        known_count: bool = False, min_duration: int | None = None,
         mcfg: MFCCConfig = MFCCConfig(), prepared=None) -> dict:
     boot, labeled = prepared if prepared is not None else prepare(corpus, mcfg)
     trainer = ContinuousTrainer(
@@ -133,7 +138,8 @@ def run(corpus: SyntheticTIDigits, max_iterations: int = 5,
     decoder = ContinuousDecoder(final_models, penalty=penalty)
 
     results = {"embedded_iterations": iters}
-    results.update(evaluate(decoder, corpus, mcfg, known_count=known_count))
+    results.update(evaluate(decoder, corpus, mcfg, known_count=known_count,
+                            min_duration=min_duration))
     return results, decoder, final_models
 
 
@@ -486,6 +492,10 @@ def main() -> None:
     ap.add_argument("--known-count", action="store_true",
                     help="decode each n-digit split constrained to exactly "
                          "n words (word-count automaton)")
+    ap.add_argument("--min-duration", type=int, default=0, metavar="N",
+                    help="decode with explicit state-duration floors: every "
+                         "word state must persist >= N frames "
+                         "(ops/viterbi_duration.py; 0 = unconstrained)")
     ap.add_argument("--lattice-stats", action="store_true",
                     help="also measure forward-lattice oracle WER and arc "
                          "density on the held-out 4-digit split")
@@ -527,10 +537,13 @@ def main() -> None:
     mcfg = MFCCConfig(normalization=args.normalization)
     results, decoder, final_models = run(
         corpus, update=args.update, gmm_mixtures=args.gmm_mixtures,
-        known_count=args.known_count, mcfg=mcfg,
+        known_count=args.known_count,
+        min_duration=args.min_duration or None, mcfg=mcfg,
     )
     if args.known_count:
         results["known_count"] = True
+    if args.min_duration:
+        results["min_duration"] = args.min_duration
     if args.lattice_stats:
         results.update(lattice_stats(decoder, corpus, mcfg=mcfg))
     if args.rescore_stats:

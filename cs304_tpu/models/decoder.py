@@ -324,6 +324,61 @@ class ContinuousDecoder:
             out.append("".join(labels))
         return out
 
+    def predict_batch_duration(
+        self, features: Sequence[np.ndarray],
+        min_duration=2, max_duration=None,
+        skip_silence: bool = True, constrain_silence: bool = False,
+    ) -> List[str]:
+        """Decode under explicit state-duration constraints
+        (ops/viterbi_duration.py — the trellis composed with per-state
+        duration counters): every word state must persist >= min_duration
+        frames (int, or {label: int}) and may persist <= max_duration.
+        Suppresses the single-frame state transits behind spurious word
+        insertions. Utterances with no duration-feasible path (score -inf,
+        e.g. too few frames) fall back to the unconstrained decode.
+        GMM-aware; the flat penalty is used (no bigram LM here)."""
+        from ..ops.viterbi_duration import (
+            duration_arrays,
+            viterbi_composite_duration_batch,
+        )
+
+        c = self.composite
+        min_dur, max_dur, d_cap = duration_arrays(
+            c, min_duration, max_duration, constrain_silence
+        )
+        padded = pad_batch(features, 128)
+        log_b = self._emissions(jnp.asarray(padded.data))
+        scores, paths = viterbi_composite_duration_batch(
+            log_b, jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+            jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
+            jnp.float32(c.penalty), jnp.asarray(min_dur),
+            jnp.asarray(max_dur), jnp.asarray(padded.lengths), d_cap=d_cap,
+        )
+        scores = np.asarray(scores)
+        paths = np.asarray(paths)
+        out: List[str] = []
+        fallback_idx = [i for i in range(len(features))
+                        if not np.isfinite(scores[i])]
+        fallbacks = {}
+        if fallback_idx:
+            logger.info(
+                "duration decode: %d utterance(s) have no duration-feasible "
+                "path; falling back to unconstrained", len(fallback_idx),
+            )
+            preds = self.predict_batch(
+                [features[i] for i in fallback_idx], skip_silence
+            )
+            fallbacks = dict(zip(fallback_idx, preds))
+        for i in range(len(features)):
+            if i in fallbacks:
+                out.append(fallbacks[i])
+                continue
+            labels = c.path_to_labels(
+                paths[i, : padded.lengths[i]], skip_silence=skip_silence
+            )
+            out.append("".join(labels))
+        return out
+
     def predict_batch_grammar(
         self, features: Sequence[np.ndarray], grammar,
         skip_silence: bool = True,

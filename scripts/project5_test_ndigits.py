@@ -30,7 +30,18 @@ def main() -> None:
                              "training split's transcripts (per-pair "
                              "inter-word penalties in the composite trellis)")
     parser.add_argument("--lm-weight", type=float, default=1.0)
+    parser.add_argument("--beam", type=float, default=0.0,
+                        help="per-frame beam pruning width in log-prob "
+                             "units (0 = exact search); large-vocabulary "
+                             "hypothesis control, ops/viterbi.py")
+    parser.add_argument("--min-duration", type=int, default=0,
+                        help="decode with per-state duration floors: every "
+                             "word state must persist >= N frames "
+                             "(ops/viterbi_duration.py; 0 = unconstrained)")
     args = parser.parse_args()
+    if args.min_duration and (args.known_count or args.bigram_lm):
+        raise SystemExit("--min-duration cannot combine with --known-count "
+                         "or --bigram-lm (separate trellis compositions)")
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
     models = load_models(cfg.checkpoint_dir)
@@ -64,6 +75,7 @@ def main() -> None:
     decoder = ContinuousDecoder(
         models, penalty=cfg.decode.word_penalty,
         bigram=bigram, lm_weight=args.lm_weight,
+        beam=args.beam or None,
     )
 
     for split_name, dataset in (
@@ -84,6 +96,10 @@ def main() -> None:
         feats = mfcc_batch(clips, cfg=mcfg)
         if args.known_count:
             preds = decoder.predict_batch_counted(feats, args.n_digits)
+        elif args.min_duration:
+            preds = decoder.predict_batch_duration(
+                feats, min_duration=args.min_duration
+            )
         else:
             preds = decoder.predict_batch(feats)
         acc = exact_accuracy(truths, preds)

@@ -42,6 +42,14 @@ def main() -> None:
                              "(mutually exclusive with --known-count and "
                              "--confidence/--timings, which use the "
                              "unconstrained trellis)")
+    parser.add_argument("--beam", type=float, default=0.0,
+                        help="per-frame beam pruning width (0 = exact "
+                             "search); large-vocabulary hypothesis control")
+    parser.add_argument("--min-duration", type=int, default=0, metavar="N",
+                        help="every word state must persist >= N frames "
+                             "(duration-constrained trellis; 0 = off; "
+                             "mutually exclusive with the other "
+                             "constrained modes)")
     parser.add_argument("--batch-size", type=int, default=256)
     args = parser.parse_args()
     cfg = load_config(args)
@@ -57,11 +65,11 @@ def main() -> None:
 
     constraint_flags = (args.known_count is not None) + bool(
         args.grammar_strings
-    )
+    ) + bool(args.min_duration)
     if constraint_flags > 1:
         raise SystemExit(
-            "error: --known-count and --grammar-strings are mutually "
-            "exclusive"
+            "error: --known-count, --grammar-strings and --min-duration "
+            "are mutually exclusive"
         )
     if constraint_flags and (args.confidence or args.timings):
         raise SystemExit(
@@ -70,7 +78,8 @@ def main() -> None:
             "pick one mode"
         )
     decoder = ContinuousDecoder(
-        load_models(cfg.checkpoint_dir), penalty=cfg.decode.word_penalty
+        load_models(cfg.checkpoint_dir), penalty=cfg.decode.word_penalty,
+        beam=args.beam or None,
     )
     grammar = None
     if args.grammar_strings:
@@ -113,6 +122,14 @@ def main() -> None:
         elif grammar is not None:
             for p, text in zip(
                 chunk, decoder.predict_batch_grammar(feats, grammar)
+            ):
+                rows.append([p, text, "", ""])
+        elif args.min_duration:
+            for p, text in zip(
+                chunk,
+                decoder.predict_batch_duration(
+                    feats, min_duration=args.min_duration
+                ),
             ):
                 rows.append([p, text, "", ""])
         else:
