@@ -1,0 +1,319 @@
+#!/usr/bin/env python
+"""Vocabulary-scale study: the FULL pipeline at 100+ words.
+
+Everything else in this repo was validated at the reference's 11-word digit
+task (58 composite states; reference ti_digits.py:13-26). This benchmark
+proves the framework past it: a generated NUM_WORDS vocabulary over a shared
+phone inventory (data/wordvocab.py) runs the complete loop —
+
+  1. boot      silence-stripped batched isolated k-means (NUM_WORDS models
+               + 3-state silence) — one vmapped program over all labels
+  2. embedded  fused continuous training on multi-word sentences
+               (tuple transcripts; slot tables at NUM_WORDS+1 labels)
+  3. decode    composite decoding at S = 5*NUM_WORDS + 3 states on held-out
+               speakers: exact-sequence accuracy GATE + throughput, with a
+               beam-pruned decode A/B (ops/viterbi beam arg)
+  4. serving   batched streaming pool at the same S (int32 backpointer
+               ring — ring_dtype flips past 127 states): per-stream
+               STREAMED == OFFLINE parity gate + real-time capacity
+
+Each stage prints one JSON line; the last line is the bench-style summary.
+Run on TPU for the headline numbers; CPU works for the gates (slow).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+FRAME_RATE = 100.0  # 16 kHz / 160-sample hop
+
+GATE_TEST = 0.85  # north-star level (reference README.md:9)
+
+
+def build_corpus(args):
+    from cs304_tpu.data.wordvocab import make_word_corpus
+
+    return make_word_corpus(
+        args.num_words,
+        hard=args.hard,
+        num_train_speakers=args.train_speakers,
+        num_test_speakers=args.test_speakers,
+        takes_per_digit=args.takes,
+    )
+
+
+def make_transcripts(labels, count, lengths, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    seen = set()
+    while len(out) < count:
+        n = int(rng.choice(lengths))
+        tr = tuple(str(w) for w in rng.choice(labels, size=n))
+        if tr not in seen:
+            seen.add(tr)
+            out.append(tr)
+    return out
+
+
+def boot_stage(corpus, mcfg):
+    from cs304_tpu.audio.endpointing import SignalSeparation
+    from cs304_tpu.models.train_kmeans import (
+        SegmentalKMeansConfig,
+        train_digit_models,
+        train_word_hmm,
+    )
+    from cs304_tpu.ops.mfcc import mfcc_batch
+
+    t0 = time.perf_counter()
+    sep = SignalSeparation()
+    feats = {
+        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]),
+                      cfg=mcfg)
+        for l in corpus.labels
+    }
+    t_feat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    boot = train_digit_models(
+        feats,
+        SegmentalKMeansConfig(num_states=5, max_iterations=12,
+                              length_multiple=32),
+    )
+    noises = [n for n in sep.get_all_noises() if len(n) >= 9 * sep.frame_size]
+    boot["S"] = train_word_hmm(
+        "S", mfcc_batch(noises, cfg=mcfg),
+        SegmentalKMeansConfig(num_states=3, max_iterations=12,
+                              length_multiple=32),
+    ).model
+    t_boot = time.perf_counter() - t0
+    n_clips = sum(len(corpus.train_dataset[l]) for l in corpus.labels)
+    print(json.dumps({
+        "stage": "boot", "labels": len(boot), "clips": n_clips,
+        "feature_s": round(t_feat, 1), "kmeans_s": round(t_boot, 1),
+    }))
+    return boot
+
+
+def train_stage(corpus, boot, transcripts, mcfg, args):
+    from cs304_tpu.models.train_continuous import (
+        ContinuousTrainConfig,
+        ContinuousTrainer,
+    )
+    from cs304_tpu.ops.mfcc import mfcc_batch
+
+    speakers = range(args.train_speakers)
+    labeled = {
+        tr: mfcc_batch(
+            [corpus.sentence_audio(tr, spk, jitter_seed=take)
+             for spk in speakers for take in range(args.sentence_takes)],
+            cfg=mcfg,
+        )
+        for tr in transcripts
+    }
+    n_utts = sum(len(v) for v in labeled.values())
+    trainer = ContinuousTrainer(
+        boot,
+        ContinuousTrainConfig(max_iterations=args.train_iterations,
+                              cov_reg=0.1),
+    )
+    t0 = time.perf_counter()
+    iters = trainer.train(labeled)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": "embedded_training", "labels": len(boot),
+        "transcripts": len(transcripts), "utterances": n_utts,
+        "iterations": iters, "wall_s": round(dt, 1),
+        "s_per_iteration": round(dt / max(iters, 1), 2),
+    }))
+    return trainer.models()
+
+
+def decode_stage(models, corpus, eval_transcripts, mcfg, args):
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.ops.mfcc import mfcc_batch
+
+    decoder = ContinuousDecoder(models, penalty=args.penalty)
+    s_total = decoder.composite.num_states
+    test_speakers = range(args.train_speakers,
+                          args.train_speakers + args.test_speakers)
+    truths, clips = [], []
+    for tr in eval_transcripts:
+        for spk in test_speakers:
+            truths.append("".join(tr))
+            clips.append(corpus.sentence_audio(tr, spk, jitter_seed=77))
+    feats = mfcc_batch(clips, cfg=mcfg)
+    feats = [np.asarray(f) for f in feats]
+
+    decoder.predict_batch(feats)  # compile warmup
+    t0 = time.perf_counter()
+    preds = decoder.predict_batch(feats)
+    dt = time.perf_counter() - t0
+    acc = float(np.mean([p == t for p, t in zip(preds, truths)]))
+
+    pruned = ContinuousDecoder(models, penalty=args.penalty, beam=args.beam)
+    pruned.predict_batch(feats)  # compile warmup
+    t1 = time.perf_counter()
+    preds_beam = pruned.predict_batch(feats)
+    dt_beam = time.perf_counter() - t1
+    acc_beam = float(np.mean([p == t for p, t in zip(preds_beam, truths)]))
+    agree = float(np.mean([a == b for a, b in zip(preds, preds_beam)]))
+
+    print(json.dumps({
+        "stage": "decode", "composite_states": s_total,
+        "utterances": len(feats), "exact_seq_acc_test": round(acc, 4),
+        "utt_per_s": round(len(feats) / dt, 1),
+        "beam": args.beam, "exact_seq_acc_test_beam": round(acc_beam, 4),
+        "utt_per_s_beam": round(len(feats) / dt_beam, 1),
+        "beam_agreement": round(agree, 4),
+    }))
+    return decoder, feats, truths, acc, acc_beam
+
+
+def serving_stage(models, feats, truths, args):
+    """Batched streaming pool at full vocabulary scale: parity + capacity."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.ops.streaming_batch import (
+        BatchedStreamingComposite,
+        ring_dtype,
+    )
+    import jax.numpy as jnp
+
+    decoder = ContinuousDecoder(models, penalty=args.penalty)
+    s_total = decoder.composite.num_states
+    if s_total > 127:
+        assert ring_dtype(s_total) == jnp.int32, (
+            "past 127 states the ring must be int32 (the reference's int8 "
+            "tracer defect, hidden_markov_model.py:175)"
+        )
+    max_frames = -(-max(f.shape[0] for f in feats) // 512) * 512
+    n_parity = min(len(feats), args.slots)
+    pool = BatchedStreamingComposite(
+        decoder.composite, num_slots=args.slots, chunk_size=args.chunk,
+        max_frames=max_frames,
+    )
+    slots = [pool.start() for _ in range(n_parity)]
+    fed = {s: 0 for s in slots}
+    sample = feats[:n_parity]
+    while any(fed[s] < sample[i].shape[0] for i, s in enumerate(slots)):
+        feeds = {}
+        for i, s in enumerate(slots):
+            lo = fed[s]
+            if lo < sample[i].shape[0]:
+                hi = min(lo + args.chunk, sample[i].shape[0])
+                feeds[s] = sample[i][lo:hi]
+                fed[s] = hi
+        pool.step(feeds)
+    streamed = pool.finalize(slots)
+    offline = decoder.predict_batch(sample)
+    parity = [streamed[s][1] == offline[i] for i, s in enumerate(slots)]
+    assert all(parity), (
+        f"streamed != offline for {parity.count(False)}/{n_parity} streams"
+    )
+
+    # Steady-state capacity: all slots fed a full chunk per step, chained.
+    for s in slots:
+        pool.release(s)
+    slots = [pool.start() for _ in range(args.slots)]
+    rng = np.random.default_rng(0)
+    dim = decoder.composite.means.shape[-1]
+    feed_sets = [
+        {s: rng.normal(size=(args.chunk, dim)).astype(np.float32)
+         for s in slots}
+        for _ in range(3)
+    ]
+    pool.step(feed_sets[0])
+    np.asarray(pool._alpha)
+    for s in slots:
+        pool.release(s)
+    slots = [pool.start() for _ in range(args.slots)]
+    steps = min(30, (max_frames // args.chunk) - 1)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        pool.step(feed_sets[i % 3])
+    np.asarray(pool._alpha)
+    dt = (time.perf_counter() - t0) / steps
+    frames_per_sec = args.slots * args.chunk / dt
+    capacity = int(frames_per_sec / FRAME_RATE)
+    print(json.dumps({
+        "stage": "serving", "composite_states": s_total,
+        "ring_dtype": ring_dtype(s_total).__name__, "slots": args.slots, "chunk": args.chunk,
+        "parity_streams": n_parity, "parity": "exact",
+        "step_ms": round(dt * 1e3, 2),
+        "realtime_streams": capacity,
+    }))
+    return capacity
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--num-words", type=int, default=100)
+    ap.add_argument("--hard", action="store_true",
+                    help="hardened degradations (SNR/channel/speaker spread)")
+    ap.add_argument("--train-speakers", type=int, default=6)
+    ap.add_argument("--test-speakers", type=int, default=2)
+    ap.add_argument("--takes", type=int, default=3)
+    ap.add_argument("--train-transcripts", type=int, default=60)
+    ap.add_argument("--eval-transcripts", type=int, default=40)
+    ap.add_argument("--sentence-takes", type=int, default=2)
+    ap.add_argument("--train-iterations", type=int, default=4)
+    ap.add_argument("--penalty", type=float, default=-100.0)
+    # Default width measured on the 20-word CPU loop: beam=80 already loses
+    # ~8% of transcripts to pruning (agreement 0.92); 150 was loss-free
+    # there while still pruning most of the state space per frame.
+    ap.add_argument("--beam", type=float, default=150.0)
+    ap.add_argument("--slots", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--no-gates", action="store_true")
+    ap.add_argument("--skip-serving", action="store_true")
+    args = ap.parse_args()
+
+    from cs304_tpu.ops.mfcc import MFCCConfig
+
+    mcfg = MFCCConfig()
+    corpus = build_corpus(args)
+    labels = corpus.labels
+    print(json.dumps({
+        "stage": "corpus", "num_words": len(labels),
+        "hard": bool(args.hard),
+        "composite_states": 5 * len(labels) + 3,
+    }))
+
+    boot = boot_stage(corpus, mcfg)
+    train_trs = make_transcripts(labels, args.train_transcripts,
+                                 (2, 3, 4), seed=5)
+    models = train_stage(corpus, boot, train_trs, mcfg, args)
+    eval_trs = make_transcripts(labels, args.eval_transcripts,
+                                (2, 3, 4), seed=6)
+    decoder, feats, truths, acc, acc_beam = decode_stage(
+        models, corpus, eval_trs, mcfg, args
+    )
+    capacity = None
+    if not args.skip_serving:
+        capacity = serving_stage(models, feats, truths, args)
+
+    summary = {
+        "metric": f"exact-sequence accuracy, {len(labels)}-word vocabulary, "
+                  "held-out speakers",
+        "value": round(acc, 4),
+        "unit": "accuracy",
+        "beam_acc": round(acc_beam, 4),
+    }
+    if capacity is not None:
+        summary["realtime_streams"] = capacity
+    print(json.dumps(summary))
+    if not args.no_gates:
+        assert acc >= GATE_TEST, (
+            f"held-out accuracy {acc:.2%} < {GATE_TEST:.0%} at "
+            f"{len(labels)} words"
+        )
+        assert acc_beam >= GATE_TEST, (
+            f"beam-pruned accuracy {acc_beam:.2%} < {GATE_TEST:.0%}"
+        )
+        print(json.dumps({"gates": "pass"}))
+
+
+if __name__ == "__main__":
+    main()

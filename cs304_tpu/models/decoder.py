@@ -680,7 +680,7 @@ def _decode_batch(
 @partial(jax.jit, static_argnames=("backend",))
 def _decode_batch_gmm(
     means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
-    batch, lengths, backend: str = "fast", lm_extras=None,
+    batch, lengths, backend: str = "fast", lm_extras=None, beam=None,
 ):
     from ..ops.gaussian import gmm_log_pdf, make_gmm_params
 
@@ -690,7 +690,7 @@ def _decode_batch_gmm(
     log_b = jax.vmap(lambda x: gmm_log_pdf(params, x))(batch)
     return _run_impl(
         backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
-        lengths, lm_extras,
+        lengths, lm_extras, beam,
     )
 
 

@@ -90,6 +90,123 @@ def _advance(alpha, ring, t, valid, log_b, trans, seed_alpha_bias, is_entry):
     return alpha, ring, t + valid
 
 
+def _banded_coeffs(log_a, lower_of_state, is_entry, is_exit, penalty):
+    """Per-state banded coefficients of the composite step — the O(S)
+    structure-exploiting layout of ops/viterbi.viterbi_composite_batch_fast
+    (every state has <= 3 banded predecessors; every entry state shares the
+    one best-exit + penalty quantity). At large S the dense step's (B, S, S)
+    max-plus intermediate dominates HBM traffic; this one is O(B * S)."""
+    s = log_a.shape[0]
+    to = jnp.arange(s)
+    diag = jnp.diagonal(log_a)
+    sub1 = jnp.where(
+        (to >= 1) & (to - 1 >= lower_of_state) & ~is_entry,
+        log_a[jnp.maximum(to - 1, 0), to], -jnp.inf,
+    )
+    sub2 = jnp.where(
+        (to >= 2) & (to - 2 >= lower_of_state) & ~is_entry,
+        log_a[jnp.maximum(to - 2, 0), to], -jnp.inf,
+    )
+    diag_ne = jnp.where(~is_entry, diag, -jnp.inf)
+    diag_e = jnp.where(is_entry, diag, -jnp.inf)
+    return (sub1, sub2, diag_ne, diag_e, is_exit,
+            jnp.asarray(penalty, jnp.float32))
+
+
+def _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_alpha_bias,
+                    is_entry):
+    """Banded-step twin of _advance: same carry/ring contract, O(S) math.
+
+    Backpointer values differ from the dense step only at unreachable
+    (-inf) cells no backtrace visits, plus the documented exact-tie order
+    (exits beat entry self-loops — the reference's order); parity with the
+    offline fast backend is asserted in tests/test_streaming_batch.py.
+    """
+    sub1, sub2, diag_ne, diag_e, is_exit, penalty = coeffs
+    b, t_max, s = ring.shape
+    c = log_b.shape[1]
+    neg_inf = jnp.float32(-jnp.inf)
+    to = jnp.arange(s)
+
+    def step(carry, inputs):
+        alpha, ring = carry
+        i, log_b_i = inputs  # (B, S)
+        live = i < valid
+        abs_t = t + i
+        a1 = jnp.concatenate([jnp.full((b, 1), neg_inf), alpha[:, :-1]],
+                             axis=1)
+        a2 = jnp.concatenate([jnp.full((b, 2), neg_inf), alpha[:, :-2]],
+                             axis=1)
+        c0 = alpha + diag_ne[None, :]
+        c1 = a1 + sub1[None, :]
+        c2 = a2 + sub2[None, :]
+        v12 = jnp.maximum(c1, c0)
+        val_ne = jnp.maximum(c2, v12)
+        bp_ne = jnp.where(
+            c2 >= v12,
+            jnp.maximum(to[None, :] - 2, 0),
+            jnp.where(c1 >= c0, jnp.maximum(to[None, :] - 1, 0),
+                      to[None, :]),
+        )
+        exit_scores = jnp.where(is_exit[None, :], alpha, neg_inf)
+        best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
+        best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
+        c_pen = best_exit + penalty
+        c_self = alpha + diag_e[None, :]
+        val_e = jnp.maximum(c_pen, c_self)
+        bp_e = jnp.where(c_pen >= c_self, best_exit_idx, to[None, :])
+
+        new_alpha = jnp.where(is_entry[None, :], val_e, val_ne) + log_b_i
+        bp = jnp.where(is_entry[None, :], bp_e, bp_ne).astype(ring.dtype)
+        seed = jnp.where(is_entry[None, :],
+                         log_b_i + seed_alpha_bias[None, :], neg_inf)
+        is_seed = (abs_t == 0)[:, None]
+        new_alpha = jnp.where(is_seed, seed, new_alpha)
+        bp = jnp.where(is_seed, jnp.asarray(-1, ring.dtype), bp)
+        alpha = jnp.where(live[:, None], new_alpha, alpha)
+
+        def write(ring_b, bp_b, idx, lv):
+            cur = jax.lax.dynamic_slice(ring_b, (idx, 0), (1, s))
+            row = jnp.where(lv, bp_b[None], cur)
+            return jax.lax.dynamic_update_slice(ring_b, row, (idx, 0))
+
+        ring = jax.vmap(write)(
+            ring, bp, jnp.clip(abs_t, 0, t_max - 1), live
+        )
+        return (alpha, ring), None
+
+    (alpha, ring), _ = jax.lax.scan(
+        step, (alpha, ring),
+        (jnp.arange(c, dtype=jnp.int32), jnp.moveaxis(log_b, 1, 0)),
+    )
+    return alpha, ring, t + valid
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _step_gaussian_banded(alpha, ring, t, valid, feats, coeffs, seed_bias,
+                          is_entry, means, whiten, log_norm):
+    from .gaussian import GaussianParams, gaussian_log_pdf
+
+    params = GaussianParams(means=means, whiten=whiten, log_norm=log_norm)
+    b, c, d = feats.shape
+    log_b = gaussian_log_pdf(params, feats.reshape(b * c, d)).reshape(
+        b, c, -1
+    )
+    return _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_bias,
+                           is_entry)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _step_gmm_banded(alpha, ring, t, valid, feats, coeffs, seed_bias,
+                     is_entry, gmm_params):
+    from .gaussian import gmm_log_pdf
+
+    b, c, d = feats.shape
+    log_b = gmm_log_pdf(gmm_params, feats.reshape(b * c, d)).reshape(b, c, -1)
+    return _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_bias,
+                           is_entry)
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _step_gaussian(alpha, ring, t, valid, feats, trans, seed_bias, is_entry,
                    means, whiten, log_norm):
@@ -143,12 +260,19 @@ class BatchedStreamingComposite:
 
     def __init__(self, composite, num_slots: int = 64, chunk_size: int = 16,
                  max_frames: int = 2048, gmm_params=None,
-                 max_words: int = 64, mesh=None) -> None:
+                 max_words: int = 64, mesh=None,
+                 step_impl: str = "auto") -> None:
         """mesh: optional jax.sharding.Mesh with a 'data' axis — slots are
         sharded over it (each stream's recursion is independent, so the step
         and finalize programs partition with zero collectives: multi-chip
         serving capacity is num_devices x the single-chip pool). num_slots
-        must divide evenly by the mesh size."""
+        must divide evenly by the mesh size.
+
+        step_impl: "dense" (the (B, S', S) max-plus matvec — optimal at the
+        flagship's 58 states), "banded" (O(S) per-state coefficients, the
+        offline fast backend's layout — the dense step's (B, S, S)
+        intermediate is ~260 MB/frame at S=503, B=512), or "auto" (banded
+        past 127 states, where the ring flips to int32 anyway)."""
         self.composite = composite
         self.num_slots = int(num_slots)
         self.chunk_size = int(chunk_size)
@@ -156,11 +280,24 @@ class BatchedStreamingComposite:
         self.max_words = int(max_words)
         c = composite
         s = c.num_states
-        self._trans = composite_transition_matrix(
-            jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
-            jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
-            jnp.float32(c.penalty),
-        )
+        if step_impl == "auto":
+            step_impl = "banded" if s > 127 else "dense"
+        if step_impl not in ("dense", "banded"):
+            raise ValueError(f"unknown step_impl {step_impl!r}")
+        self.step_impl = step_impl
+        if step_impl == "banded":
+            self._coeffs = _banded_coeffs(
+                jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+                jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
+                jnp.float32(c.penalty),
+            )
+            self._trans = None
+        else:
+            self._trans = composite_transition_matrix(
+                jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
+                jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
+                jnp.float32(c.penalty),
+            )
         diag = np.diagonal(c.log_a)
         self._seed_bias = jnp.asarray(
             np.where(np.isfinite(diag), diag, 0.0).astype(np.float32)
@@ -285,7 +422,21 @@ class BatchedStreamingComposite:
         t_dev, valid_dev, chunk_dev = self._put_sharded(
             self._t, valid, chunk
         )
-        if self._gmm_params is not None:
+        if self.step_impl == "banded":
+            if self._gmm_params is not None:
+                self._alpha, self._ring, _ = _step_gmm_banded(
+                    self._alpha, self._ring, t_dev, valid_dev,
+                    chunk_dev, self._coeffs, self._seed_bias,
+                    self._is_entry, self._gmm_params,
+                )
+            else:
+                means, whiten, log_norm = self._emission
+                self._alpha, self._ring, _ = _step_gaussian_banded(
+                    self._alpha, self._ring, t_dev, valid_dev,
+                    chunk_dev, self._coeffs, self._seed_bias,
+                    self._is_entry, means, whiten, log_norm,
+                )
+        elif self._gmm_params is not None:
             self._alpha, self._ring, _ = _step_gmm(
                 self._alpha, self._ring, t_dev, valid_dev,
                 chunk_dev, self._trans, self._seed_bias,

@@ -155,3 +155,35 @@ def test_decoder_beam_validation():
     # Non-fast backends silently switch to fast (documented).
     d = ContinuousDecoder({"a": m}, backend="scanfree", beam=10.0)
     assert d.backend == "fast"
+
+
+def test_decoder_beam_gmm(rng):
+    """Beam threading through the GMM emission path (the wrapper that was
+    missed on first wiring — regression guard)."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+
+    models = {}
+    for i, label in enumerate(("aa", "bb", "cc")):
+        means = np.zeros((3, 2, 4), np.float32)  # (S, K, D)
+        means[:, :, 0] = i * 5.0
+        means[:, :, 1] = np.arange(3)[:, None]
+        means[:, 1, 2] = 1.0
+        models[label] = GMMWordHMM(
+            label=label, means=means,
+            covariances=np.tile(np.eye(4, dtype=np.float32) * 0.3,
+                                (3, 2, 1, 1)),
+            weights=np.full((3, 2), 0.5, np.float32),
+            log_a=uniform_forward_log_a(3),
+        )
+    base = ContinuousDecoder(models, penalty=-5.0)
+    pruned = ContinuousDecoder(models, penalty=-5.0, beam=80.0)
+    frames = []
+    for w in (2, 0):
+        for st in range(3):
+            for _ in range(3):
+                frames.append([w * 5.0, st, 0.5, 0.0])
+    feats = (np.asarray(frames, np.float32)
+             + rng.normal(0, 0.05, (len(frames), 4)).astype(np.float32))
+    assert base.predict_batch([feats]) == pruned.predict_batch([feats])
+    assert pruned.predict(feats) == "ccaa"

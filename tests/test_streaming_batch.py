@@ -233,3 +233,75 @@ def test_idle_steps_do_not_disturb_state(rng):
     off = _offline(pool.composite, utt[:16])
     assert ra == (pytest.approx(off[0], rel=1e-5), off[1])
     assert rb == (pytest.approx(off[0], rel=1e-5), off[1])
+
+
+def test_banded_step_offline_exact(rng):
+    """The O(S) banded step (auto-selected past 127 states, forceable at
+    any S) must stay offline-exact under staggered starts and recycling."""
+    models = _models(seed=3, labels=("1", "2", "3", "S"))
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=3, chunk_size=8, max_frames=64,
+        step_impl="banded",
+    )
+    assert pool.step_impl == "banded"
+    comp = pool.composite
+    utts = _utterances(models, 3, rng)
+    slots = [pool.start() for _ in utts]
+    cursors = [0] * 3
+    step_i = 0
+    while any(cursors[i] < len(utts[i]) for i in range(3)):
+        feeds = {}
+        for i, slot in enumerate(slots):
+            if step_i < i or cursors[i] >= len(utts[i]):
+                continue
+            c = int(rng.integers(1, 9))
+            feeds[slot] = utts[i][cursors[i] : cursors[i] + c]
+            cursors[i] += len(feeds[slot])
+        pool.step(feeds)
+        step_i += 1
+    results = pool.finalize(slots)
+    for i, slot in enumerate(slots):
+        score, text = results[slot]
+        off_score, off_text = _offline(comp, utts[i])
+        assert score == pytest.approx(off_score, rel=1e-5), f"slot {slot}"
+        assert text == off_text, f"slot {slot}"
+    # Recycle a slot: a fresh stream through the banded step still matches.
+    pool.release(slots[0])
+    fresh = pool.start()
+    u = _utterances(models, 1, rng)[0]
+    for lo in range(0, len(u), 8):
+        pool.step({fresh: u[lo : lo + 8]})
+    score, text = pool.finalize([fresh])[fresh]
+    off_score, off_text = _offline(comp, u)
+    assert score == pytest.approx(off_score, rel=1e-5)
+    assert text == off_text
+
+
+def test_step_impl_auto_selection():
+    models = _models()
+    small = BatchedStreamingComposite.from_models(
+        models, num_slots=2, max_frames=32
+    )
+    assert small.step_impl == "dense"  # 11 states: dense is optimal
+    import numpy as _np
+
+    big = {}
+    rng = _np.random.default_rng(0)
+    for i in range(30):
+        label = f"w{i:02d}"
+        means = rng.normal(size=(5, 4)).astype(_np.float32)
+        big[label] = WordHMM(
+            label=label, means=means,
+            covariances=_np.tile(_np.eye(4, dtype=_np.float32), (5, 1, 1)),
+            log_a=uniform_forward_log_a(5),
+        )
+    pool = BatchedStreamingComposite.from_models(
+        big, num_slots=2, max_frames=32
+    )
+    assert pool.composite.num_states == 150
+    assert pool.step_impl == "banded"
+    assert pool._ring.dtype == ring_dtype(150)
+    with pytest.raises(ValueError):
+        BatchedStreamingComposite.from_models(
+            models, num_slots=2, step_impl="nope"
+        )
