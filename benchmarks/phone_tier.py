@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Word-tier vs tied-phone-tier: parameters, accuracy, and OOV support.
+
+The reference trains one HMM per word (hidden_markov_model.py:211-410);
+models/lexicon.py adds the standard large-vocabulary alternative — a shared
+phone inventory + pronunciation lexicon with statistics tied per phone.
+This benchmark trains BOTH tiers on the same corpus with the last
+--oov-words words HELD OUT of all training data, then measures:
+
+  - parameter counts (the phone tier stays O(phones) as vocabulary grows)
+  - in-vocabulary held-out-speaker exact-sequence accuracy (parity check)
+  - OOV decoding: sentences containing the held-out words, decodable by the
+    phone tier the moment the lexicon lists them — structurally impossible
+    for the word tier (no model exists; its OOV accuracy is 0 by
+    construction, not measurement)
+
+JSON line per stage; gates at the end unless --no-gates.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--num-words", type=int, default=30)
+    ap.add_argument("--oov-words", type=int, default=3)
+    ap.add_argument("--train-speakers", type=int, default=4)
+    ap.add_argument("--test-speakers", type=int, default=2)
+    ap.add_argument("--takes", type=int, default=3)
+    ap.add_argument("--train-sentences", type=int, default=12)
+    ap.add_argument("--eval-sentences", type=int, default=10)
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--penalty", type=float, default=-100.0)
+    ap.add_argument("--no-gates", action="store_true")
+    args = ap.parse_args()
+
+    from cs304_tpu.audio.endpointing import SignalSeparation
+    from cs304_tpu.data.wordvocab import make_lexicon, make_word_corpus
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.lexicon import (
+        compose_word_models,
+        train_phone_models,
+        uniform_phone_boot,
+    )
+    from cs304_tpu.models.train_continuous import (
+        ContinuousTrainConfig,
+        ContinuousTrainer,
+    )
+    from cs304_tpu.models.train_kmeans import (
+        SegmentalKMeansConfig,
+        train_digit_models,
+        train_word_hmm,
+    )
+    from cs304_tpu.ops.mfcc import mfcc_batch
+
+    corpus = make_word_corpus(
+        args.num_words, num_train_speakers=args.train_speakers,
+        num_test_speakers=args.test_speakers, takes_per_digit=args.takes,
+    )
+    lex = make_lexicon(args.num_words)
+    labels = corpus.labels
+    oov = labels[-args.oov_words:] if args.oov_words else []
+    train_words = [l for l in labels if l not in oov]
+    oov_phones = {p for w in oov for p in lex[w]}
+    covered = oov_phones <= {p for w in train_words for p in lex[w]}
+    print(json.dumps({
+        "stage": "setup", "words": len(train_words), "oov": oov,
+        "phones": len(lex.phones), "oov_phones_covered": covered,
+    }))
+
+    sep = SignalSeparation()
+    stripped = {
+        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
+        for l in train_words
+    }
+    raw = {l: mfcc_batch(corpus.train_dataset[l]) for l in train_words}
+    noises = [x for x in sep.get_all_noises() if len(x) >= 9 * sep.frame_size]
+    silence = train_word_hmm(
+        "S", mfcc_batch(noises),
+        SegmentalKMeansConfig(num_states=3, max_iterations=12,
+                              length_multiple=32),
+    ).model
+
+    rng = np.random.default_rng(5)
+    sentences = []
+    seen = set()
+    while len(sentences) < args.train_sentences:
+        tr = tuple(str(x) for x in rng.choice(train_words, size=3))
+        if tr not in seen:
+            seen.add(tr)
+            sentences.append(tr)
+    sentence_feats = {
+        tr: mfcc_batch([
+            corpus.sentence_audio(tr, spk, jitter_seed=k)
+            for spk in range(args.train_speakers) for k in range(1)
+        ])
+        for tr in sentences
+    }
+
+    def params_of(models):
+        return int(sum(
+            m.means.size + m.covariances.size
+            + np.isfinite(m.log_a).sum() for m in models.values()
+        ))
+
+    # ---- word tier -------------------------------------------------------
+    t0 = time.perf_counter()
+    word_models = train_digit_models(
+        stripped,
+        SegmentalKMeansConfig(num_states=5, max_iterations=12,
+                              length_multiple=32),
+    )
+    word_models["S"] = silence
+    wt = ContinuousTrainer(
+        word_models,
+        ContinuousTrainConfig(max_iterations=args.iterations, cov_reg=0.1),
+    )
+    # Same training data as the phone tier below: the multi-word sentences
+    # PLUS the isolated clips as single-word transcripts — the comparison
+    # is architecture vs architecture, not data vs data.
+    word_labeled = {(w,): raw[w] for w in train_words}
+    word_labeled.update(sentence_feats)
+    wt.train(word_labeled)
+    word_final = wt.models()
+    t_word = time.perf_counter() - t0
+
+    # ---- phone tier ------------------------------------------------------
+    t0 = time.perf_counter()
+    boot = uniform_phone_boot(stripped, lex)
+    boot["S"] = silence
+    labeled = {(w,): raw[w] for w in train_words}
+    labeled.update(sentence_feats)
+    phone_final, _ = train_phone_models(
+        boot, labeled, lex,
+        ContinuousTrainConfig(max_iterations=args.iterations, cov_reg=0.1),
+    )
+    composed = compose_word_models(lex, phone_final)  # ALL words incl. OOV
+    t_phone = time.perf_counter() - t0
+
+    print(json.dumps({
+        "stage": "training",
+        "word_tier_params": params_of(word_final),
+        "phone_tier_params": params_of(
+            {p: m for p, m in phone_final.items()}
+        ),
+        "word_tier_wall_s": round(t_word, 1),
+        "phone_tier_wall_s": round(t_phone, 1),
+    }))
+
+    # ---- in-vocab eval ---------------------------------------------------
+    test_speakers = range(args.train_speakers,
+                          args.train_speakers + args.test_speakers)
+    truths, clips = [], []
+    k = 0
+    while len(truths) < args.eval_sentences * len(list(test_speakers)):
+        tr = tuple(str(x) for x in rng.choice(train_words, size=3))
+        for spk in test_speakers:
+            truths.append("".join(tr))
+            clips.append(corpus.sentence_audio(tr, spk, jitter_seed=200 + k))
+        k += 1
+    feats = mfcc_batch(clips)
+    accs = {}
+    for name, models in (("word_tier", word_final),
+                         ("phone_tier", composed)):
+        dec = ContinuousDecoder(models, penalty=args.penalty)
+        preds = dec.predict_batch(feats)
+        accs[name] = float(np.mean([p == t for p, t in zip(preds, truths)]))
+    print(json.dumps({
+        "stage": "in_vocab",
+        "utterances": len(feats),
+        "word_tier_acc": round(accs["word_tier"], 4),
+        "phone_tier_acc": round(accs["phone_tier"], 4),
+    }))
+
+    # ---- OOV eval (phone tier only; word tier has no model AT ALL) -------
+    oov_acc = None
+    if oov:
+        truths2, clips2 = [], []
+        for k in range(args.eval_sentences):
+            tr = (str(rng.choice(oov)), str(rng.choice(train_words)),
+                  str(rng.choice(oov)))
+            for spk in test_speakers:
+                truths2.append("".join(tr))
+                clips2.append(
+                    corpus.sentence_audio(tr, spk, jitter_seed=300 + k)
+                )
+        dec = ContinuousDecoder(composed, penalty=args.penalty)
+        preds2 = dec.predict_batch(mfcc_batch(clips2))
+        oov_acc = float(np.mean([p == t for p, t in zip(preds2, truths2)]))
+        oov_wer_pairs = [
+            ([t[i:i+3] for i in range(0, len(t), 3)],
+             [p[i:i+3] for i in range(0, len(p), 3)])
+            for t, p in zip(truths2, preds2)
+        ]
+        from cs304_tpu.reporting.metrics import corpus_wer
+
+        print(json.dumps({
+            "stage": "oov",
+            "utterances": len(clips2),
+            "phone_tier_oov_exact": round(oov_acc, 4),
+            "phone_tier_oov_wer": round(corpus_wer(oov_wer_pairs)["wer"], 4),
+            "word_tier_oov_exact": 0.0,
+            "note": "word tier cannot express unseen words — 0 by "
+                    "construction",
+        }))
+
+    print(json.dumps({
+        "metric": f"phone-tier OOV exact-sequence accuracy "
+                  f"({len(train_words)}+{len(oov)} words)",
+        "value": oov_acc if oov_acc is not None else accs["phone_tier"],
+        "unit": "accuracy",
+        "in_vocab_word_tier": round(accs["word_tier"], 4),
+        "in_vocab_phone_tier": round(accs["phone_tier"], 4),
+    }))
+    if not args.no_gates:
+        assert accs["phone_tier"] >= 0.85, accs
+        assert oov_acc is None or oov_acc >= 0.3, oov_acc
+        print(json.dumps({"gates": "pass"}))
+
+
+if __name__ == "__main__":
+    main()

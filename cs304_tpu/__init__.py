@@ -93,6 +93,12 @@ _EXPORTS = {
     "GMMContinuousTrainer": ".models.train_continuous_gmm",
     "GMMContinuousTrainConfig": ".models.train_continuous_gmm",
     "promote_to_gmm": ".models.train_continuous_gmm",
+    "Lexicon": ".models.lexicon",
+    "compose_word_models": ".models.lexicon",
+    "uniform_phone_boot": ".models.lexicon",
+    "train_phone_models": ".models.lexicon",
+    "make_word_corpus": ".data.wordvocab",
+    "make_lexicon": ".data.wordvocab",
     "save_models": ".utils.checkpoint",
     "load_models": ".utils.checkpoint",
     "save_model": ".utils.checkpoint",

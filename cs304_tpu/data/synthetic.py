@@ -242,8 +242,21 @@ class SyntheticTIDigits:
             clip = clip + rng.normal(0.0, noise_rms, clip.shape)
         return clip.astype(np.float32)
 
+    def digit_audio_with_phone_segments(
+        self, label: str, speaker: int, jitter_seed: int = 0
+    ):
+        """Like digit_audio, but also returns the TRUE per-phone sample
+        spans [(start, end), ...] — generation ground truth for
+        phone-alignment and phone-bootstrap experiments (the phone pieces
+        are concatenated, so boundaries are exact)."""
+        audio, bounds = self._digit_audio_impl(label, speaker, jitter_seed)
+        return audio, bounds
+
     def digit_audio(self, label: str, speaker: int, jitter_seed: int = 0) -> np.ndarray:
         """One spoken digit: 3 formant phones + noise, int16-scale float32."""
+        return self._digit_audio_impl(label, speaker, jitter_seed)[0]
+
+    def _digit_audio_impl(self, label: str, speaker: int, jitter_seed: int):
         params = self._speaker_params[speaker]
         # Deterministic across processes (Python's hash() is salted).
         import zlib
@@ -272,7 +285,11 @@ class SyntheticTIDigits:
         sig = np.concatenate(pieces)
         sig += rng.normal(0, 0.06, sig.shape)
         sig *= params["amp"] * 8000.0
-        return sig.astype(np.float32)
+        bounds, off = [], 0
+        for p in pieces:
+            bounds.append((off, off + len(p)))
+            off += len(p)
+        return sig.astype(np.float32), bounds
 
     def silence(self, duration: float = 0.08, seed: int = 0) -> np.ndarray:
         rng = np.random.default_rng(seed)

@@ -90,6 +90,35 @@ def make_phone_inventory(
     ]
 
 
+def _vocab_indices(
+    num_words: int,
+    phones_per_word: Tuple[int, int],
+    num_phones: int,
+    seed: int,
+) -> Dict[str, Tuple[int, ...]]:
+    """label -> phone-INDEX tuple: the one seeded draw both the acoustic
+    vocabulary (make_vocabulary) and the pronunciation lexicon
+    (make_lexicon) are derived from, so they always agree."""
+    rng = np.random.default_rng(seed + 1)
+    labels = word_labels(num_words)
+    lo, hi = phones_per_word
+    seen = set()
+    out: Dict[str, Tuple[int, ...]] = {}
+    for label in labels:
+        while True:
+            n = int(rng.integers(lo, hi + 1))
+            idx = tuple(int(i) for i in rng.integers(0, num_phones, size=n))
+            if idx not in seen:
+                seen.add(idx)
+                break
+        out[label] = idx
+    return out
+
+
+def phone_name(index: int) -> str:
+    return f"p{index:02d}"
+
+
 def make_vocabulary(
     num_words: int = 100,
     phones_per_word: Tuple[int, int] = (3, 5),
@@ -98,22 +127,35 @@ def make_vocabulary(
 ) -> Dict[str, tuple]:
     """label -> phone-template tuple, the SyntheticTIDigits.phone_templates
     format. Words are unique phone sequences of phones_per_word[0]..[1]
-    phones drawn from one shared inventory."""
+    phones drawn from one shared inventory. Longer words (default 3-5
+    phones vs the digits' fixed 3) keep whole-word collision probability
+    low even when individual phones are shared."""
     inventory = make_phone_inventory(num_phones, seed)
-    rng = np.random.default_rng(seed + 1)
-    labels = word_labels(num_words)
-    lo, hi = phones_per_word
-    seen = set()
-    vocab: Dict[str, tuple] = {}
-    for label in labels:
-        while True:
-            n = int(rng.integers(lo, hi + 1))
-            idx = tuple(int(i) for i in rng.integers(0, num_phones, size=n))
-            if idx not in seen:
-                seen.add(idx)
-                break
-        vocab[label] = tuple(inventory[i] for i in idx)
-    return vocab
+    indices = _vocab_indices(num_words, phones_per_word, num_phones, seed)
+    return {
+        label: tuple(inventory[i] for i in idx)
+        for label, idx in indices.items()
+    }
+
+
+def make_lexicon(
+    num_words: int = 100,
+    phones_per_word: Tuple[int, int] = (3, 5),
+    num_phones: int = 24,
+    seed: int = 7,
+):
+    """The GENERATION-TRUTH pronunciation lexicon of make_word_corpus:
+    word label -> tuple of phone names ("p00".."pNN"), drawn from the same
+    seeded sequence as make_vocabulary — what a real system gets from a
+    pronunciation dictionary, here known exactly by construction. Feeds the
+    tied phone tier (models/lexicon.py)."""
+    from ..models.lexicon import Lexicon
+
+    indices = _vocab_indices(num_words, phones_per_word, num_phones, seed)
+    return Lexicon({
+        label: tuple(phone_name(i) for i in idx)
+        for label, idx in indices.items()
+    })
 
 
 def make_word_corpus(

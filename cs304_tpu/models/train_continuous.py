@@ -424,9 +424,18 @@ class ContinuousTrainer:
             )
         else:
             batches = self._prepare_batches(labeled_features)
+        # The bootstrap applies whenever silence is IN the training topology:
+        # interleaved automatically (insert_silence=True), or written
+        # explicitly into the transcripts (the phone tier expands word
+        # transcripts to phone sequences with "S" between words and trains
+        # with insert_silence=False, models/lexicon.py — its noise-booted S
+        # is exactly as mismatched as the word tier's).
+        silence_in_topology = self.cfg.insert_silence or any(
+            self.cfg.silence_label in tuple(tr) for tr in labeled_features
+        )
         if self._iterations_done == 0 and (
             self.cfg.silence_bootstrap
-            and self.cfg.insert_silence
+            and silence_in_topology
             and self.cfg.silence_label in self.label_index
         ):
             if use_fused:

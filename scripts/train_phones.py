@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Train a TIED PHONE inventory from a word corpus + pronunciation lexicon.
+
+The word-tier scripts (project3/5/6) train one HMM per word (reference
+hidden_markov_model.py:211-410). This script trains the phone tier
+(models/lexicon.py): flat-start boot of shared 3-state phone HMMs, then
+tied embedded training where every occurrence of a phone IN ANY WORD pools
+into one model. The checkpoint holds the phone models + `lexicon.json`;
+decode with `transcribe.py --lexicon <ckpt>/lexicon.json` (words are
+composed from phones at load — including words added to the lexicon AFTER
+training, the OOV capability the word tier cannot express).
+
+Corpus: the generated word corpus (`--num-words`, data/wordvocab.py) with
+its generation-truth lexicon, or your own lexicon via --lexicon-in.
+"""
+from _common import base_parser, frontend_manifest, load_config, run_main
+
+import os
+
+import numpy as np
+
+from cs304_tpu.audio.endpointing import SignalSeparation
+from cs304_tpu.data.wordvocab import make_lexicon, make_word_corpus
+from cs304_tpu.models.lexicon import (
+    Lexicon,
+    train_phone_models,
+    uniform_phone_boot,
+)
+from cs304_tpu.models.train_continuous import ContinuousTrainConfig
+from cs304_tpu.models.train_kmeans import SegmentalKMeansConfig, train_word_hmm
+from cs304_tpu.ops.mfcc import mfcc_batch
+from cs304_tpu.utils.checkpoint import save_models
+
+
+def main() -> None:
+    parser = base_parser(__doc__)
+    parser.add_argument("--num-words", type=int, default=30,
+                        help="generated word-corpus vocabulary size")
+    parser.add_argument("--out-dir", default=".cache/phone_models")
+    parser.add_argument("--iterations", type=int, default=10)
+    parser.add_argument("--hold-out", type=int, default=0, metavar="K",
+                        help="exclude the last K words from ALL training "
+                             "(decode them later through the lexicon to "
+                             "demonstrate OOV support)")
+    parser.add_argument("--train-sentences", type=int, default=12)
+    parser.add_argument("--lexicon-in", default=None,
+                        help="pronunciation lexicon JSON (default: the "
+                             "corpus's generation-truth lexicon)")
+    args = parser.parse_args()
+    cfg = load_config(args)
+
+    corpus = make_word_corpus(
+        args.num_words, num_train_speakers=4, num_test_speakers=2,
+        takes_per_digit=3,
+    )
+    lex = (Lexicon.load(args.lexicon_in) if args.lexicon_in
+           else make_lexicon(args.num_words))
+    labels = corpus.labels
+    train_words = labels[: len(labels) - args.hold_out]
+    held = labels[len(labels) - args.hold_out:]
+    if held:
+        print(f"holding out of training: {held}")
+
+    mcfg = cfg.frontend.mfcc_config()
+    sep = SignalSeparation()
+    stripped = {
+        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]),
+                      cfg=mcfg)
+        for l in train_words
+    }
+    raw = {l: mfcc_batch(corpus.train_dataset[l], cfg=mcfg)
+           for l in train_words}
+    print(f"boot: {len(lex.phones)} phones from "
+          f"{sum(len(v) for v in raw.values())} clips")
+    boot = uniform_phone_boot(stripped, lex)
+    noises = [n for n in sep.get_all_noises() if len(n) >= 9 * sep.frame_size]
+    boot["S"] = train_word_hmm(
+        "S", mfcc_batch(noises, cfg=mcfg),
+        SegmentalKMeansConfig(num_states=3, max_iterations=12,
+                              length_multiple=32),
+    ).model
+
+    labeled = {(w,): raw[w] for w in train_words}
+    rng = np.random.default_rng(5)
+    added = 0
+    while added < args.train_sentences:
+        tr = tuple(str(x) for x in rng.choice(train_words, size=3))
+        if tr in labeled:
+            continue
+        labeled[tr] = mfcc_batch(
+            [corpus.sentence_audio(tr, spk, jitter_seed=added)
+             for spk in range(4)],
+            cfg=mcfg,
+        )
+        added += 1
+
+    phones, iterations = train_phone_models(
+        boot, labeled, lex,
+        ContinuousTrainConfig(max_iterations=args.iterations, cov_reg=0.1),
+    )
+    print(f"tied training: {iterations} iterations over "
+          f"{sum(len(v) for v in labeled.values())} utterances")
+
+    save_models(phones, args.out_dir, frontend=frontend_manifest(cfg))
+    lex.save(os.path.join(args.out_dir, "lexicon.json"))
+    print(f"saved {len(phones)} phone models + lexicon.json to "
+          f"{args.out_dir}")
+
+
+if __name__ == "__main__":
+    run_main(main)

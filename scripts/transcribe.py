@@ -50,6 +50,12 @@ def main() -> None:
                              "(duration-constrained trellis; 0 = off; "
                              "mutually exclusive with the other "
                              "constrained modes)")
+    parser.add_argument("--lexicon", default=None, metavar="FILE",
+                        help="pronunciation lexicon JSON: treat the "
+                             "checkpoint as PHONE models (train_phones.py) "
+                             "and compose each lexicon word from its "
+                             "phones — words added to the lexicon after "
+                             "training decode too (OOV support)")
     parser.add_argument("--batch-size", type=int, default=256)
     args = parser.parse_args()
     cfg = load_config(args)
@@ -77,8 +83,16 @@ def main() -> None:
             "and would silently drop --known-count/--grammar-strings — "
             "pick one mode"
         )
+    models = load_models(cfg.checkpoint_dir)
+    if args.lexicon:
+        from cs304_tpu.models.lexicon import Lexicon, compose_word_models
+
+        lex = Lexicon.load(args.lexicon)
+        models = compose_word_models(lex, models)
+        print(f"composed {len(lex.words)} words from "
+              f"{len(lex.phones)} phones")
     decoder = ContinuousDecoder(
-        load_models(cfg.checkpoint_dir), penalty=cfg.decode.word_penalty,
+        models, penalty=cfg.decode.word_penalty,
         beam=args.beam or None,
     )
     grammar = None

@@ -1,0 +1,225 @@
+"""Tied phone-based modeling (models/lexicon.py).
+
+Structure tests for the lexicon / composition / flat-start boot, plus the
+end-to-end payoff test: a word NEVER seen in training decodes once added to
+the lexicon (OOV support the word-tier architecture cannot express).
+"""
+import numpy as np
+import pytest
+
+from cs304_tpu.models.hmm import WordHMM, uniform_forward_log_a
+from cs304_tpu.models.lexicon import (
+    Lexicon,
+    compose_word_models,
+    train_phone_models,
+    uniform_phone_boot,
+)
+
+
+def _phone(label, center, dim=3, states=3):
+    means = np.zeros((states, dim), np.float32)
+    means[:, 0] = center
+    means[:, 1] = np.arange(states)
+    return WordHMM(
+        label=label, means=means,
+        covariances=np.tile(np.eye(dim, dtype=np.float32) * 0.3,
+                            (states, 1, 1)),
+        log_a=uniform_forward_log_a(states),
+    )
+
+
+def test_lexicon_validation():
+    with pytest.raises(ValueError):
+        Lexicon({"word": ()})
+    with pytest.raises(ValueError):
+        Lexicon({"S": ("p0",)})
+    lex = Lexicon({"ab": ("p0", "p1"), "cd": ("p1", "p2")})
+    assert lex.words == ["ab", "cd"]
+    assert lex.phones == ["p0", "p1", "p2"]
+    assert "ab" in lex and "xy" not in lex
+
+    bigger = lex.with_words({"xy": ("p2", "p0")})
+    assert "xy" in bigger and "xy" not in lex
+
+
+def test_expand_transcript():
+    lex = Lexicon({"ab": ("p0", "p1"), "cd": ("p2",)})
+    assert lex.expand_transcript(("ab", "cd")) == (
+        "S", "p0", "p1", "S", "p2", "S"
+    )
+    assert lex.expand_transcript(("ab",), insert_silence=False) == (
+        "p0", "p1"
+    )
+    # Digit-string style transcripts iterate as characters.
+    d = Lexicon({"4": ("p0",), "Z": ("p1", "p2")})
+    assert d.expand_transcript("4Z") == ("S", "p0", "S", "p1", "p2", "S")
+
+
+def test_compose_structure():
+    phones = {"p0": _phone("p0", 0.0), "p1": _phone("p1", 5.0),
+              "S": _phone("S", -5.0)}
+    lex = Lexicon({"w": ("p0", "p1", "p0")})
+    out = compose_word_models(lex, phones)
+    w = out["w"]
+    assert w.num_states == 9
+    # Free exit -> entry between consecutive phones; no other cross-block
+    # transitions.
+    assert w.log_a[2, 3] == 0.0 and w.log_a[5, 6] == 0.0
+    assert np.isneginf(w.log_a[2, 4]) and np.isneginf(w.log_a[1, 3])
+    np.testing.assert_array_equal(w.means[0:3], phones["p0"].means)
+    np.testing.assert_array_equal(w.means[3:6], phones["p1"].means)
+    # Silence passes through untouched.
+    assert out["S"] is phones["S"]
+    with pytest.raises(ValueError):
+        compose_word_models(Lexicon({"x": ("p9",)}), phones)
+
+
+def test_composed_word_decodes(rng):
+    """A composed 2-phone word wins over a word with the phones swapped —
+    the composition preserves phone ORDER."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+
+    phones = {"p0": _phone("p0", 0.0), "p1": _phone("p1", 6.0)}
+    lex = Lexicon({"fwd": ("p0", "p1"), "rev": ("p1", "p0")})
+    dec = ContinuousDecoder(compose_word_models(lex, phones), penalty=-5.0)
+    frames = []
+    for center in (0.0, 6.0):  # p0 then p1
+        for st in range(3):
+            for _ in range(2):
+                frames.append([center, st, 0.0])
+    feats = (np.asarray(frames, np.float32)
+             + rng.normal(0, 0.05, (len(frames), 3)).astype(np.float32))
+    assert dec.predict(feats) == "fwd"
+    assert dec.predict(feats[::-1]) == "rev"
+
+
+def test_uniform_phone_boot_pools_across_words():
+    lex = Lexicon({"aa": ("pA", "pB"), "bb": ("pB", "pC")})
+    t = 60
+    base = {"pA": 1.0, "pB": 5.0, "pC": 9.0}
+
+    def clip(phones):
+        segs = [np.full((t // len(phones) // 3 * 3, 2), base[p],
+                        np.float32).repeat(1, axis=0) for p in phones]
+        parts = []
+        for p in phones:
+            n = t // len(phones)
+            parts.append(np.full((n, 2), base[p], np.float32))
+        return np.concatenate(parts)
+
+    feats = {"aa": [clip(lex["aa"])] * 2, "bb": [clip(lex["bb"])] * 2}
+    boot = uniform_phone_boot(feats, lex, num_states=3)
+    assert sorted(boot) == ["pA", "pB", "pC"]
+    # pB pooled from BOTH words; all its states sit at its base value.
+    np.testing.assert_allclose(boot["pB"].means[:, 0], 5.0, atol=1e-5)
+    np.testing.assert_allclose(boot["pA"].means[:, 0], 1.0, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        uniform_phone_boot({"aa": [np.zeros((2, 2), np.float32)]},
+                           Lexicon({"aa": ("pA", "pB")}))
+
+
+def test_generation_truth_lexicon_matches_vocabulary():
+    from cs304_tpu.data.wordvocab import (
+        make_lexicon,
+        make_phone_inventory,
+        make_vocabulary,
+    )
+
+    vocab = make_vocabulary(30)
+    lex = make_lexicon(30)
+    inventory = make_phone_inventory(24)
+    assert sorted(vocab) == lex.words
+    for word, template in vocab.items():
+        names = lex[word]
+        assert len(names) == len(template)
+        for name, formants in zip(names, template):
+            assert inventory[int(name[1:])] == formants
+
+
+def test_train_phone_models_rejects_merged_expansions():
+    phones = {"p0": _phone("p0", 0.0), "S": _phone("S", -5.0)}
+    lex = Lexicon({"aa": ("p0",), "bb": ("p0",)})  # same expansion
+    feats = [np.zeros((20, 3), np.float32)]
+    with pytest.raises(ValueError):
+        train_phone_models(
+            phones, {("aa",): feats, ("bb",): feats}, lex
+        )
+
+
+@pytest.mark.slow
+def test_phone_tier_end_to_end_with_oov():
+    """Flat-start phone boot -> tied embedded training -> composed-word
+    decoding, including words NEVER seen in training (measured in the
+    benchmark at 58-67% OOV exact; gates here are set with margin under
+    the fixed seeds)."""
+    from cs304_tpu.audio.endpointing import SignalSeparation
+    from cs304_tpu.data.wordvocab import make_lexicon, make_word_corpus
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.train_continuous import ContinuousTrainConfig
+    from cs304_tpu.models.train_kmeans import (
+        SegmentalKMeansConfig,
+        train_word_hmm,
+    )
+    from cs304_tpu.ops.mfcc import mfcc_batch
+
+    n = 14
+    corpus = make_word_corpus(
+        n, num_train_speakers=4, num_test_speakers=2, takes_per_digit=3
+    )
+    lex = make_lexicon(n)
+    labels = corpus.labels
+    oov, train_words = labels[-2:], labels[:-2]
+    oov_phones = {p for w in oov for p in lex[w]}
+    assert oov_phones <= {p for w in train_words for p in lex[w]}
+
+    sep = SignalSeparation()
+    stripped = {
+        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
+        for l in train_words
+    }
+    raw = {l: mfcc_batch(corpus.train_dataset[l]) for l in train_words}
+    boot = uniform_phone_boot(stripped, lex)
+    noises = [x for x in sep.get_all_noises() if len(x) >= 9 * sep.frame_size]
+    boot["S"] = train_word_hmm(
+        "S", mfcc_batch(noises),
+        SegmentalKMeansConfig(num_states=3, max_iterations=8,
+                              length_multiple=32),
+    ).model
+
+    labeled = {(w,): raw[w] for w in train_words}
+    rng = np.random.default_rng(0)
+    for k in range(8):
+        tr = tuple(str(x) for x in rng.choice(train_words, size=3))
+        if tr in labeled:
+            continue
+        labeled[tr] = mfcc_batch([
+            corpus.sentence_audio(tr, spk, jitter_seed=k) for spk in range(4)
+        ])
+    phones, _ = train_phone_models(
+        boot, labeled, lex,
+        ContinuousTrainConfig(max_iterations=10, cov_reg=0.1),
+    )
+    dec = ContinuousDecoder(compose_word_models(lex, phones), penalty=-100.0)
+
+    # In-vocab held-out sentences stay accurate through composition.
+    truths, clips = [], []
+    for k in range(6):
+        tr = tuple(str(x) for x in rng.choice(train_words, size=3))
+        for spk in (4, 5):
+            truths.append("".join(tr))
+            clips.append(corpus.sentence_audio(tr, spk, jitter_seed=120 + k))
+    preds = dec.predict_batch(mfcc_batch(clips))
+    iv = np.mean([p == t for p, t in zip(preds, truths)])
+    assert iv >= 0.9, (iv, preds[:4], truths[:4])
+
+    # OOV: never-trained words decode through their phones.
+    truths2, clips2 = [], []
+    for k in range(6):
+        tr = (oov[0], str(rng.choice(train_words)), oov[1])
+        for spk in (4, 5):
+            truths2.append("".join(tr))
+            clips2.append(corpus.sentence_audio(tr, spk, jitter_seed=80 + k))
+    preds2 = dec.predict_batch(mfcc_batch(clips2))
+    oov_acc = np.mean([p == t for p, t in zip(preds2, truths2)])
+    assert oov_acc >= 0.4, (oov_acc, preds2[:4], truths2[:4])

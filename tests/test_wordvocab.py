@@ -41,9 +41,9 @@ def test_vocabulary_deterministic_and_unique():
     assert len({tuple(t) for t in v1.values()}) == 120
     # Words draw from a SHARED inventory (confusability): far fewer distinct
     # phones than total phone slots.
-    inventory = set(make_phone_inventory(32, seed=7))
+    inventory = set(make_phone_inventory(24, seed=7))
     for template in v1.values():
-        assert 2 <= len(template) <= 4
+        assert 3 <= len(template) <= 5
         assert set(template) <= inventory
 
 
