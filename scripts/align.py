@@ -39,6 +39,12 @@ def main() -> None:
                         help="include silence segments in the output")
     parser.add_argument("--csv-out", default=None,
                         help="write segments as pipe-CSV to this file")
+    parser.add_argument("--lexicon", default=None, metavar="FILE",
+                        help="pronunciation lexicon JSON: the checkpoint "
+                             "holds PHONE models (train_phones.py) and the "
+                             "transcripts are WORDS (comma-separated for "
+                             "multi-char labels) — output segments are "
+                             "PHONE-level timings")
     args = parser.parse_args()
     if len(args.wav) != len(args.transcript):
         raise SystemExit("error: need one --transcript per --wav")
@@ -47,9 +53,20 @@ def main() -> None:
     mcfg = cfg.frontend.mfcc_config()
 
     models = load_models(cfg.checkpoint_dir)
-    aligner = ForcedAligner(
-        models, insert_sil=not args.no_silence, cross_word=args.cross_word
-    )
+    lex = None
+    if args.lexicon:
+        from cs304_tpu.models.lexicon import Lexicon
+
+        lex = Lexicon.load(args.lexicon)
+        # Transcripts are pre-expanded to phone sequences (silence between
+        # words only), so the aligner must not interleave silence again.
+        aligner = ForcedAligner(
+            models, insert_sil=False, cross_word=args.cross_word
+        )
+    else:
+        aligner = ForcedAligner(
+            models, insert_sil=not args.no_silence, cross_word=args.cross_word
+        )
 
     rows = []
     from cs304_tpu.audio.wav import read_wav
@@ -59,7 +76,15 @@ def main() -> None:
         feats = mfcc_batch(
             [signal], cfg=replace(mcfg, sample_rate=float(rate))
         )
-        res = aligner.align(feats[0], transcript)
+        if lex is not None:
+            words = (tuple(transcript.split(","))
+                     if "," in transcript else transcript)
+            aligned_transcript = lex.expand_transcript(
+                words, insert_silence=not args.no_silence
+            )
+        else:
+            aligned_transcript = transcript
+        res = aligner.align(feats[0], aligned_transcript)
         print(f"{wav_path}  transcript={transcript}  "
               f"score={res.score:.2f}  frames={res.num_frames}")
         for w in res.word_segments(include_silence=args.include_silence):
