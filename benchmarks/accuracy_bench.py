@@ -163,13 +163,15 @@ def lattice_stats(decoder, corpus, n_digits: int = 4,
     onebest = corpus_wer([(list(t), list(p)) for t, p in zip(truths, preds)])
 
     def emissions(padded):
-        # Match the decoder's actual densities: on a GMM checkpoint the
-        # composite's own log_likelihoods would be the mixture-0 view and
-        # the oracle-vs-1-best comparison would mix acoustic models.
-        if decoder._gmm is None:
-            return None
+        # Computed ONCE per utterance and passed to every second-pass
+        # consumer (each would otherwise recompute it internally). On a GMM
+        # checkpoint the composite's own log_likelihoods would be the
+        # mixture-0 view and the oracle-vs-1-best comparison would mix
+        # acoustic models.
         import jax.numpy as jnp
 
+        if decoder._gmm is None:
+            return comp.log_likelihoods(jnp.asarray(padded))
         from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
 
         means, covs, weights = decoder._gmm
@@ -248,8 +250,9 @@ def rescore_stats(decoder, models, corpus, n_digits: int = 4,
             feats_list.append(np.asarray(mfcc_batch([u], cfg=mcfg)[0]))
 
     def emissions(padded):
+        # Once per utterance; every consumer below takes log_b.
         if decoder._gmm is None:
-            return None
+            return comp.log_likelihoods(jnp.asarray(padded))
         from cs304_tpu.ops.gaussian import gmm_log_pdf, make_gmm_params
 
         means, covs, weights = decoder._gmm
@@ -411,7 +414,7 @@ def _mean_test_acc(results: dict) -> float:
     ]))
 
 
-def ladder(corpus: SyntheticTIDigits) -> None:
+def ladder(corpus: SyntheticTIDigits, no_gates: bool = False) -> None:
     """One command, five gates: run every flagship config of the README
     accuracy ladder and gate each at its own measured level (VERDICT r2 #5).
     Shares one boot/feature pass per front-end; the GMM stage refines the
@@ -434,9 +437,10 @@ def ladder(corpus: SyntheticTIDigits) -> None:
     # Anti-saturation: the hardened corpus must keep the baseline config
     # below 100% somewhere, or the ladder's gates are vacuous.
     vit_all = [v for k, v in r_vit.items() if k.startswith("exact_seq")]
-    assert min(vit_all) < 1.0, (
-        "hardened corpus saturated at 100% everywhere — raise difficulty"
-    )
+    if not no_gates:
+        assert min(vit_all) < 1.0, (
+            "hardened corpus saturated at 100% everywhere — raise difficulty"
+        )
 
     r_bw, _, _ = run(corpus, update="baum_welch", mcfg=mcfg, prepared=prep)
     accs["baum_welch"] = _mean_test_acc(r_bw)
@@ -466,11 +470,13 @@ def ladder(corpus: SyntheticTIDigits) -> None:
         for k in LADDER_GATES if accs[k] < LADDER_GATES[k]
     }
     print(json.dumps({
-        "gates": "fail" if failures else "pass",
+        "gates": ("skipped" if no_gates
+                  else "fail" if failures else "pass"),
         "ladder": {k: round(v, 4) for k, v in accs.items()},
         "gate_levels": LADDER_GATES,
     }))
-    assert not failures, f"ladder gates failed (got, gate): {failures}"
+    if not no_gates:
+        assert not failures, f"ladder gates failed (got, gate): {failures}"
 
 
 def main() -> None:
@@ -532,7 +538,7 @@ def main() -> None:
         if args.easy:
             raise SystemExit("--ladder gates are calibrated to the hardened "
                              "corpus; drop --easy")
-        ladder(corpus)
+        ladder(corpus, no_gates=args.no_gates)
         return
     mcfg = MFCCConfig(normalization=args.normalization)
     results, decoder, final_models = run(

@@ -102,6 +102,15 @@ def _vocab_indices(
     rng = np.random.default_rng(seed + 1)
     labels = word_labels(num_words)
     lo, hi = phones_per_word
+    capacity = sum(num_phones ** n for n in range(lo, hi + 1))
+    if num_words > capacity // 2:
+        # Half-full keeps rejection sampling fast AND leaves headroom; the
+        # analogous label-space overflow raises in word_labels.
+        raise ValueError(
+            f"{num_words} unique pronunciations from {num_phones} phones x "
+            f"{lo}-{hi} slots ({capacity} possible) — enlarge the "
+            "inventory or the word length range"
+        )
     seen = set()
     out: Dict[str, Tuple[int, ...]] = {}
     for label in labels:

@@ -132,7 +132,11 @@ def compose_word_models(
             )
         parts = [phone_models[p] for p in phones]
         s_total = sum(m.num_states for m in parts)
-        d = parts[0].dim
+        dims = {m.dim for m in parts}
+        if len(dims) != 1:
+            raise ValueError(
+                f"word {word!r}: phones disagree on feature dim {dims}"
+            )
         means = np.concatenate([m.means for m in parts], axis=0)
         covs = np.concatenate([m.covariances for m in parts], axis=0)
         log_a = np.full((s_total, s_total), -np.inf, np.float32)

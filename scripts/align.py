@@ -77,8 +77,17 @@ def main() -> None:
             [signal], cfg=replace(mcfg, sample_rate=float(rate))
         )
         if lex is not None:
-            words = (tuple(transcript.split(","))
-                     if "," in transcript else transcript)
+            # Comma-split ALWAYS (a single comma-free multi-char word is a
+            # one-word transcript, not characters to iterate).
+            words = tuple(w for w in transcript.split(",") if w)
+            unknown = [w for w in words if w not in lex]
+            if not words or unknown:
+                raise SystemExit(
+                    f"error: transcript {transcript!r}: "
+                    + (f"unknown lexicon words {unknown}" if unknown
+                       else "no words")
+                    + f" — lexicon has {len(lex.words)} words"
+                )
             aligned_transcript = lex.expand_transcript(
                 words, insert_silence=not args.no_silence
             )

@@ -42,6 +42,10 @@ def main() -> None:
     if args.min_duration and (args.known_count or args.bigram_lm):
         raise SystemExit("--min-duration cannot combine with --known-count "
                          "or --bigram-lm (separate trellis compositions)")
+    if args.beam and (args.min_duration or args.known_count):
+        raise SystemExit("--beam only applies to the unconstrained trellis "
+                         "(the counted/duration kernels do not implement "
+                         "the prune)")
     cfg = load_config(args)
     corpus = load_corpus(args, cfg)
     models = load_models(cfg.checkpoint_dir)

@@ -164,6 +164,16 @@ def main() -> None:
 
             with open(args.rescore_lm) as f:
                 transcripts = [ln.strip() for ln in f if ln.strip()]
+            vocab = set(decoder.composite.labels)
+            bad = [(i + 1, t) for i, t in enumerate(transcripts)
+                   if not set(t) <= vocab]
+            if bad:
+                line_no, t = bad[0]
+                raise SystemExit(
+                    f"error: {args.rescore_lm}:{line_no}: transcript "
+                    f"{t!r} uses words outside the decode vocabulary "
+                    f"{sorted(vocab)} ({len(bad)} bad line(s))"
+                )
             bigram = train_word_bigram(
                 transcripts, labels=decoder.composite.labels
             )

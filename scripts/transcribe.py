@@ -77,6 +77,12 @@ def main() -> None:
             "error: --known-count, --grammar-strings and --min-duration "
             "are mutually exclusive"
         )
+    if constraint_flags and args.beam:
+        raise SystemExit(
+            "error: --beam only applies to the unconstrained trellis — the "
+            "counted/grammar/duration kernels do not implement the prune; "
+            "drop one of the flags"
+        )
     if constraint_flags and (args.confidence or args.timings):
         raise SystemExit(
             "error: --confidence/--timings decode the unconstrained trellis "

@@ -177,3 +177,12 @@ def test_word_corpus_end_to_end():
     preds = dec.predict_batch(mfcc_batch(clips))
     acc = np.mean([p == t for p, t in zip(preds, truths)])
     assert acc >= 0.5, (preds, truths)
+
+
+def test_vocabulary_capacity_guard():
+    """An infeasible unique-pronunciation request raises instead of
+    spinning forever in rejection sampling (review finding)."""
+    from cs304_tpu.data.wordvocab import make_vocabulary
+
+    with pytest.raises(ValueError):
+        make_vocabulary(30, phones_per_word=(1, 1), num_phones=5)
