@@ -227,8 +227,17 @@ def rescore_stats(decoder, models, corpus, n_digits: int = 4,
 
     from cs304_tpu.models.decoder import ContinuousDecoder as _Dec
     from cs304_tpu.ops.lattice import consensus_decode, forward_lattice
-    from cs304_tpu.ops.lm import rescore_nbest, train_word_bigram
-    from cs304_tpu.ops.rescore import cn_decode, confusion_network, lattice_rescore
+    from cs304_tpu.ops.lm import (
+        rescore_nbest,
+        train_word_bigram,
+        train_word_trigram,
+    )
+    from cs304_tpu.ops.rescore import (
+        cn_decode,
+        confusion_network,
+        lattice_rescore,
+        lattice_rescore_trigram,
+    )
     from cs304_tpu.reporting.metrics import corpus_wer
 
     comp = decoder.composite
@@ -240,6 +249,12 @@ def rescore_stats(decoder, models, corpus, n_digits: int = 4,
         transcripts, sorted(comp.labels), insert_silence="S" in vocab
     )
     bigram_seq = train_word_bigram(
+        transcripts, sorted(l for l in comp.labels if l != "S")
+    )
+    trigram_edge = train_word_trigram(
+        transcripts, sorted(comp.labels), insert_silence="S" in vocab
+    )
+    trigram_seq = train_word_trigram(
         transcripts, sorted(l for l in comp.labels if l != "S")
     )
 
@@ -268,7 +283,8 @@ def rescore_stats(decoder, models, corpus, n_digits: int = 4,
             models, penalty=decoder.composite.penalty,
             bigram=bigram_edge, lm_weight=lm_weight,
         ).predict_batch(feats_list),
-        "lattice_lm": [], "nbest_lm": [], "cn": [], "consensus": [],
+        "lattice_lm": [], "lattice_lm3": [], "nbest_lm": [],
+        "nbest_lm3": [], "cn": [], "consensus": [],
     }
     unreachable = 0
     for f in feats_list:
@@ -287,9 +303,20 @@ def rescore_stats(decoder, models, corpus, n_digits: int = 4,
             unreachable += 1
             text = ""
         preds["lattice_lm"].append(text)
+        try:
+            _sc3, text3, _a3 = lattice_rescore_trigram(
+                comp, lat, trigram_edge, features=padded, log_b=log_b,
+                lm_weight=lm_weight,
+            )
+        except ValueError:
+            text3 = ""
+        preds["lattice_lm3"].append(text3)
         hyps = decoder.predict_nbest(f, n=8)
         preds["nbest_lm"].append(
             rescore_nbest(hyps, bigram_seq, lm_weight)[0][1]
+        )
+        preds["nbest_lm3"].append(
+            rescore_nbest(hyps, trigram_seq, lm_weight)[0][1]
         )
         preds["cn"].append(cn_decode(confusion_network(
             comp, padded, beam=beam, log_b=log_b, length=t

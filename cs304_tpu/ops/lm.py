@@ -30,7 +30,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["WordBigram", "train_word_bigram", "pair_penalty_matrix",
+__all__ = ["WordBigram", "train_word_bigram", "WordTrigram",
+           "train_word_trigram", "pair_penalty_matrix",
            "word_pair_penalties", "rescore_nbest"]
 
 NEG = -np.inf
@@ -151,15 +152,97 @@ def pair_penalty_matrix(
 
 def rescore_nbest(
     hyps: Sequence[Tuple[float, str]],
-    bigram: WordBigram,
+    bigram,
     lm_weight: float = 1.0,
 ) -> List[Tuple[float, str]]:
     """Re-rank n-best hypotheses by combined score:
     acoustic_score + lm_weight * LM log-prob (with sentence boundaries).
-    Returns [(combined_score, text)] sorted best-first."""
+    `bigram` is any model with sequence_log_prob — WordBigram or
+    WordTrigram. Returns [(combined_score, text)] sorted best-first."""
     out = [
         (score + lm_weight * bigram.sequence_log_prob(list(text)), text)
         for score, text in hyps
     ]
     out.sort(key=lambda st: -st[0])
     return out
+
+
+@dataclass(frozen=True)
+class WordTrigram:
+    """Add-k trigram over the closed decode vocabulary.
+
+    Dense (W, W, W) table — at the 100-word scale that is 4 MB, far below
+    any sparse representation's complexity threshold. History slots use
+    W as the <s> (boundary) id, so log_p[W, W, j] is P(w_j | <s> <s>) and
+    log_p[W, i, j] is P(w_j | <s> w_i); log_p_final[a, b] is P(</s> | a b).
+    Same `sequence_log_prob` surface as WordBigram, so rescore_nbest works
+    unchanged. First-pass decoding stays bigram (the composite trellis
+    carries one word of context); trigrams apply in the second pass —
+    n-best (rescore_nbest) or lattice (rescore.lattice_rescore_trigram),
+    the standard decoder stack split.
+    """
+
+    labels: List[str]
+    log_p: np.ndarray        # (W+1, W+1, W) log P(c | a, b)
+    log_p_final: np.ndarray  # (W+1, W+1)    log P(</s> | a, b)
+
+    @property
+    def index(self) -> Dict[str, int]:
+        return {l: i for i, l in enumerate(self.labels)}
+
+    @property
+    def boundary(self) -> int:
+        return len(self.labels)
+
+    def sequence_log_prob(self, words: Sequence[str]) -> float:
+        """LM log-probability including sentence boundaries. Unknown words
+        raise KeyError (closed vocabulary, as WordBigram)."""
+        idx = self.index
+        ids = [idx[w] for w in words]
+        s = self.boundary
+        a, b = s, s
+        lp = 0.0
+        for c in ids:
+            lp += float(self.log_p[a, b, c])
+            a, b = b, c
+        lp += float(self.log_p_final[a, b])
+        return lp
+
+
+def train_word_trigram(
+    transcripts: Sequence[str],
+    labels: Sequence[str],
+    smoothing: float = 0.5,
+    insert_silence: bool = False,
+    silence_label: str = "S",
+) -> WordTrigram:
+    """Add-k-smoothed trigram (same conventions as train_word_bigram:
+    transcripts are label sequences — strings iterate per character,
+    tuples per word; every row normalizes over continuations + </s>)."""
+    labels = list(labels)
+    idx = {l: i for i, l in enumerate(labels)}
+    w = len(labels)
+    s = w  # boundary history id
+    counts = np.full((w + 1, w + 1, w), smoothing, np.float64)
+    final = np.full((w + 1, w + 1), smoothing, np.float64)
+    for tr in transcripts:
+        words = list(tr)
+        if insert_silence:
+            out = [silence_label]
+            for ch in words:
+                out += [ch, silence_label]
+            words = out
+        ids = [idx[ch] for ch in words]
+        a, b = s, s
+        for c in ids:
+            counts[a, b, c] += 1
+            a, b = b, c
+        final[a, b] += 1
+    row_tot = counts.sum(axis=2) + final
+    log_p = np.log(counts) - np.log(row_tot)[:, :, None]
+    log_p_final = np.log(final) - np.log(row_tot)
+    return WordTrigram(
+        labels=labels,
+        log_p=log_p.astype(np.float32),
+        log_p_final=log_p_final.astype(np.float32),
+    )

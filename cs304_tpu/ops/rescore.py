@@ -238,6 +238,97 @@ def lattice_rescore(composite, lattice: Lattice, log_b=None, features=None,
     return float(score), text, path_arcs
 
 
+def lattice_rescore_trigram(composite, lattice: Lattice, trigram,
+                            log_b=None, features=None,
+                            lm_weight: float = 1.0,
+                            penalty: float | None = None,
+                            boundaries: bool = False,
+                            skip_silence: bool = True,
+                            ) -> Tuple[float, str, List[LatticeArc]]:
+    """Exact best lattice path under a TRIGRAM measure (ops/lm.WordTrigram).
+
+    Same contract as lattice_rescore, but the DP state carries TWO words of
+    history — (frame node, w'', w') — so each edge scores
+    acoustic + lm_weight * log P(w | w'', w') + penalty. First-pass
+    decoding stays bigram (the trellis carries one word of context); this
+    is the standard second pass that recovers the longer context. Arc
+    labels outside the trigram vocabulary contribute the flat penalty
+    alone and a boundary history slot (the same closed-vocabulary fallback
+    the bigram pair matrix uses). boundaries=True adds the <s>-initial and
+    </s>-final terms.
+    """
+    if penalty is None:
+        penalty = composite.penalty
+    lm_idx = trigram.index
+    bnd = trigram.boundary
+
+    arcs = lattice.sorted_arcs()
+    acoustic = arc_acoustic_scores(
+        composite, arcs, log_b=log_b, features=features
+    )
+    by_start: Dict[int, List[int]] = {}
+    for i, a in enumerate(arcs):
+        by_start.setdefault(a.start, []).append(i)
+
+    # DP over (frame node, lm-history pair); bnd = sentence boundary / OOV.
+    start_hist = (bnd, bnd)
+    best: Dict[Tuple[int, int, int], float] = {(0, *start_hist): 0.0}
+    back: Dict[Tuple[int, int, int],
+               Tuple[Tuple[int, int, int], int]] = {}
+    frames = sorted({0} | {a.start for a in arcs})
+    states_at: Dict[int, set] = {0: {start_hist}}
+    for f in frames:
+        for i in by_start.get(f, []):
+            a = arcs[i]
+            w = lm_idx.get(a.label, bnd)
+            known = a.label in lm_idx
+            for hist in list(states_at.get(f, ())):
+                src = (f, *hist)
+                base = best.get(src)
+                if base is None:
+                    continue
+                edge = float(acoustic[i]) + float(penalty)
+                at_start = hist == start_hist and f == 0
+                if known and (not at_start or boundaries):
+                    edge += lm_weight * float(
+                        trigram.log_p[hist[0], hist[1], w]
+                    )
+                new_hist = (hist[1], w)
+                dst = (a.end, *new_hist)
+                sc = base + edge
+                if sc > best.get(dst, -np.inf):
+                    best[dst] = sc
+                    back[dst] = (src, i)
+                    states_at.setdefault(a.end, set()).add(new_hist)
+
+    finals = []
+    for hist in states_at.get(lattice.num_frames, ()):
+        node = (lattice.num_frames, *hist)
+        sc = best.get(node)
+        if sc is None:
+            continue
+        if boundaries:
+            sc += lm_weight * float(
+                trigram.log_p_final[hist[0], hist[1]]
+            )
+        finals.append((sc, node))
+    if not finals:
+        raise ValueError(
+            "no arc chain spans the lattice (disconnected — widen the beam)"
+        )
+    score, node = max(finals, key=lambda sn: sn[0])
+    path_arcs: List[LatticeArc] = []
+    while node in back:
+        node, i = back[node]
+        path_arcs.append(arcs[i])
+    path_arcs.reverse()
+    text = "".join(
+        a.label for a in path_arcs
+        if not (skip_silence and a.label == lattice.silence_label)
+    )
+    return float(score), text, path_arcs
+
+
 def exhaustive_lattice(composite, t_total: int) -> Lattice:
     """Every possible word arc: (start, end, w) for all spans long enough to
     traverse word w under the skip-2 band. Rescoring this lattice IS full

@@ -65,6 +65,11 @@ def main() -> None:
                              "word-bigram LM from the transcripts in FILE "
                              "(one per line, e.g. '375') and rescore the "
                              "forward lattice (--lattice-beam) with it")
+    parser.add_argument("--lm-order", type=int, default=2, choices=(2, 3),
+                        help="--rescore-lm model order: 2 = bigram lattice "
+                             "rescoring (first-pass-compatible measure), "
+                             "3 = trigram (two words of history in the "
+                             "lattice DP — the standard second pass)")
     parser.add_argument("--lm-weight", type=float, default=1.0,
                         help="LM weight for --rescore-lm")
     parser.add_argument("--consensus-net", action="store_true",
@@ -174,19 +179,32 @@ def main() -> None:
                     f"{t!r} uses words outside the decode vocabulary "
                     f"{sorted(vocab)} ({len(bad)} bad line(s))"
                 )
-            bigram = train_word_bigram(
-                transcripts, labels=decoder.composite.labels
-            )
             lat = forward_lattice(
                 decoder.composite, feats[0], beam=args.lattice_beam,
                 log_b=log_b,
             )
-            score, text, _arcs = lattice_rescore(
-                decoder.composite, lat, features=feats[0], log_b=log_b,
-                bigram=bigram, lm_weight=args.lm_weight,
-            )
+            if args.lm_order == 3:
+                from cs304_tpu.ops.lm import train_word_trigram
+                from cs304_tpu.ops.rescore import lattice_rescore_trigram
+
+                trigram = train_word_trigram(
+                    transcripts, labels=decoder.composite.labels
+                )
+                score, text, _arcs = lattice_rescore_trigram(
+                    decoder.composite, lat, trigram, features=feats[0],
+                    log_b=log_b, lm_weight=args.lm_weight,
+                )
+            else:
+                bigram = train_word_bigram(
+                    transcripts, labels=decoder.composite.labels
+                )
+                score, text, _arcs = lattice_rescore(
+                    decoder.composite, lat, features=feats[0], log_b=log_b,
+                    bigram=bigram, lm_weight=args.lm_weight,
+                )
             print(f"rescored: {text}  (score {score:.2f}, "
-                  f"{len(lat.arcs)} arcs, lm_weight {args.lm_weight})")
+                  f"{len(lat.arcs)} arcs, order {args.lm_order}, "
+                  f"lm_weight {args.lm_weight})")
         if args.consensus_net:
             from cs304_tpu.ops.rescore import cn_decode, confusion_network
 

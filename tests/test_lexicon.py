@@ -223,3 +223,41 @@ def test_phone_tier_end_to_end_with_oov():
     preds2 = dec.predict_batch(mfcc_batch(clips2))
     oov_acc = np.mean([p == t for p, t in zip(preds2, truths2)])
     assert oov_acc >= 0.4, (oov_acc, preds2[:4], truths2[:4])
+
+
+def test_composed_models_stream(rng):
+    """Composed phone-tier words are ordinary WordHMMs: the batched
+    streaming pool serves them with offline-exact results."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.ops.streaming_batch import BatchedStreamingComposite
+
+    phones = {"p0": _phone("p0", 0.0), "p1": _phone("p1", 6.0),
+              "p2": _phone("p2", -6.0)}
+    lex = Lexicon({"ka": ("p0", "p1"), "to": ("p1", "p2"),
+                   "mi": ("p2", "p0")})
+    models = compose_word_models(lex, phones)
+    dec = ContinuousDecoder(models, penalty=-5.0)
+    pool = BatchedStreamingComposite(
+        dec.composite, num_slots=2, chunk_size=8, max_frames=64
+    )
+
+    def utt(word_seq):
+        frames = []
+        for w in word_seq:
+            for p in lex[w]:
+                c = phones[p].means[0, 0]
+                for st in range(3):
+                    frames.append([c, st, 0.0])
+        return (np.asarray(frames, np.float32)
+                + rng.normal(0, 0.05, (len(frames), 3)).astype(np.float32))
+
+    utts = [utt(("ka", "to")), utt(("mi",))]
+    slots = [pool.start() for _ in utts]
+    for i, s in enumerate(slots):
+        for lo in range(0, len(utts[i]), 8):
+            pool.step({s: utts[i][lo : lo + 8]})
+    streamed = pool.finalize(slots)
+    offline = dec.predict_batch(utts)
+    for i, s in enumerate(slots):
+        assert streamed[s][1] == offline[i]
+    assert offline == ["kato", "mi"]

@@ -213,3 +213,124 @@ def test_rescore_disconnected_lattice_raises(composite):
     ])
     with pytest.raises(ValueError, match="spans"):
         lattice_rescore(composite, lat, features=np.zeros((10, 4), np.float32))
+
+
+# ---- trigram second pass (ops/lm.WordTrigram) ---------------------------
+
+def test_trigram_rows_normalize():
+    from cs304_tpu.ops.lm import train_word_trigram
+
+    tg = train_word_trigram(["112", "211", "12"], labels=["1", "2"])
+    p = np.exp(tg.log_p)              # (W+1, W+1, W)
+    p_final = np.exp(tg.log_p_final)  # (W+1, W+1)
+    np.testing.assert_allclose(
+        p.sum(axis=2) + p_final, 1.0, atol=1e-6
+    )
+
+
+def test_trigram_hand_computed():
+    """One transcript '12', smoothing 0.5, labels {1,2}: every count is
+    known exactly, so sequence_log_prob must match the closed form."""
+    from cs304_tpu.ops.lm import train_word_trigram
+
+    tg = train_word_trigram(["12"], labels=["1", "2"], smoothing=0.5)
+    s = tg.boundary
+    # history (<s>,<s>): counts [1.5, 0.5], final 0.5, total 2.5
+    assert np.exp(tg.log_p[s, s, 0]) == pytest.approx(1.5 / 2.5)
+    # history (<s>, 1): counts [0.5, 1.5], final 0.5, total 2.5
+    assert np.exp(tg.log_p[s, 0, 1]) == pytest.approx(1.5 / 2.5)
+    # history (1, 2): counts [0.5, 0.5], final 1.5, total 2.5
+    assert np.exp(tg.log_p_final[0, 1]) == pytest.approx(1.5 / 2.5)
+    want = np.log(1.5 / 2.5) * 3
+    assert tg.sequence_log_prob("12") == pytest.approx(want, abs=1e-6)
+
+
+def test_trigram_captures_order3_context():
+    """The word BEFORE last flips the preferred continuation — pure
+    order-3 signal a bigram cannot express: corpus {'121', '222'} puts
+    P(1 | 1 2) high and P(2 | 2 2) high, while the bigram, seeing only the
+    final '2', prefers '2' in BOTH contexts."""
+    from cs304_tpu.ops.lm import train_word_bigram, train_word_trigram
+
+    corpus = ["121", "222"] * 5
+    bg = train_word_bigram(corpus, labels=["1", "2"], smoothing=0.5)
+    tg = train_word_trigram(corpus, labels=["1", "2"], smoothing=0.5)
+    one, two = 0, 1
+    # Trigram: context (1, 2) -> 1; context (2, 2) -> 2.
+    assert tg.log_p[one, two, one] > tg.log_p[one, two, two] + 1.0
+    assert tg.log_p[two, two, two] > tg.log_p[two, two, one] + 1.0
+    # Bigram: after '2' it must pick one answer for both contexts.
+    assert bg.log_p[two, two] > bg.log_p[two, one]
+
+
+def test_rescore_nbest_accepts_trigram():
+    from cs304_tpu.ops.lm import rescore_nbest, train_word_trigram
+
+    tg = train_word_trigram(["121", "212"] * 5, labels=["1", "2"])
+    hyps = [(0.0, "1212"), (0.0, "121")]  # equal acoustics
+    out = rescore_nbest(hyps, tg, lm_weight=1.0)
+    assert out[0][1] == "121"
+
+
+def test_lattice_trigram_matches_brute_force(rng, composite):
+    """lattice_rescore_trigram on the exhaustive lattice == host
+    enumeration of every arc chain under the same measure."""
+    import itertools
+
+    from cs304_tpu.ops.lm import train_word_trigram
+    from cs304_tpu.ops.rescore import (
+        arc_acoustic_scores,
+        exhaustive_lattice,
+        lattice_rescore_trigram,
+    )
+
+    t = 10
+    feats = (rng.normal(size=(t, 4)) * 2).astype(np.float32)
+    lat = exhaustive_lattice(composite, t)
+    tg = train_word_trigram(["AB", "BA", "ABA"], labels=["A", "B", "S"])
+    lm_weight = 0.7
+    penalty = composite.penalty
+
+    score, text, path_arcs = lattice_rescore_trigram(
+        composite, lat, tg, features=feats, lm_weight=lm_weight,
+    )
+
+    arcs = lat.sorted_arcs()
+    acoustic = np.asarray(
+        arc_acoustic_scores(composite, arcs, features=feats)
+    )
+    lm_idx = tg.index
+    bnd = tg.boundary
+
+    def chain_score(chain):
+        sc, hist = 0.0, (bnd, bnd)
+        first = True
+        for i in chain:
+            a = arcs[i]
+            w = lm_idx.get(a.label, bnd)
+            sc += float(acoustic[i]) + penalty
+            if a.label in lm_idx and not first:
+                sc += lm_weight * float(tg.log_p[hist[0], hist[1], w])
+            hist = (hist[1], w)
+            first = False
+        return sc
+
+    # Enumerate all chains 0 -> t by DFS over arc starts.
+    by_start = {}
+    for i, a in enumerate(arcs):
+        by_start.setdefault(a.start, []).append(i)
+
+    best = [-np.inf]
+
+    def dfs(frame, chain):
+        if frame == t:
+            best[0] = max(best[0], chain_score(chain))
+            return
+        for i in by_start.get(frame, []):
+            dfs(arcs[i].end, chain + [i])
+
+    dfs(0, [])
+    assert score == pytest.approx(best[0], abs=1e-3)
+    # The returned arc path's own score reproduces the optimum too.
+    ids = [arcs.index(a) for a in path_arcs]
+    assert chain_score(ids) == pytest.approx(best[0], abs=1e-3)
