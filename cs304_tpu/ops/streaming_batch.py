@@ -90,12 +90,18 @@ def _advance(alpha, ring, t, valid, log_b, trans, seed_alpha_bias, is_entry):
     return alpha, ring, t + valid
 
 
-def _banded_coeffs(log_a, lower_of_state, is_entry, is_exit, penalty):
+def _banded_coeffs(log_a, lower_of_state, is_entry, is_exit, penalty,
+                   pair_penalty=None, word_of_state=None, uppers=None):
     """Per-state banded coefficients of the composite step — the O(S)
     structure-exploiting layout of ops/viterbi.viterbi_composite_batch_fast
     (every state has <= 3 banded predecessors; every entry state shares the
     one best-exit + penalty quantity). At large S the dense step's (B, S, S)
-    max-plus intermediate dominates HBM traffic; this one is O(B * S)."""
+    max-plus intermediate dominates HBM traffic; this one is O(B * S).
+
+    pair_penalty (W, W) swaps the flat penalty for per-(from-word, to-word)
+    values (a bigram LM, ops/lm.word_pair_penalties): the entry update
+    becomes a (W, W) tropical matvec over per-word best exits — LM-aware
+    ONLINE decoding with the same per-step cost class."""
     s = log_a.shape[0]
     to = jnp.arange(s)
     diag = jnp.diagonal(log_a)
@@ -109,8 +115,13 @@ def _banded_coeffs(log_a, lower_of_state, is_entry, is_exit, penalty):
     )
     diag_ne = jnp.where(~is_entry, diag, -jnp.inf)
     diag_e = jnp.where(is_entry, diag, -jnp.inf)
+    lm = None
+    if pair_penalty is not None:
+        lm = (jnp.asarray(pair_penalty, jnp.float32),
+              jnp.asarray(word_of_state, jnp.int32),
+              jnp.asarray(uppers, jnp.int32))
     return (sub1, sub2, diag_ne, diag_e, is_exit,
-            jnp.asarray(penalty, jnp.float32))
+            jnp.asarray(penalty, jnp.float32), lm)
 
 
 def _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_alpha_bias,
@@ -122,7 +133,7 @@ def _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_alpha_bias,
     (exits beat entry self-loops — the reference's order); parity with the
     offline fast backend is asserted in tests/test_streaming_batch.py.
     """
-    sub1, sub2, diag_ne, diag_e, is_exit, penalty = coeffs
+    sub1, sub2, diag_ne, diag_e, is_exit, penalty, lm = coeffs
     b, t_max, s = ring.shape
     c = log_b.shape[1]
     neg_inf = jnp.float32(-jnp.inf)
@@ -148,10 +159,19 @@ def _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_alpha_bias,
             jnp.where(c1 >= c0, jnp.maximum(to[None, :] - 1, 0),
                       to[None, :]),
         )
-        exit_scores = jnp.where(is_exit[None, :], alpha, neg_inf)
-        best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
-        best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
-        c_pen = best_exit + penalty
+        if lm is not None:
+            pair, word_of_state, uppers = lm
+            exit_alpha = alpha[:, uppers]                  # (B, W)
+            cand = exit_alpha[:, :, None] + pair[None, :, :]
+            best_pen_w = jnp.max(cand, axis=1)             # (B, W)
+            best_src_w = jnp.argmax(cand, axis=1)          # (B, W)
+            c_pen = best_pen_w[:, word_of_state]           # (B, S)
+            best_exit_idx = uppers[best_src_w[:, word_of_state]]
+        else:
+            exit_scores = jnp.where(is_exit[None, :], alpha, neg_inf)
+            best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
+            best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
+            c_pen = best_exit + penalty
         c_self = alpha + diag_e[None, :]
         val_e = jnp.maximum(c_pen, c_self)
         bp_e = jnp.where(c_pen >= c_self, best_exit_idx, to[None, :])
@@ -261,7 +281,8 @@ class BatchedStreamingComposite:
     def __init__(self, composite, num_slots: int = 64, chunk_size: int = 16,
                  max_frames: int = 2048, gmm_params=None,
                  max_words: int = 64, mesh=None,
-                 step_impl: str = "auto") -> None:
+                 step_impl: str = "auto", bigram=None,
+                 lm_weight: float = 1.0) -> None:
         """mesh: optional jax.sharding.Mesh with a 'data' axis — slots are
         sharded over it (each stream's recursion is independent, so the step
         and finalize programs partition with zero collectives: multi-chip
@@ -272,7 +293,13 @@ class BatchedStreamingComposite:
         flagship's 58 states), "banded" (O(S) per-state coefficients, the
         offline fast backend's layout — the dense step's (B, S, S)
         intermediate is ~260 MB/frame at S=503, B=512), or "auto" (banded
-        past 127 states, where the ring flips to int32 anyway)."""
+        past 127 states, where the ring flips to int32 anyway).
+
+        bigram (+ lm_weight): decode ONLINE under per-(word, word)
+        inter-word penalties (ops/lm.WordBigram) — the same log-linear
+        measure the offline bigram decoder uses, so streamed finals equal
+        ContinuousDecoder(bigram=...) results. Forces the banded step
+        (only it implements the (W, W) entry matvec)."""
         self.composite = composite
         self.num_slots = int(num_slots)
         self.chunk_size = int(chunk_size)
@@ -280,16 +307,31 @@ class BatchedStreamingComposite:
         self.max_words = int(max_words)
         c = composite
         s = c.num_states
-        if step_impl == "auto":
+        if bigram is not None:
+            step_impl = "banded"
+        elif step_impl == "auto":
             step_impl = "banded" if s > 127 else "dense"
         if step_impl not in ("dense", "banded"):
             raise ValueError(f"unknown step_impl {step_impl!r}")
         self.step_impl = step_impl
         if step_impl == "banded":
+            lm_args = {}
+            if bigram is not None:
+                from .lm import word_pair_penalties
+
+                lm_args = dict(
+                    pair_penalty=word_pair_penalties(
+                        composite, bigram, lm_weight
+                    ),
+                    word_of_state=np.asarray(
+                        c.word_of_state, np.int32
+                    ),
+                    uppers=np.asarray(c.uppers, np.int32),
+                )
             self._coeffs = _banded_coeffs(
                 jnp.asarray(c.log_a), jnp.asarray(c.lower_of_state),
                 jnp.asarray(c.is_entry), jnp.asarray(c.is_exit),
-                jnp.float32(c.penalty),
+                jnp.float32(c.penalty), **lm_args,
             )
             self._trans = None
         else:

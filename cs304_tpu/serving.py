@@ -82,13 +82,21 @@ class ServingSessionPool:
         max_frames: int = 4096,
         mesh=None,
         confidences: bool = False,
+        bigram=None,
+        lm_weight: float = 1.0,
     ) -> None:
         """confidences=True scores every final with a per-utterance posterior
         confidence (the minimum per-word posterior from the sum-semiring
         forward/backward pass, ops/lattice.py) — the rejection signal for
-        open-mic serving. Costs one extra vmapped pass per finals batch."""
+        open-mic serving. Costs one extra vmapped pass per finals batch.
+
+        bigram (+ lm_weight): serve under a word-bigram LM — finals AND
+        live partials decode with per-(word, word) inter-word penalties
+        (the offline bigram measure; ops/lm.WordBigram)."""
         self._confidences = confidences
-        self._decoder = ContinuousDecoder(models, penalty=penalty)
+        self._decoder = ContinuousDecoder(
+            models, penalty=penalty, bigram=bigram, lm_weight=lm_weight
+        )
         self._mcfg = mcfg
         self._partials_enabled = partials and mcfg.normalization == "per_frame"
         if partials and not self._partials_enabled:
@@ -100,6 +108,7 @@ class ServingSessionPool:
             BatchedStreamingComposite.from_models(
                 models, penalty=penalty, num_slots=num_slots,
                 chunk_size=32, max_frames=max_frames, mesh=mesh,
+                bigram=bigram, lm_weight=lm_weight,
             )
             if self._partials_enabled else None
         )

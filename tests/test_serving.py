@@ -265,3 +265,35 @@ def test_partials_disabled_mode(trained_system):
     assert [r.text for r in results[s]] == ["375"]
     assert partials[s] == []
     assert results[s][0].last_partial == ""
+
+
+def test_bigram_serving_sessions(trained_system):
+    """Sessions under a word-bigram LM: finals decode with the offline
+    bigram measure (partials run through the LM-aware banded pool step)."""
+    from cs304_tpu.ops.lm import train_word_bigram
+
+    corpus = trained_system["corpus"]
+    models = trained_system["embedded_models"]
+    bigram = train_word_bigram(
+        trained_system["train_transcripts"], sorted(models),
+        insert_silence=True,
+    )
+    pool = ServingSessionPool(
+        models, num_slots=2, bigram=bigram, lm_weight=1.0
+    )
+    offline = ContinuousDecoder(
+        models, penalty=-100.0, bigram=bigram, lm_weight=1.0
+    )
+    a = pool.open()
+    results, partials = _drain(
+        pool, {a: _session_audio(corpus, ["375"], speaker=0)}
+    )
+    assert len(results[a]) == 1
+    final = results[a][0]
+    assert final.text == "375"
+    assert partials[a]
+    # The same audio through the offline LM decoder agrees.
+    from cs304_tpu.ops.mfcc import mfcc_batch
+
+    feats = mfcc_batch([corpus.sentence_audio("375", 0)])
+    assert offline.predict_batch(feats) == [final.text]

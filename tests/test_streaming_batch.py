@@ -305,3 +305,32 @@ def test_step_impl_auto_selection():
         BatchedStreamingComposite.from_models(
             models, num_slots=2, step_impl="nope"
         )
+
+
+def test_bigram_streaming_matches_offline_lm_decode(rng):
+    """Online decoding under a bigram LM == the offline bigram decoder:
+    the banded step's (W, W) entry matvec carries the same measure."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.ops.lm import train_word_bigram
+
+    models = _models(seed=9, labels=("1", "2", "3", "S"))
+    bigram = train_word_bigram(
+        ["12", "123", "31"], labels=sorted(models), insert_silence=True
+    )
+    offline = ContinuousDecoder(
+        models, penalty=-5.0, bigram=bigram, lm_weight=1.5
+    )
+    pool = BatchedStreamingComposite(
+        offline.composite, num_slots=3, chunk_size=8, max_frames=64,
+        bigram=bigram, lm_weight=1.5,
+    )
+    assert pool.step_impl == "banded"
+    utts = _utterances(models, 3, rng)
+    slots = [pool.start() for _ in utts]
+    for i, s in enumerate(slots):
+        for lo in range(0, len(utts[i]), 8):
+            pool.step({s: utts[i][lo : lo + 8]})
+    streamed = pool.finalize(slots)
+    want = offline.predict_batch(utts)
+    for i, s in enumerate(slots):
+        assert streamed[s][1] == want[i], (i, streamed[s][1], want[i])
