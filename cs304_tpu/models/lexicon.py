@@ -120,8 +120,12 @@ def compose_word_models(
     between consecutive phones — the same cross-unit convention the
     embedded trainer's sentence topology uses (exit_only), so decode-time
     word internals match what phone training aligned. The silence model is
-    passed through unchanged when present in phone_models.
+    passed through unchanged when present in phone_models. K-mixture GMM
+    phone models compose to GMMWordHMMs (mixed inventories lift the
+    Gaussian phones to one-mixture rows).
     """
+    from .gmm_hmm import GMMWordHMM
+
     out: Dict[str, WordHMM] = {}
     for word in (lexicon.words if words is None else words):
         phones = lexicon[word]
@@ -132,13 +136,11 @@ def compose_word_models(
             )
         parts = [phone_models[p] for p in phones]
         s_total = sum(m.num_states for m in parts)
-        dims = {m.dim for m in parts}
+        dims = {int(m.means.shape[-1]) for m in parts}
         if len(dims) != 1:
             raise ValueError(
                 f"word {word!r}: phones disagree on feature dim {dims}"
             )
-        means = np.concatenate([m.means for m in parts], axis=0)
-        covs = np.concatenate([m.covariances for m in parts], axis=0)
         log_a = np.full((s_total, s_total), -np.inf, np.float32)
         base = 0
         for m in parts:
@@ -147,9 +149,46 @@ def compose_word_models(
             if base + n < s_total:
                 log_a[base + n - 1, base + n] = 0.0  # free exit -> entry
             base += n
-        out[word] = WordHMM(
-            label=word, means=means, covariances=covs, log_a=log_a
-        )
+        is_gmm = any(isinstance(m, GMMWordHMM) for m in parts)
+        if is_gmm:
+            d = dims.pop()
+            k_max = max(
+                m.num_mixtures if isinstance(m, GMMWordHMM) else 1
+                for m in parts
+            )
+            mm, cc, ww = [], [], []
+            for m in parts:
+                n = m.num_states
+                pm = np.zeros((n, k_max, d), np.float32)
+                pc = np.tile(np.eye(d, dtype=np.float32),
+                             (n, k_max, 1, 1))
+                pw = np.zeros((n, k_max), np.float32)
+                if isinstance(m, GMMWordHMM):
+                    k = m.num_mixtures
+                    pm[:, :k] = m.means
+                    pc[:, :k] = m.covariances
+                    pw[:, :k] = m.weights
+                else:
+                    pm[:, 0] = m.means
+                    pc[:, 0] = m.covariances
+                    pw[:, 0] = 1.0
+                mm.append(pm)
+                cc.append(pc)
+                ww.append(pw)
+            out[word] = GMMWordHMM(
+                label=word, means=np.concatenate(mm),
+                covariances=np.concatenate(cc),
+                weights=np.concatenate(ww), log_a=log_a,
+            )
+        else:
+            out[word] = WordHMM(
+                label=word,
+                means=np.concatenate([m.means for m in parts], axis=0),
+                covariances=np.concatenate(
+                    [m.covariances for m in parts], axis=0
+                ),
+                log_a=log_a,
+            )
     if SILENCE_LABEL in phone_models:
         out[SILENCE_LABEL] = phone_models[SILENCE_LABEL]
     return out
@@ -220,6 +259,7 @@ def train_phone_models(
     lexicon: Lexicon,
     config=None,
     mesh=None,
+    gmm_mixtures: int = 0,
 ) -> Tuple[Dict[str, WordHMM], int]:
     """Tied embedded training of the phone inventory.
 
@@ -227,7 +267,10 @@ def train_phone_models(
     Each transcript is lexicon-expanded to its phone sequence (silence
     between words) and the UNCHANGED embedded trainer re-estimates the
     phone models — every phone occurrence in every word pools into one
-    model per phone. Returns (trained phone models, iterations)."""
+    model per phone. gmm_mixtures > 1 follows the K=1 stage with embedded
+    K-mixture GMM refinement (promote_to_gmm + GMMContinuousTrainer over
+    the same expanded transcripts); the result composes to GMMWordHMMs.
+    Returns (trained phone models, K=1 iterations)."""
     from .train_continuous import ContinuousTrainConfig, ContinuousTrainer
 
     if config is None:
@@ -247,4 +290,22 @@ def train_phone_models(
         )
     trainer = ContinuousTrainer(dict(phone_models), config, mesh=mesh)
     iterations = trainer.train(expanded)
-    return trainer.models(), iterations
+    models = trainer.models()
+    if gmm_mixtures > 1:
+        from .train_continuous_gmm import (
+            GMMContinuousTrainConfig,
+            GMMContinuousTrainer,
+            promote_to_gmm,
+        )
+
+        gtr = GMMContinuousTrainer(
+            promote_to_gmm(models, gmm_mixtures),
+            GMMContinuousTrainConfig(
+                max_iterations=config.max_iterations,
+                cov_reg=config.cov_reg, insert_silence=False,
+            ),
+            mesh=mesh,
+        )
+        gtr.train(expanded)
+        models = gtr.models()
+    return models, iterations

@@ -43,6 +43,10 @@ def main() -> None:
                              "(decode them later through the lexicon to "
                              "demonstrate OOV support)")
     parser.add_argument("--train-sentences", type=int, default=12)
+    parser.add_argument("--gmm-mixtures", type=int, default=0,
+                        help="refine the tied phones with embedded "
+                             "K-mixture GMM training after the K=1 stage "
+                             "(composed words become GMM models)")
     parser.add_argument("--lexicon-in", default=None,
                         help="pronunciation lexicon JSON (default: the "
                              "corpus's generation-truth lexicon)")
@@ -97,6 +101,7 @@ def main() -> None:
     phones, iterations = train_phone_models(
         boot, labeled, lex,
         ContinuousTrainConfig(max_iterations=args.iterations, cov_reg=0.1),
+        gmm_mixtures=args.gmm_mixtures,
     )
     print(f"tied training: {iterations} iterations over "
           f"{sum(len(v) for v in labeled.values())} utterances")

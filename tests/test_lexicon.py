@@ -261,3 +261,99 @@ def test_composed_models_stream(rng):
     for i, s in enumerate(slots):
         assert streamed[s][1] == offline[i]
     assert offline == ["kato", "mi"]
+
+
+def test_compose_gmm_phones(rng):
+    """K-mixture phone models compose to GMMWordHMMs (mixed inventories
+    lift Gaussian phones to one-mixture rows) and decode."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+
+    def gmm_phone(label, center, k=2):
+        means = np.zeros((3, k, 3), np.float32)
+        means[:, :, 0] = center
+        means[:, :, 1] = np.arange(3)[:, None]
+        means[:, 1, 2] = 0.5
+        return GMMWordHMM(
+            label=label, means=means,
+            covariances=np.tile(np.eye(3, dtype=np.float32) * 0.3,
+                                (3, k, 1, 1)),
+            weights=np.full((3, k), 1.0 / k, np.float32),
+            log_a=uniform_forward_log_a(3),
+        )
+
+    phones = {"p0": gmm_phone("p0", 0.0), "p1": _phone("p1", 6.0)}
+    lex = Lexicon({"ka": ("p0", "p1"), "to": ("p1", "p0")})
+    out = compose_word_models(lex, phones)
+    w = out["ka"]
+    assert isinstance(w, GMMWordHMM)
+    assert w.num_states == 6 and w.num_mixtures == 2
+    # Gaussian phone lifted: mixture 1 has zero weight on its states.
+    np.testing.assert_array_equal(w.weights[3:, 1], 0.0)
+    assert w.log_a[2, 3] == 0.0  # free cross-phone move survives
+
+    dec = ContinuousDecoder(out, penalty=-5.0)
+    frames = []
+    for center in (0.0, 6.0):
+        for st in range(3):
+            for _ in range(2):
+                frames.append([center, st, 0.25])
+    feats = (np.asarray(frames, np.float32)
+             + rng.normal(0, 0.05, (len(frames), 3)).astype(np.float32))
+    assert dec.predict(feats) == "ka"
+
+
+@pytest.mark.slow
+def test_phone_tier_gmm_refinement():
+    """gmm_mixtures>1 refines the tied phones with embedded GMM training
+    and the composed GMM words still decode held-out sentences."""
+    from cs304_tpu.audio.endpointing import SignalSeparation
+    from cs304_tpu.data.wordvocab import make_lexicon, make_word_corpus
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.gmm_hmm import GMMWordHMM
+    from cs304_tpu.models.train_continuous import ContinuousTrainConfig
+    from cs304_tpu.models.train_kmeans import (
+        SegmentalKMeansConfig,
+        train_word_hmm,
+    )
+    from cs304_tpu.ops.mfcc import mfcc_batch
+
+    n = 10
+    corpus = make_word_corpus(
+        n, num_train_speakers=3, num_test_speakers=1, takes_per_digit=2
+    )
+    lex = make_lexicon(n)
+    words = corpus.labels
+    sep = SignalSeparation()
+    stripped = {
+        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
+        for l in words
+    }
+    raw = {l: mfcc_batch(corpus.train_dataset[l]) for l in words}
+    boot = uniform_phone_boot(stripped, lex)
+    noises = [x for x in sep.get_all_noises() if len(x) >= 9 * sep.frame_size]
+    boot["S"] = train_word_hmm(
+        "S", mfcc_batch(noises),
+        SegmentalKMeansConfig(num_states=3, max_iterations=6,
+                              length_multiple=32),
+    ).model
+    labeled = {(w,): raw[w] for w in words}
+    phones, _ = train_phone_models(
+        boot, labeled, lex,
+        ContinuousTrainConfig(max_iterations=3, cov_reg=0.1),
+        gmm_mixtures=2,
+    )
+    assert all(
+        isinstance(m, GMMWordHMM) and m.num_mixtures == 2
+        for m in phones.values()
+    )
+    dec = ContinuousDecoder(compose_word_models(lex, phones), penalty=-100.0)
+    rng = np.random.default_rng(1)
+    truths, clips = [], []
+    for k in range(4):
+        tr = tuple(str(x) for x in rng.choice(words, size=2))
+        truths.append("".join(tr))
+        clips.append(corpus.sentence_audio(tr, 3, jitter_seed=40 + k))
+    preds = dec.predict_batch(mfcc_batch(clips))
+    acc = np.mean([p == t for p, t in zip(preds, truths)])
+    assert acc >= 0.5, (preds, truths)
