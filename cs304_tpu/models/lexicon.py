@@ -21,7 +21,12 @@ grows, every occurrence of a phone in any word trains the same model, and a
 word never seen in training decodes correctly the moment it is added to the
 lexicon (OOV support — tests/test_lexicon.py proves it end to end). The
 composed word models feed the existing ContinuousDecoder / serving /
-streaming stack untouched.
+streaming stack untouched — and the rest of the capability matrix applies
+unchanged at the phone level: MAP speaker adaptation adapts the SHARED
+phones (map_adapt with expanded transcripts + insert_sil=False — one
+enrollment sentence adapts every word containing its phones), forced
+alignment yields phone timings (scripts/align.py --lexicon), and
+gmm_mixtures>1 refines the inventory with embedded K-mixture training.
 """
 from __future__ import annotations
 

@@ -357,3 +357,35 @@ def test_phone_tier_gmm_refinement():
     preds = dec.predict_batch(mfcc_batch(clips))
     acc = np.mean([p == t for p, t in zip(preds, truths)])
     assert acc >= 0.5, (preds, truths)
+
+
+def test_map_adapt_phone_models(rng):
+    """MAP speaker adaptation applies to the PHONE tier as-is: expanded
+    tuple transcripts + insert_sil=False adapt the shared phones, and the
+    adapted inventory composes into shifted word models."""
+    from cs304_tpu.models.adapt import map_adapt
+
+    phones = {"p0": _phone("p0", 0.0), "p1": _phone("p1", 6.0),
+              "S": _phone("S", -6.0)}
+    lex = Lexicon({"ka": ("p0", "p1")})
+    offset = 1.5
+
+    def utt():
+        frames = [[-6.0, st, 0.0] for st in range(3)]
+        for p in ("p0", "p1"):
+            c = phones[p].means[0, 0]
+            for st in range(3):
+                frames += [[c, st, 0.0]] * 3
+        frames += [[-6.0, st, 0.0] for st in range(3)]
+        f = np.asarray(frames, np.float32)
+        f[:, 0] += offset  # the "speaker's channel"
+        return f + rng.normal(0, 0.05, f.shape).astype(np.float32)
+
+    enroll = {lex.expand_transcript(("ka",)): [utt() for _ in range(3)]}
+    adapted = map_adapt(phones, enroll, tau=1.0, insert_sil=False)
+    # Phone means moved toward the offset channel.
+    for p in ("p0", "p1"):
+        shift = adapted[p].means[:, 0] - phones[p].means[:, 0]
+        assert shift.mean() > 0.5 * offset, (p, shift)
+    composed = compose_word_models(lex, adapted)
+    assert composed["ka"].means[0, 0] == adapted["p0"].means[0, 0]
