@@ -161,6 +161,16 @@ def decode_stage(models, corpus, eval_transcripts, mcfg, args):
     acc_beam = float(np.mean([p == t for p, t in zip(preds_beam, truths)]))
     agree = float(np.mean([a == b for a, b in zip(preds, preds_beam)]))
 
+    # Quad-form emission layout: the large-S lever (the whitening path's
+    # (T, S, D) intermediate is the decode bottleneck past a few hundred
+    # states; the quad layout is one full-depth MXU matmul).
+    quad = ContinuousDecoder(models, penalty=args.penalty, emissions="quad")
+    quad.predict_batch(feats)  # compile warmup
+    t2 = time.perf_counter()
+    preds_quad = quad.predict_batch(feats)
+    dt_quad = time.perf_counter() - t2
+    agree_quad = float(np.mean([a == b for a, b in zip(preds, preds_quad)]))
+
     print(json.dumps({
         "stage": "decode", "composite_states": s_total,
         "utterances": len(feats), "exact_seq_acc_test": round(acc, 4),
@@ -168,6 +178,8 @@ def decode_stage(models, corpus, eval_transcripts, mcfg, args):
         "beam": args.beam, "exact_seq_acc_test_beam": round(acc_beam, 4),
         "utt_per_s_beam": round(len(feats) / dt_beam, 1),
         "beam_agreement": round(agree, 4),
+        "utt_per_s_quad": round(len(feats) / dt_quad, 1),
+        "quad_agreement": round(agree_quad, 4),
     }))
     return decoder, feats, truths, acc, acc_beam
 

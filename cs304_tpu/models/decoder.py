@@ -42,6 +42,7 @@ class ContinuousDecoder:
         bigram=None,
         lm_weight: float = 1.0,
         beam: float | None = None,
+        emissions: str = "whiten",
     ) -> None:
         if isinstance(models, dict):
             models = list(models.values())
@@ -65,8 +66,17 @@ class ContinuousDecoder:
                 # (ops/viterbi.viterbi_composite_batch_fast's beam arg).
                 logger.info("beam pruning uses the fast banded backend")
                 backend = "fast"
+        if emissions not in ("whiten", "quad"):
+            raise ValueError(f"unknown emissions layout {emissions!r}")
         self.backend = backend
         self.beam = beam
+        # "whiten": f32-exact whitening matmul (reference parity). "quad":
+        # the serving path's quadratic-form layout — one (T, D^2) x (D^2, S)
+        # full-depth MXU matmul, no (T, S, D) HBM intermediate; measured
+        # 1.4x/1.9x the whitening emissions at S=503/1003 (~1e-2 absolute
+        # logpdf drift; only exact near-ties in the argmax can flip).
+        # GMM checkpoints ignore the knob (no quad form for mixtures).
+        self.emissions = emissions
         self._bigram = bigram
         self._lm_weight = lm_weight
 
@@ -514,6 +524,7 @@ class ContinuousDecoder:
             jnp.asarray(padded.data), jnp.asarray(padded.lengths),
             wos, lowers, uppers, sil,
             self.backend, lm_extras, beam=self._beam_arg(),
+            emissions=self.emissions,
         )
 
     def _consume(self, handles):
@@ -582,6 +593,7 @@ class ContinuousDecoder:
                 jnp.asarray(padded.data),
                 jnp.asarray(padded.lengths),
                 self.backend, lm_extras, beam=self._beam_arg(),
+                emissions=self.emissions,
             )
         return np.asarray(scores), np.asarray(paths), padded.lengths
 
@@ -664,13 +676,23 @@ def _run_impl(backend, log_b, log_a, lower_of_state, is_entry, is_exit,
     )
 
 
-@partial(jax.jit, static_argnames=("backend",))
+@partial(jax.jit, static_argnames=("backend", "emissions"))
 def _decode_batch(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths,
     backend: str = "scan", lm_extras=None, beam=None,
+    emissions: str = "whiten",
 ):
-    params = make_gaussian_params(means, covs)
-    log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)  # (B, T, S)
+    if emissions == "quad":
+        from ..ops.gaussian import (
+            gaussian_log_pdf_quad,
+            make_gaussian_quad_params,
+        )
+
+        qparams = make_gaussian_quad_params(means, covs)
+        log_b = jax.vmap(lambda x: gaussian_log_pdf_quad(qparams, x))(batch)
+    else:
+        params = make_gaussian_params(means, covs)
+        log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)
     return _run_impl(
         backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
         lengths, lm_extras, beam,
@@ -699,18 +721,18 @@ def _decode_batch_gmm(
 MAX_WORDS = 64
 
 
-@partial(jax.jit, static_argnames=("backend", "max_words"))
+@partial(jax.jit, static_argnames=("backend", "max_words", "emissions"))
 def _decode_batch_words(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch,
     lengths, word_of_state, lowers, uppers, silence_word,
     backend: str = "scan", lm_extras=None, max_words: int = MAX_WORDS,
-    beam=None,
+    beam=None, emissions: str = "whiten",
 ):
     from ..ops.words import words_from_paths
 
     scores, paths = _decode_batch(
         means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,
-        batch, lengths, backend, lm_extras, beam,
+        batch, lengths, backend, lm_extras, beam, emissions,
     )
     ids, counts = words_from_paths(
         paths, lengths, word_of_state, lowers, uppers, silence_word,

@@ -187,3 +187,44 @@ def test_decoder_beam_gmm(rng):
              + rng.normal(0, 0.05, (len(frames), 4)).astype(np.float32))
     assert base.predict_batch([feats]) == pruned.predict_batch([feats])
     assert pruned.predict(feats) == "ccaa"
+
+
+def test_decoder_quad_emissions_agree(rng):
+    """emissions='quad' (full-depth MXU layout) decodes the same
+    transcripts as the parity whitening layout on separated models."""
+    from cs304_tpu.data.wordvocab import word_labels
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.hmm import WordHMM
+
+    labels = word_labels(40)
+    models = {}
+    for i, label in enumerate(labels):
+        means = np.zeros((5, 3), np.float32)
+        means[:, 0] = (i % 8) * 4.0
+        means[:, 1] = (i // 8) * 4.0
+        means[:, 2] = np.arange(5)
+        models[label] = WordHMM(
+            label=label, means=means,
+            covariances=np.tile(np.eye(3, dtype=np.float32) * 0.25,
+                                (5, 1, 1)),
+            log_a=uniform_forward_log_a(5),
+        )
+    base = ContinuousDecoder(models, penalty=-8.0)
+    quad = ContinuousDecoder(models, penalty=-8.0, emissions="quad")
+    feats_list = []
+    for w1, w2 in ((3, 37), (20, 12)):
+        frames = []
+        for w in (w1, w2):
+            for st in range(5):
+                for _ in range(3):
+                    frames.append([(w % 8) * 4.0, (w // 8) * 4.0, st])
+        feats_list.append(
+            np.asarray(frames, np.float32)
+            + rng.normal(0, 0.05, (len(frames), 3)).astype(np.float32)
+        )
+    assert base.predict_batch(feats_list) == quad.predict_batch(feats_list)
+    s_b, _, _ = base.viterbi_batch(feats_list)
+    s_q, _, _ = quad.viterbi_batch(feats_list)
+    np.testing.assert_allclose(s_q, s_b, rtol=1e-4, atol=0.5)
+    with pytest.raises(ValueError):
+        ContinuousDecoder(models, emissions="nope")
