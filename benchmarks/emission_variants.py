@@ -21,9 +21,14 @@ Measured (TPU v5e, B=1024, T=151, S=58, 154,624 frames, HIGHEST):
 Conclusion: the concat build stays; the selector-matmul variant is kept as
 x2_mode="selmm" for exactness cross-checks only.
 """
+import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def time_fn(fn, *args, reps=10, windows=3):
@@ -37,6 +42,46 @@ def time_fn(fn, *args, reps=10, windows=3):
         np.asarray(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
+
+
+def states_sweep():
+    """whiten vs quad-XLA across state counts — the LARGE-vocabulary view
+    (the flagship table above is S=58). The whitening path materializes a
+    (frames, S, D) HBM intermediate that grows linearly in S; the quad
+    layout's X2 round trip is S-independent, so the crossover favors quad
+    past a few hundred states (the decoder exposes it as
+    ContinuousDecoder(emissions="quad")). Scalar-consumed outputs — the
+    (frames, S) emission matrix itself is tens of MB and would otherwise
+    time the tunnel readback, not the kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from cs304_tpu.ops.gaussian import (
+        gaussian_log_pdf,
+        gaussian_log_pdf_quad,
+        make_gaussian_params,
+        make_gaussian_quad_params,
+    )
+
+    rng = np.random.default_rng(0)
+    d = 39
+    n = 64 * 200
+    frames = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    for s_states in (58, 128, 503, 1003):
+        means = rng.normal(size=(s_states, d)).astype(np.float32)
+        a = rng.normal(size=(s_states, d, d)).astype(np.float32) * 0.1
+        covs = a @ a.transpose(0, 2, 1) + np.eye(d, dtype=np.float32)
+        p = make_gaussian_params(jnp.asarray(means), jnp.asarray(covs))
+        qp = make_gaussian_quad_params(jnp.asarray(means), jnp.asarray(covs))
+        w = jax.jit(lambda fr, p=p: jnp.sum(gaussian_log_pdf(p, fr)))
+        q = jax.jit(lambda fr, qp=qp: jnp.sum(gaussian_log_pdf_quad(qp, fr)))
+        dt_w = time_fn(w, frames, reps=5)
+        dt_q = time_fn(q, frames, reps=5)
+        flops = n * s_states * d * d * 2
+        print(f"S={s_states:5d}  whiten {dt_w*1e3:7.2f} ms "
+              f"({flops/dt_w/1e12:5.2f} TF/s)   quad {dt_q*1e3:7.2f} ms "
+              f"({flops/dt_q/1e12:5.2f} TF/s)   quad_speedup "
+              f"{dt_w/dt_q:4.2f}x")
 
 
 def main():
@@ -106,4 +151,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--states-sweep", action="store_true",
+                    help="whiten vs quad emissions at S=58..1003 "
+                         "(the large-vocabulary decode lever)")
+    if ap.parse_args().states_sweep:
+        states_sweep()
+    else:
+        main()
