@@ -127,8 +127,10 @@ class ContinuousTrainConfig:
     # that only perturbs exact near-ties in the alignment argmax. Measured
     # A/B at flagship scale on the v5e: NEUTRAL in the training loop
     # (8.7 vs 9.2 ms/iteration emission slice — training emissions are not
-    # the bottleneck the serving path's were), so "whiten" stays default;
-    # "quad" may pay off at much larger slot counts.
+    # the bottleneck the serving path's were), so "whiten" stays default.
+    # Measured at LARGE slot counts (round 3, 101 labels / 505 slots, 720
+    # utterances): quad is 1.40x the whitening iteration (5.36 -> 3.84
+    # s/iter) — flip it for 100+-word vocabularies.
     emissions: str = "whiten"
     # Cross-word transition topology of the training sentence HMM.
     # "exit_only" (default): words connect ONLY exit -> next entry, matching
