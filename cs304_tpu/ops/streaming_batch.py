@@ -217,6 +217,19 @@ def _step_gaussian_banded(alpha, ring, t, valid, feats, coeffs, seed_bias,
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
+def _step_gaussian_banded_quad(alpha, ring, t, valid, feats, coeffs,
+                               seed_bias, is_entry, qparams):
+    from .gaussian import gaussian_log_pdf_quad
+
+    b, c, d = feats.shape
+    log_b = gaussian_log_pdf_quad(qparams, feats.reshape(b * c, d)).reshape(
+        b, c, -1
+    )
+    return _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_bias,
+                           is_entry)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
 def _step_gmm_banded(alpha, ring, t, valid, feats, coeffs, seed_bias,
                      is_entry, gmm_params):
     from .gaussian import gmm_log_pdf
@@ -282,7 +295,7 @@ class BatchedStreamingComposite:
                  max_frames: int = 2048, gmm_params=None,
                  max_words: int = 64, mesh=None,
                  step_impl: str = "auto", bigram=None,
-                 lm_weight: float = 1.0) -> None:
+                 lm_weight: float = 1.0, emissions: str = "whiten") -> None:
         """mesh: optional jax.sharding.Mesh with a 'data' axis — slots are
         sharded over it (each stream's recursion is independent, so the step
         and finalize programs partition with zero collectives: multi-chip
@@ -299,7 +312,13 @@ class BatchedStreamingComposite:
         inter-word penalties (ops/lm.WordBigram) — the same log-linear
         measure the offline bigram decoder uses, so streamed finals equal
         ContinuousDecoder(bigram=...) results. Forces the banded step
-        (only it implements the (W, W) entry matvec)."""
+        (only it implements the (W, W) entry matvec).
+
+        emissions: "whiten" (default, f32-exact) or "quad" (the decoder's
+        large-vocabulary lever — the whitening step materializes a
+        (slots*chunk, S, D) intermediate per step, ~640 MB at S=1003 /
+        256 slots; quad is one full-depth MXU matmul, ~1e-2 logpdf drift).
+        Gaussian banded step only (GMM has no quad form)."""
         self.composite = composite
         self.num_slots = int(num_slots)
         self.chunk_size = int(chunk_size)
@@ -346,8 +365,22 @@ class BatchedStreamingComposite:
         )
         self._is_entry = jnp.asarray(c.is_entry)
         self._is_exit = jnp.asarray(c.is_exit)
+        if emissions not in ("whiten", "quad"):
+            raise ValueError(f"unknown emissions layout {emissions!r}")
+        if emissions == "quad" and (gmm_params is not None
+                                    or step_impl == "dense"):
+            raise ValueError(
+                "emissions='quad' needs the Gaussian banded step"
+            )
+        self.emissions = emissions
         self._gmm_params = gmm_params
         if gmm_params is None:
+            if emissions == "quad":
+                from .gaussian import make_gaussian_quad_params
+
+                self._quad = make_gaussian_quad_params(
+                    jnp.asarray(c.means), jnp.asarray(c.covariances)
+                )
             p = c.emission_params()
             self._emission = (p.means, p.whiten, p.log_norm)
         self._sharding = None
@@ -470,6 +503,12 @@ class BatchedStreamingComposite:
                     self._alpha, self._ring, t_dev, valid_dev,
                     chunk_dev, self._coeffs, self._seed_bias,
                     self._is_entry, self._gmm_params,
+                )
+            elif self.emissions == "quad":
+                self._alpha, self._ring, _ = _step_gaussian_banded_quad(
+                    self._alpha, self._ring, t_dev, valid_dev,
+                    chunk_dev, self._coeffs, self._seed_bias,
+                    self._is_entry, self._quad,
                 )
             else:
                 means, whiten, log_norm = self._emission

@@ -334,3 +334,30 @@ def test_bigram_streaming_matches_offline_lm_decode(rng):
     want = offline.predict_batch(utts)
     for i, s in enumerate(slots):
         assert streamed[s][1] == want[i], (i, streamed[s][1], want[i])
+
+
+def test_quad_streaming_matches_quad_offline(rng):
+    """emissions='quad' in the pool: transcripts match the offline
+    quad-emissions decoder (same densities, same trellis)."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+
+    models = _models(seed=5, labels=("1", "2", "3", "S"))
+    offline = ContinuousDecoder(models, penalty=-5.0, emissions="quad")
+    pool = BatchedStreamingComposite(
+        offline.composite, num_slots=2, chunk_size=8, max_frames=64,
+        step_impl="banded", emissions="quad",
+    )
+    utts = _utterances(models, 2, rng)
+    slots = [pool.start() for _ in utts]
+    for i, s in enumerate(slots):
+        for lo in range(0, len(utts[i]), 8):
+            pool.step({s: utts[i][lo : lo + 8]})
+    streamed = pool.finalize(slots)
+    want = offline.predict_batch(utts)
+    for i, s in enumerate(slots):
+        assert streamed[s][1] == want[i]
+    with pytest.raises(ValueError):
+        BatchedStreamingComposite(
+            offline.composite, num_slots=2, step_impl="dense",
+            emissions="quad",
+        )
