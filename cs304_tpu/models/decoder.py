@@ -73,9 +73,13 @@ class ContinuousDecoder:
         # "whiten": f32-exact whitening matmul (reference parity). "quad":
         # the serving path's quadratic-form layout — one (T, D^2) x (D^2, S)
         # full-depth MXU matmul, no (T, S, D) HBM intermediate; measured
-        # 1.4x/1.9x the whitening emissions at S=503/1003 (~1e-2 absolute
+        # 1.32x/1.53x the whitening emissions at S=503/1003 (~1e-2 absolute
         # logpdf drift; only exact near-ties in the argmax can flip).
-        # GMM checkpoints ignore the knob (no quad form for mixtures).
+        # Honored by predict/predict_batch/viterbi_batch,
+        # predict_signal_batch, and the counted/duration/grammar modes;
+        # n-best/lattice/posterior-confidence paths deliberately stay on
+        # the whitening layout (their posterior measures are the parity
+        # reference). GMM checkpoints ignore the knob (no quad mixtures).
         self.emissions = emissions
         self._bigram = bigram
         self._lm_weight = lm_weight
@@ -242,7 +246,7 @@ class ContinuousDecoder:
                     jnp.asarray(c.is_entry), jnp.asarray(c.is_exit), pen,
                     jnp.asarray(padded), jnp.asarray(n_samples),
                     wos, lowers, uppers, sil, mcfg, self.backend, lm_extras,
-                    beam=self._beam_arg(),
+                    beam=self._beam_arg(), emissions=self.emissions,
                 )
             _scores, ids, counts = jax.device_get(handles)
             try:
@@ -443,7 +447,8 @@ class ContinuousDecoder:
 
     def _emissions(self, batch):
         """(B, T, D) padded features -> (B, T, S) log densities with the
-        decoder's actual emission model (GMM when present)."""
+        decoder's actual emission model (GMM when present; honors the
+        emissions="quad" layout for Gaussian models)."""
         if self._gmm is not None:
             from ..ops.gaussian import gmm_log_pdf, make_gmm_params
 
@@ -452,6 +457,19 @@ class ContinuousDecoder:
                 jnp.asarray(means), jnp.asarray(covs), jnp.asarray(weights)
             )
             return jax.vmap(lambda x: gmm_log_pdf(params, x))(batch)
+        if self.emissions == "quad":
+            from ..ops.gaussian import (
+                gaussian_log_pdf_quad,
+                make_gaussian_quad_params,
+            )
+
+            qparams = make_gaussian_quad_params(
+                jnp.asarray(self.composite.means),
+                jnp.asarray(self.composite.covariances),
+            )
+            return jax.vmap(
+                lambda x: gaussian_log_pdf_quad(qparams, x)
+            )(batch)
         params = make_gaussian_params(
             jnp.asarray(self.composite.means),
             jnp.asarray(self.composite.covariances),
@@ -600,34 +618,22 @@ class ContinuousDecoder:
 
 def _lift_to_gmm(models):
     """Mixed WordHMM/GMMWordHMM list -> (gaussian boundary views, stacked
-    per-state GMM params padded to a common K)."""
-    from .gmm_hmm import GMMWordHMM
+    per-state GMM params padded to a common K — pad_mixture_params is the
+    one shared lifting convention)."""
+    from .gmm_hmm import GMMWordHMM, pad_mixture_params
 
     k_max = max(
         m.num_mixtures if isinstance(m, GMMWordHMM) else 1 for m in models
     )
     views, means_l, covs_l, weights_l = [], [], [], []
     for m in models:
+        mm, cc, ww = pad_mixture_params(m, k_max)
         if isinstance(m, GMMWordHMM):
-            s, k, d = m.means.shape
-            mm = np.zeros((s, k_max, d), np.float32)
-            cc = np.tile(np.eye(d, dtype=np.float32), (s, k_max, 1, 1))
-            ww = np.zeros((s, k_max), np.float32)
-            mm[:, :k] = m.means
-            cc[:, :k] = m.covariances
-            ww[:, :k] = m.weights
             views.append(
                 WordHMM(label=m.label, means=m.means[:, 0],
                         covariances=m.covariances[:, 0], log_a=m.log_a)
             )
         else:
-            s, d = m.means.shape
-            mm = np.zeros((s, k_max, d), np.float32)
-            cc = np.tile(np.eye(d, dtype=np.float32), (s, k_max, 1, 1))
-            ww = np.zeros((s, k_max), np.float32)
-            mm[:, 0] = m.means
-            cc[:, 0] = m.covariances
-            ww[:, 0] = 1.0
             views.append(m)
         means_l.append(mm)
         covs_l.append(cc)
@@ -741,20 +747,30 @@ def _decode_batch_words(
     return scores, ids, counts
 
 
-@partial(jax.jit, static_argnames=("mcfg", "backend", "max_words"))
+@partial(jax.jit, static_argnames=("mcfg", "backend", "max_words",
+                                   "emissions"))
 def _decode_signals_words(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, signals,
     n_samples, word_of_state, lowers, uppers, silence_word, mcfg,
     backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
-    beam=None,
+    beam=None, emissions: str = "whiten",
 ):
     """Raw (B, L) audio -> (scores, word ids, counts), one XLA program."""
     from ..ops.mfcc import mfcc_features_batch
     from ..ops.words import words_from_paths
 
     feats, n_frames = mfcc_features_batch(signals, n_samples, mcfg)
-    params = make_gaussian_params(means, covs)
-    log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(feats)
+    if emissions == "quad":
+        from ..ops.gaussian import (
+            gaussian_log_pdf_quad,
+            make_gaussian_quad_params,
+        )
+
+        qparams = make_gaussian_quad_params(means, covs)
+        log_b = jax.vmap(lambda x: gaussian_log_pdf_quad(qparams, x))(feats)
+    else:
+        params = make_gaussian_params(means, covs)
+        log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(feats)
     scores, paths = _run_impl(
         backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
         n_frames, lm_extras, beam,

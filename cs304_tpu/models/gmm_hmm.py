@@ -28,6 +28,31 @@ from .train_kmeans import HMMTrainMeanFail, SegmentalKMeansConfig, init_paramete
 logger = logging.getLogger(__name__)
 
 
+def pad_mixture_params(model, k_max: int):
+    """(means (S, K_max, D), covs, weights) for a WordHMM or GMMWordHMM,
+    padded to k_max mixtures — THE lifting convention shared by the
+    decoder's composite stack and phone-tier composition: padding mixtures
+    get zero weight (log 0 drops out of gmm_log_pdf's logsumexp) and
+    identity covariances (well-conditioned, never evaluated)."""
+    import numpy as np
+
+    s_states = model.num_states
+    d = int(model.means.shape[-1])
+    mm = np.zeros((s_states, k_max, d), np.float32)
+    cc = np.tile(np.eye(d, dtype=np.float32), (s_states, k_max, 1, 1))
+    ww = np.zeros((s_states, k_max), np.float32)
+    if isinstance(model, GMMWordHMM):
+        k = model.num_mixtures
+        mm[:, :k] = model.means
+        cc[:, :k] = model.covariances
+        ww[:, :k] = model.weights
+    else:
+        mm[:, 0] = model.means
+        cc[:, 0] = model.covariances
+        ww[:, 0] = 1.0
+    return mm, cc, ww
+
+
 @dataclass
 class GMMWordHMM:
     """A left-to-right word model with K-mixture GMM emissions."""

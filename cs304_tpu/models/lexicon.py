@@ -156,34 +156,19 @@ def compose_word_models(
             base += n
         is_gmm = any(isinstance(m, GMMWordHMM) for m in parts)
         if is_gmm:
-            d = dims.pop()
+            from .gmm_hmm import pad_mixture_params
+
             k_max = max(
                 m.num_mixtures if isinstance(m, GMMWordHMM) else 1
                 for m in parts
             )
-            mm, cc, ww = [], [], []
-            for m in parts:
-                n = m.num_states
-                pm = np.zeros((n, k_max, d), np.float32)
-                pc = np.tile(np.eye(d, dtype=np.float32),
-                             (n, k_max, 1, 1))
-                pw = np.zeros((n, k_max), np.float32)
-                if isinstance(m, GMMWordHMM):
-                    k = m.num_mixtures
-                    pm[:, :k] = m.means
-                    pc[:, :k] = m.covariances
-                    pw[:, :k] = m.weights
-                else:
-                    pm[:, 0] = m.means
-                    pc[:, 0] = m.covariances
-                    pw[:, 0] = 1.0
-                mm.append(pm)
-                cc.append(pc)
-                ww.append(pw)
+            lifted = [pad_mixture_params(m, k_max) for m in parts]
             out[word] = GMMWordHMM(
-                label=word, means=np.concatenate(mm),
-                covariances=np.concatenate(cc),
-                weights=np.concatenate(ww), log_a=log_a,
+                label=word,
+                means=np.concatenate([x[0] for x in lifted]),
+                covariances=np.concatenate([x[1] for x in lifted]),
+                weights=np.concatenate([x[2] for x in lifted]),
+                log_a=log_a,
             )
         else:
             out[word] = WordHMM(
@@ -308,6 +293,11 @@ def train_phone_models(
             GMMContinuousTrainConfig(
                 max_iterations=config.max_iterations,
                 cov_reg=config.cov_reg, insert_silence=False,
+                rtol=config.rtol, atol=config.atol,
+                on_empty_state=config.on_empty_state,
+                cross_word=config.cross_word,
+                length_multiple=min(config.length_multiple, 32),
+                silence_label=config.silence_label,
             ),
             mesh=mesh,
         )

@@ -199,6 +199,8 @@ class WordTrigram:
         raise KeyError (closed vocabulary, as WordBigram)."""
         idx = self.index
         ids = [idx[w] for w in words]
+        if not ids:
+            return 0.0  # WordBigram's empty-sequence convention
         s = self.boundary
         a, b = s, s
         lp = 0.0

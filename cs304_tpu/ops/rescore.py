@@ -287,7 +287,10 @@ def lattice_rescore_trigram(composite, lattice: Lattice, trigram,
                 base = best.get(src)
                 if base is None:
                     continue
-                edge = float(acoustic[i]) + float(penalty)
+                # First arcs (f == 0) carry no inter-word penalty — the
+                # bigram contract (lattice_rescore charges pair[c, w] only
+                # for c >= 0), so scores stay comparable across orders.
+                edge = float(acoustic[i]) + (float(penalty) if f > 0 else 0.0)
                 at_start = hist == start_hist and f == 0
                 if known and (not at_start or boundaries):
                     edge += lm_weight * float(

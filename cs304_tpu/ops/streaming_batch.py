@@ -28,6 +28,7 @@ stream's math.
 """
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Dict, List, Optional, Sequence
 
@@ -35,8 +36,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .viterbi import _backtrace, composite_transition_matrix
+from .viterbi import _backtrace, composite_transition_matrix, entry_update
 from .words import words_from_paths
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["BatchedStreamingComposite", "ring_dtype"]
 
@@ -159,19 +162,12 @@ def _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_alpha_bias,
             jnp.where(c1 >= c0, jnp.maximum(to[None, :] - 1, 0),
                       to[None, :]),
         )
-        if lm is not None:
-            pair, word_of_state, uppers = lm
-            exit_alpha = alpha[:, uppers]                  # (B, W)
-            cand = exit_alpha[:, :, None] + pair[None, :, :]
-            best_pen_w = jnp.max(cand, axis=1)             # (B, W)
-            best_src_w = jnp.argmax(cand, axis=1)          # (B, W)
-            c_pen = best_pen_w[:, word_of_state]           # (B, S)
-            best_exit_idx = uppers[best_src_w[:, word_of_state]]
-        else:
-            exit_scores = jnp.where(is_exit[None, :], alpha, neg_inf)
-            best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
-            best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
-            c_pen = best_exit + penalty
+        pair, word_of_state, uppers = lm if lm is not None else (
+            None, None, None
+        )
+        c_pen, best_exit_idx = entry_update(
+            alpha, is_exit, penalty, pair, word_of_state, uppers
+        )
         c_self = alpha + diag_e[None, :]
         val_e = jnp.maximum(c_pen, c_self)
         bp_e = jnp.where(c_pen >= c_self, best_exit_idx, to[None, :])
@@ -326,12 +322,14 @@ class BatchedStreamingComposite:
         self.max_words = int(max_words)
         c = composite
         s = c.num_states
+        if step_impl not in ("auto", "dense", "banded"):
+            raise ValueError(f"unknown step_impl {step_impl!r}")
         if bigram is not None:
+            if step_impl == "dense":
+                logger.info("bigram LM streaming uses the banded step")
             step_impl = "banded"
         elif step_impl == "auto":
             step_impl = "banded" if s > 127 else "dense"
-        if step_impl not in ("dense", "banded"):
-            raise ValueError(f"unknown step_impl {step_impl!r}")
         self.step_impl = step_impl
         if step_impl == "banded":
             lm_args = {}

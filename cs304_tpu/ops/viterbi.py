@@ -243,6 +243,35 @@ def viterbi_composite_batch(
     return jax.vmap(fn)(log_b, lengths)
 
 
+def entry_update(alpha, is_exit, penalty, pair_penalty=None,
+                 word_of_state=None, uppers=None):
+    """Word-entry predecessor candidates shared by the offline fast step
+    and the streaming banded step (ops/streaming_batch._advance_banded —
+    extracted so online/offline parity is BY CONSTRUCTION, not by keeping
+    two copies character-identical).
+
+    alpha (B, S) -> (c_pen (B, S), best_exit_idx (B, S) or (B, 1)):
+    flat penalty = one shared best-exit + penalty; pair_penalty (W, W) =
+    per-(from-word, to-word) tropical matvec over per-word best exits.
+    Tie-breaks: lowest word index wins an exact exit tie (exit states
+    ascend with word index — the dense scan's first-max).
+    """
+    neg = jnp.float32(-jnp.inf)
+    if pair_penalty is not None:
+        exit_alpha = alpha[:, uppers]                  # (B, W)
+        cand = exit_alpha[:, :, None] + pair_penalty[None, :, :]
+        best_pen_w = jnp.max(cand, axis=1)             # (B, W)
+        best_src_w = jnp.argmax(cand, axis=1)          # (B, W) word idx
+        c_pen = best_pen_w[:, word_of_state]           # (B, S)
+        best_exit_idx = uppers[best_src_w[:, word_of_state]]
+    else:
+        exit_scores = jnp.where(is_exit[None, :], alpha, neg)  # (B, S)
+        best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
+        best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
+        c_pen = best_exit + penalty
+    return c_pen, best_exit_idx
+
+
 def viterbi_composite_batch_fast(
     log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
     quirk_backtrace: bool = True, pair_penalty=None, word_of_state=None,
@@ -328,20 +357,9 @@ def viterbi_composite_batch_fast(
             jnp.where(c1 >= c0, jnp.maximum(to[None, :] - 1, 0), to[None, :]),
         )
 
-        if pair_penalty is not None:
-            # Per-word exit scores through the (W, W) bigram: the entry of
-            # word w takes max over w' of (alpha[exit_{w'}] + pair[w', w]).
-            exit_alpha = alpha[:, uppers]                  # (B, W)
-            cand = exit_alpha[:, :, None] + pair_penalty[None, :, :]
-            best_pen_w = jnp.max(cand, axis=1)             # (B, W)
-            best_src_w = jnp.argmax(cand, axis=1)          # (B, W) word idx
-            c_pen = best_pen_w[:, word_of_state]           # (B, S)
-            best_exit_idx = uppers[best_src_w[:, word_of_state]]
-        else:
-            exit_scores = jnp.where(is_exit[None, :], alpha, neg)  # (B, S)
-            best_exit = jnp.max(exit_scores, axis=1, keepdims=True)
-            best_exit_idx = jnp.argmax(exit_scores, axis=1, keepdims=True)
-            c_pen = best_exit + penalty
+        c_pen, best_exit_idx = entry_update(
+            alpha, is_exit, penalty, pair_penalty, word_of_state, uppers
+        )
         c_self = alpha + diag_e[None, :]
         # Reference orders exits before the self-loop: exits win ties (:533-547).
         val_e = jnp.maximum(c_pen, c_self)

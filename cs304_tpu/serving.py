@@ -92,7 +92,16 @@ class ServingSessionPool:
 
         bigram (+ lm_weight): serve under a word-bigram LM — finals AND
         live partials decode with per-(word, word) inter-word penalties
-        (the offline bigram measure; ops/lm.WordBigram)."""
+        (the offline bigram measure; ops/lm.WordBigram). Mutually
+        exclusive with confidences=True: the posterior pass decodes the
+        flat-penalty measure, so its transcript could silently disagree
+        with the LM partials."""
+        if bigram is not None and confidences:
+            raise ValueError(
+                "bigram and confidences cannot combine: confidence finals "
+                "decode the flat-penalty posterior measure, which would "
+                "silently drop the LM from final texts"
+            )
         self._confidences = confidences
         self._decoder = ContinuousDecoder(
             models, penalty=penalty, bigram=bigram, lm_weight=lm_weight

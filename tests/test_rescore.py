@@ -308,7 +308,9 @@ def test_lattice_trigram_matches_brute_force(rng, composite):
         for i in chain:
             a = arcs[i]
             w = lm_idx.get(a.label, bnd)
-            sc += float(acoustic[i]) + penalty
+            # Penalty per inter-word EDGE (none on the first arc) — the
+            # bigram lattice_rescore contract.
+            sc += float(acoustic[i]) + (0.0 if first else penalty)
             if a.label in lm_idx and not first:
                 sc += lm_weight * float(tg.log_p[hist[0], hist[1], w])
             hist = (hist[1], w)
