@@ -97,6 +97,9 @@ _EXPORTS = {
     "compose_word_models": ".models.lexicon",
     "uniform_phone_boot": ".models.lexicon",
     "train_phone_models": ".models.lexicon",
+    "train_biphone_models": ".models.biphone",
+    "compose_word_models_biphone": ".models.biphone",
+    "biphone_lexicon": ".models.biphone",
     "make_word_corpus": ".data.wordvocab",
     "make_lexicon": ".data.wordvocab",
     "save_models": ".utils.checkpoint",

@@ -1,0 +1,214 @@
+"""Left-context biphones: the context-dependent rung of the phone tier.
+
+The monophone tier (`models/lexicon.py`) ties every occurrence of a phone
+to ONE model, which ignores coarticulation: the same phone sounds
+different after different neighbors. The classical next rung is
+context-dependent units. This module adds LEFT-CONTEXT BIPHONES as a pure
+*relabeling* on top of the existing machinery — no new trainer, decoder,
+or topology code:
+
+  - a biphone unit is the string ``f"{prev}-{cur}"`` (phone names carry no
+    ``-``); the word-initial context is the silence label ``S``, which is
+    literally what precedes a word in this framework (the trainer
+    interleaves silence between words, reference
+    hidden_markov_model.py:794-797) — so every word's unit sequence is
+    CONTEXT-CLOSED: independent of its sentence neighbors, which keeps
+    compose-on-demand decoding and OOV words working;
+  - ``biphone_lexicon`` derives a word -> biphone-unit lexicon from the
+    pronunciation lexicon, after which `train_phone_models` trains the
+    units UNCHANGED (they are just labels to the embedded trainer);
+  - units initialize as CLONES of the trained monophones (the standard
+    context-dependent init) — before any training the tiers are
+    numerically identical, which the tests pin down;
+  - at compose time, units the training data never saw BACK OFF to their
+    monophone — a new word made of known phones still decodes (the OOV
+    guarantee survives context dependence).
+
+There is no reference equivalent (the reference is word-level only); the
+monophone tier this builds on is cited at models/lexicon.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from .hmm import WordHMM
+from .lexicon import Lexicon, SILENCE_LABEL, compose_word_models
+
+
+def biphone_label(prev: str, cur: str) -> str:
+    """Unit name for phone `cur` with left context `prev`."""
+    if "-" in cur:
+        raise ValueError(f"phone name {cur!r} may not contain '-'")
+    return f"{prev}-{cur}"
+
+
+def split_biphone(unit: str) -> Tuple[str, str]:
+    """Inverse of `biphone_label` (the context itself never contains '-')."""
+    prev, _, cur = unit.partition("-")
+    if not cur:
+        raise ValueError(f"{unit!r} is not a biphone unit")
+    return prev, cur
+
+
+def word_units(phones: Sequence[str]) -> Tuple[str, ...]:
+    """A word's pronunciation -> its left-context biphone unit sequence;
+    the first phone's context is silence (see module docstring)."""
+    prev = SILENCE_LABEL
+    out: List[str] = []
+    for p in phones:
+        out.append(biphone_label(prev, p))
+        prev = p
+    return tuple(out)
+
+
+def biphone_lexicon(
+    lexicon: Lexicon, words: Iterable[str] | None = None
+) -> Lexicon:
+    """Derive the word -> biphone-unit lexicon. Everything downstream
+    (training expansion, composition) runs on this derived lexicon with
+    the unit models standing in for phones."""
+    names = lexicon.words if words is None else list(words)
+    return Lexicon({w: word_units(lexicon[w]) for w in names})
+
+
+def observed_units(
+    lexicon: Lexicon, words: Iterable[str] | None = None
+) -> Set[str]:
+    names = lexicon.words if words is None else list(words)
+    units: Set[str] = set()
+    for w in names:
+        units.update(word_units(lexicon[w]))
+    return units
+
+
+def clone_biphone_models(
+    monophones: Dict[str, WordHMM], units: Iterable[str]
+) -> Dict[str, WordHMM]:
+    """Context-dependent initialization: each unit starts as a copy of its
+    monophone, so an untrained biphone tier is numerically the monophone
+    tier; embedded training then lets the contexts diverge."""
+    out: Dict[str, WordHMM] = {}
+    for unit in sorted(set(units)):
+        _, cur = split_biphone(unit)
+        if cur not in monophones:
+            raise ValueError(f"unit {unit!r} needs untrained phone {cur!r}")
+        m = monophones[cur]
+        if hasattr(m, "weights"):
+            raise ValueError(
+                "biphone units initialize from K=1 monophones; train the "
+                "monophone stage without gmm_mixtures and pass "
+                "gmm_mixtures to the biphone stage instead"
+            )
+        out[unit] = WordHMM(
+            label=unit,
+            means=np.array(m.means, copy=True),
+            covariances=np.array(m.covariances, copy=True),
+            log_a=np.array(m.log_a, copy=True),
+        )
+    return out
+
+
+def backoff_table(
+    biphone_models: Dict[str, WordHMM],
+    monophones: Dict[str, WordHMM],
+    units: Iterable[str],
+) -> Tuple[Dict[str, WordHMM], int]:
+    """unit -> model, backing off to the monophone for unseen units.
+    Returns (table, number of backed-off units)."""
+    table: Dict[str, WordHMM] = {}
+    backed_off = 0
+    for unit in sorted(set(units)):
+        if unit in biphone_models:
+            table[unit] = biphone_models[unit]
+        else:
+            _, cur = split_biphone(unit)
+            if cur not in monophones:
+                raise ValueError(
+                    f"unit {unit!r}: no trained biphone and no monophone "
+                    f"{cur!r} to back off to"
+                )
+            table[unit] = monophones[cur]
+            backed_off += 1
+    return table, backed_off
+
+
+def train_biphone_models(
+    monophones: Dict[str, WordHMM],
+    labeled_features: Dict[object, Sequence[np.ndarray]],
+    lexicon: Lexicon,
+    config=None,
+    mesh=None,
+    gmm_mixtures: int = 0,
+) -> Tuple[Dict[str, WordHMM], int]:
+    """Embedded training of the biphone units observed in the training
+    words, initialized from the trained monophones. `labeled_features`
+    maps WORD transcripts to utterances, exactly as for
+    `train_phone_models` — the derived biphone lexicon handles the
+    relabeling. Returns (unit models incl. silence, K=1 iterations)."""
+    from .lexicon import train_phone_models
+
+    train_words: Set[str] = set()
+    for tr in labeled_features:
+        train_words.update([tr] if isinstance(tr, str) else tr)
+    missing = sorted(w for w in train_words if w not in lexicon)
+    if missing:
+        raise ValueError(f"transcript words missing from lexicon: {missing}")
+    units = observed_units(lexicon, sorted(train_words))
+    clones = clone_biphone_models(monophones, units)
+    if SILENCE_LABEL not in monophones:
+        raise ValueError("monophones must include the silence model 'S'")
+    clones[SILENCE_LABEL] = monophones[SILENCE_LABEL]
+    blex = biphone_lexicon(lexicon)
+    return train_phone_models(
+        clones, labeled_features, blex,
+        config=config, mesh=mesh, gmm_mixtures=gmm_mixtures,
+    )
+
+
+def compose_word_models_biphone(
+    lexicon: Lexicon,
+    biphone_models: Dict[str, WordHMM],
+    monophones: Dict[str, WordHMM],
+    words: Sequence[str] | None = None,
+) -> Dict[str, WordHMM]:
+    """Per-word HMMs from biphone units with monophone back-off; the
+    concatenation itself (block-diag transitions, free exit->entry, GMM
+    lifting, silence passthrough) is `compose_word_models` on the derived
+    lexicon."""
+    names = lexicon.words if words is None else list(words)
+    blex = biphone_lexicon(lexicon, names)
+    units = observed_units(lexicon, names)
+    table, _ = backoff_table(biphone_models, monophones, units)
+    for src in (biphone_models, monophones):
+        if SILENCE_LABEL in src:
+            table[SILENCE_LABEL] = src[SILENCE_LABEL]
+            break
+    return compose_word_models(blex, table, names)
+
+
+def compose_from_checkpoint(
+    lexicon_path: str, monophones: Dict[str, WordHMM]
+) -> Tuple[Lexicon, Dict[str, WordHMM], int]:
+    """Compose word models from a phone checkpoint, biphone-aware: if a
+    ``biphones/`` directory sits next to the lexicon JSON (written by
+    ``train_phones.py --biphones``), its unit models are used with
+    monophone back-off; otherwise this is the plain monophone composition.
+    Returns (lexicon, word models, number of biphone units used)."""
+    import os
+
+    from ..utils.checkpoint import load_models
+
+    lexicon = Lexicon.load(lexicon_path)
+    bdir = os.path.join(os.path.dirname(os.path.abspath(lexicon_path)),
+                        "biphones")
+    if os.path.isdir(bdir):
+        unit_models = load_models(bdir)
+        n_units = sum(1 for u in unit_models if u != SILENCE_LABEL)
+        return (
+            lexicon,
+            compose_word_models_biphone(lexicon, unit_models, monophones),
+            n_units,
+        )
+    return lexicon, compose_word_models(lexicon, monophones), 0

@@ -47,6 +47,13 @@ def main() -> None:
                         help="refine the tied phones with embedded "
                              "K-mixture GMM training after the K=1 stage "
                              "(composed words become GMM models)")
+    parser.add_argument("--biphones", action="store_true",
+                        help="after the monophone stage, train LEFT-CONTEXT "
+                             "biphone units (models/biphone.py) initialized "
+                             "from the trained monophones; saved under "
+                             "<out-dir>/biphones/ and picked up "
+                             "automatically by transcribe.py --lexicon, "
+                             "with monophone back-off for unseen pairs")
     parser.add_argument("--lexicon-in", default=None,
                         help="pronunciation lexicon JSON (default: the "
                              "corpus's generation-truth lexicon)")
@@ -98,10 +105,13 @@ def main() -> None:
         )
         added += 1
 
+    train_cfg = ContinuousTrainConfig(max_iterations=args.iterations,
+                                      cov_reg=0.1)
     phones, iterations = train_phone_models(
-        boot, labeled, lex,
-        ContinuousTrainConfig(max_iterations=args.iterations, cov_reg=0.1),
-        gmm_mixtures=args.gmm_mixtures,
+        boot, labeled, lex, train_cfg,
+        # With --biphones the GMM refinement belongs to the unit stage;
+        # the monophones stay K=1 so unit clones and back-off are K=1.
+        gmm_mixtures=0 if args.biphones else args.gmm_mixtures,
     )
     print(f"tied training: {iterations} iterations over "
           f"{sum(len(v) for v in labeled.values())} utterances")
@@ -110,6 +120,18 @@ def main() -> None:
     lex.save(os.path.join(args.out_dir, "lexicon.json"))
     print(f"saved {len(phones)} phone models + lexicon.json to "
           f"{args.out_dir}")
+
+    if args.biphones:
+        from cs304_tpu.models.biphone import train_biphone_models
+
+        units, bi_iterations = train_biphone_models(
+            phones, labeled, lex, train_cfg,
+            gmm_mixtures=args.gmm_mixtures,
+        )
+        save_models(units, os.path.join(args.out_dir, "biphones"))
+        print(f"biphone stage: {bi_iterations} iterations; saved "
+              f"{len(units) - 1} context-dependent units to "
+              f"{os.path.join(args.out_dir, 'biphones')}")
 
 
 if __name__ == "__main__":

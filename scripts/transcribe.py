@@ -91,12 +91,12 @@ def main() -> None:
         )
     models = load_models(cfg.checkpoint_dir)
     if args.lexicon:
-        from cs304_tpu.models.lexicon import Lexicon, compose_word_models
+        from cs304_tpu.models.biphone import compose_from_checkpoint
 
-        lex = Lexicon.load(args.lexicon)
-        models = compose_word_models(lex, models)
+        lex, models, n_units = compose_from_checkpoint(args.lexicon, models)
         print(f"composed {len(lex.words)} words from "
-              f"{len(lex.phones)} phones")
+              f"{len(lex.phones)} phones"
+              + (f" + {n_units} biphone units" if n_units else ""))
     decoder = ContinuousDecoder(
         models, penalty=cfg.decode.word_penalty,
         beam=args.beam or None,
