@@ -102,6 +102,13 @@ class SyntheticTIDigits:
     # TI-Digits labels above; data.wordvocab generates 100+-word inventories
     # (multi-char labels, tuple transcripts) through this same knob.
     phone_templates: Dict[str, tuple] | None = None
+    # Left-context coarticulation: fraction of each phone's onset over which
+    # its formants GLIDE from the previous phone's realized formants (real
+    # speech transitions; 0.0 = the legacy piecewise-constant synthesis,
+    # bit-identical to prior corpora). Word-initial phones start at their
+    # own targets (silence carries no formants), matching the biphone
+    # tier's silence-context convention (models/biphone.py).
+    coarticulation: float = 0.0
 
     @classmethod
     def hard(cls, **overrides) -> "SyntheticTIDigits":
@@ -264,6 +271,7 @@ class SyntheticTIDigits:
         key = zlib.crc32(f"{label}|{speaker}|{jitter_seed}|{self.seed}".encode())
         rng = np.random.default_rng(key)
         pieces = []
+        prev_eff = None  # previous phone's realized (f1, f2) for the glide
         for f1, f2 in (self.phone_templates or _DIGIT_PHONES)[label]:
             dur = rng.uniform(0.055, 0.10) * params["rate"]
             n = max(int(dur * SAMPLE_RATE), 240)
@@ -275,12 +283,30 @@ class SyntheticTIDigits:
             # variance realistic so trained covariances are not near-singular.
             vib = 1.0 + 0.01 * np.sin(2 * np.pi * 6.0 * t + rng.uniform(0, 2 * np.pi))
             am = 1.0 + 0.15 * np.sin(2 * np.pi * 3.0 * t + rng.uniform(0, 2 * np.pi))
-            phone = (
-                np.sin(2 * np.pi * f1 * s1 * np.cumsum(vib) / SAMPLE_RATE
-                       + rng.uniform(0, 2 * np.pi))
-                + 0.6 * np.sin(2 * np.pi * f2 * s2 * np.cumsum(vib) / SAMPLE_RATE
-                               + rng.uniform(0, 2 * np.pi))
-            ) * env * am
+            n_tr = int(n * self.coarticulation) if prev_eff is not None else 0
+            if n_tr > 0:
+                # Formant trajectory: onset glides from the previous
+                # phone's realization to this phone's target. Phase is the
+                # integral of instantaneous frequency; the constant-formant
+                # branch below keeps the legacy expression (and bitstream).
+                glide = np.zeros(n)
+                glide[:n_tr] = np.linspace(1.0, 0.0, n_tr, endpoint=False)
+                f1_traj = f1 * s1 + (prev_eff[0] - f1 * s1) * glide
+                f2_traj = f2 * s2 + (prev_eff[1] - f2 * s2) * glide
+                phone = (
+                    np.sin(2 * np.pi * np.cumsum(f1_traj * vib) / SAMPLE_RATE
+                           + rng.uniform(0, 2 * np.pi))
+                    + 0.6 * np.sin(2 * np.pi * np.cumsum(f2_traj * vib) / SAMPLE_RATE
+                                   + rng.uniform(0, 2 * np.pi))
+                ) * env * am
+            else:
+                phone = (
+                    np.sin(2 * np.pi * f1 * s1 * np.cumsum(vib) / SAMPLE_RATE
+                           + rng.uniform(0, 2 * np.pi))
+                    + 0.6 * np.sin(2 * np.pi * f2 * s2 * np.cumsum(vib) / SAMPLE_RATE
+                                   + rng.uniform(0, 2 * np.pi))
+                ) * env * am
+            prev_eff = (f1 * s1, f2 * s2)
             pieces.append(phone)
         sig = np.concatenate(pieces)
         sig += rng.normal(0, 0.06, sig.shape)

@@ -195,6 +195,31 @@ def test_context_separation_end_to_end(rng):
     assert acc_mono < 1.0, "corpus failed to defeat the tied monophones"
 
 
+def test_coarticulation_glide_properties():
+    """The synthetic corpus's coarticulation knob: left-context formant
+    glides confined to phone onsets; coarticulation=0 is bit-identical to
+    the legacy piecewise-constant synthesis (no rng draws added)."""
+    from cs304_tpu.data.wordvocab import make_word_corpus
+
+    kw = dict(num_train_speakers=2, num_test_speakers=1, takes_per_digit=2)
+    c0 = make_word_corpus(6, **kw)
+    c1 = make_word_corpus(6, **kw, coarticulation=0.35)
+    czero = make_word_corpus(6, **kw, coarticulation=0.0)
+    w = c0.labels[0]
+    a0 = c0.digit_audio(w, 0, 1)
+    a1 = c1.digit_audio(w, 0, 1)
+    np.testing.assert_array_equal(a0, czero.digit_audio(w, 0, 1))
+    assert a0.shape == a1.shape  # durations draw from the same rng stream
+    bounds = c0.digit_audio_with_phone_segments(w, 0, 1)[1]
+    s0, e0 = bounds[0]
+    # Word-initial phone has no left context: identical.
+    np.testing.assert_array_equal(a0[s0:e0], a1[s0:e0])
+    # Later phones glide from the previous phone's formants at onset.
+    s1, e1 = bounds[1]
+    n_tr = int((e1 - s1) * 0.35)
+    assert not np.array_equal(a0[s1 : s1 + n_tr], a1[s1 : s1 + n_tr])
+
+
 def test_compose_from_checkpoint_roundtrip(tmp_path, rng):
     """transcribe.py's load path: a checkpoint with a biphones/ directory
     composes context-dependent words; without one it composes monophones."""
