@@ -141,12 +141,22 @@ def train_biphone_models(
     config=None,
     mesh=None,
     gmm_mixtures: int = 0,
+    smooth_tau: float | None = None,
 ) -> Tuple[Dict[str, WordHMM], int]:
     """Embedded training of the biphone units observed in the training
     words, initialized from the trained monophones. `labeled_features`
     maps WORD transcripts to utterances, exactly as for
     `train_phone_models` — the derived biphone lexicon handles the
-    relabeling. Returns (unit models incl. silence, K=1 iterations)."""
+    relabeling. Returns (unit models incl. silence, K=1 iterations).
+
+    smooth_tau: MAP-smoothed units instead of full re-estimation — the
+    monophone clone is the prior and one forced-alignment pass
+    interpolates each unit's means toward its aligned frames
+    (`models/adapt.py`: mu' = (tau*mu0 + sum_x)/(tau + count)). Rare
+    units stay near the monophone, frequent units move to their context
+    acoustics — the data-sparsity answer measured in ROADMAP.md (untied
+    units lose to monophones on sparse corpora, win at 4x data; smoothing
+    interpolates between the regimes by unit occupancy)."""
     from .lexicon import train_phone_models
 
     train_words: Set[str] = set()
@@ -161,6 +171,20 @@ def train_biphone_models(
         raise ValueError("monophones must include the silence model 'S'")
     clones[SILENCE_LABEL] = monophones[SILENCE_LABEL]
     blex = biphone_lexicon(lexicon)
+    if smooth_tau is not None:
+        if gmm_mixtures > 1:
+            raise ValueError(
+                "smooth_tau is a K=1 MAP pass; refine with gmm_mixtures "
+                "via full re-estimation instead"
+            )
+        from .adapt import map_adapt
+
+        expanded = {
+            blex.expand_transcript(tr): feats
+            for tr, feats in labeled_features.items()
+        }
+        return map_adapt(clones, expanded, tau=smooth_tau,
+                         insert_sil=False), 1
     return train_phone_models(
         clones, labeled_features, blex,
         config=config, mesh=mesh, gmm_mixtures=gmm_mixtures,

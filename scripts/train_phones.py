@@ -54,10 +54,18 @@ def main() -> None:
                              "<out-dir>/biphones/ and picked up "
                              "automatically by transcribe.py --lexicon, "
                              "with monophone back-off for unseen pairs")
+    parser.add_argument("--smooth-tau", type=float, default=None,
+                        metavar="TAU",
+                        help="with --biphones: MAP-smooth the units toward "
+                             "their monophone priors instead of full "
+                             "re-estimation (rare units stay tied, frequent "
+                             "units specialize — the sparse-data setting)")
     parser.add_argument("--lexicon-in", default=None,
                         help="pronunciation lexicon JSON (default: the "
                              "corpus's generation-truth lexicon)")
     args = parser.parse_args()
+    if args.smooth_tau is not None and not args.biphones:
+        parser.error("--smooth-tau only applies with --biphones")
     cfg = load_config(args)
 
     corpus = make_word_corpus(
@@ -127,6 +135,7 @@ def main() -> None:
         units, bi_iterations = train_biphone_models(
             phones, labeled, lex, train_cfg,
             gmm_mixtures=args.gmm_mixtures,
+            smooth_tau=args.smooth_tau,
         )
         save_models(units, os.path.join(args.out_dir, "biphones"))
         print(f"biphone stage: {bi_iterations} iterations; saved "

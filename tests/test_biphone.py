@@ -251,6 +251,31 @@ def test_compose_from_checkpoint_roundtrip(tmp_path, rng):
     assert bi_composed["ab"].means[3, 0] == 7.0  # the shifted trained unit
 
 
+def test_map_smoothed_biphones(rng):
+    """smooth_tau interpolates units between the monophone prior and full
+    context specialization: huge tau pins units at the prior; small tau
+    with ample data separates the contexts like full re-estimation."""
+    lex, boot, labeled, utt = _context_corpus(rng)
+    # Enormous tau: the aligned frames barely move the prior.
+    tied, iters = train_biphone_models(
+        dict(boot), labeled, lex, smooth_tau=1e6
+    )
+    assert iters == 1
+    np.testing.assert_allclose(
+        tied["pA-pX"].means, boot["pX"].means, atol=0.05
+    )
+    # Small tau: units reach their context realizations (pX: 3 after pA,
+    # 9 after pC) in ONE MAP pass.
+    sep, _ = train_biphone_models(dict(boot), labeled, lex, smooth_tau=1.0)
+    assert abs(sep["pA-pX"].means[:, 0].mean() - 3.0) < 1.0
+    assert abs(sep["pC-pX"].means[:, 0].mean() - 9.0) < 1.0
+
+    with pytest.raises(ValueError, match="smooth_tau"):
+        train_biphone_models(
+            dict(boot), labeled, lex, smooth_tau=1.0, gmm_mixtures=2
+        )
+
+
 def test_biphone_oov_word_decodes(rng):
     """A word added to the lexicon AFTER biphone training decodes through
     trained units where its pairs were observed and monophone back-off
