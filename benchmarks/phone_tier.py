@@ -13,8 +13,16 @@ This benchmark trains BOTH tiers on the same corpus with the last
     phone tier the moment the lexicon lists them — structurally impossible
     for the word tier (no model exists; its OOV accuracy is 0 by
     construction, not measurement)
+  - optionally (--biphones) the CONTEXT-DEPENDENT tier (models/biphone.py):
+    left-biphone units trained on top of the monophones (full
+    re-estimation, or one MAP-smoothing pass with --smooth-tau), composed
+    with monophone back-off so the OOV line still runs. Pair with
+    --coarticulation (formant glides in the synthesis) and --hard to
+    reproduce the measured context-dependence ladder in ROADMAP.md —
+    without coarticulation the corpus gives biphones nothing to win.
 
-JSON line per stage; gates at the end unless --no-gates.
+JSON line per stage; gates at the end unless --no-gates (absolute gates
+apply only at default difficulty — --hard runs are difficulty studies).
 """
 import argparse
 import json
@@ -37,8 +45,23 @@ def main() -> None:
     ap.add_argument("--eval-sentences", type=int, default=10)
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--penalty", type=float, default=-100.0)
+    ap.add_argument("--coarticulation", type=float, default=0.0,
+                    help="formant-glide fraction at phone onsets (0 = the "
+                         "legacy piecewise-constant synthesis)")
+    ap.add_argument("--hard", action="store_true",
+                    help="hardened corpus degradations (absolute gates are "
+                         "then skipped — difficulty study, not a gate run)")
+    ap.add_argument("--phones-per-word", type=int, nargs=2, default=(3, 5),
+                    metavar=("LO", "HI"))
+    ap.add_argument("--biphones", action="store_true",
+                    help="also train + evaluate the left-biphone tier")
+    ap.add_argument("--smooth-tau", type=float, default=None,
+                    help="with --biphones: MAP-smoothing pass instead of "
+                         "full unit re-estimation")
     ap.add_argument("--no-gates", action="store_true")
     args = ap.parse_args()
+    if args.smooth_tau is not None and not args.biphones:
+        ap.error("--smooth-tau only applies with --biphones")
 
     from cs304_tpu.audio.endpointing import SignalSeparation
     from cs304_tpu.data.wordvocab import make_lexicon, make_word_corpus
@@ -62,8 +85,11 @@ def main() -> None:
     corpus = make_word_corpus(
         args.num_words, num_train_speakers=args.train_speakers,
         num_test_speakers=args.test_speakers, takes_per_digit=args.takes,
+        hard=args.hard, coarticulation=args.coarticulation,
+        phones_per_word=tuple(args.phones_per_word),
     )
-    lex = make_lexicon(args.num_words)
+    lex = make_lexicon(args.num_words,
+                       phones_per_word=tuple(args.phones_per_word))
     labels = corpus.labels
     oov = labels[-args.oov_words:] if args.oov_words else []
     train_words = [l for l in labels if l not in oov]
@@ -143,7 +169,27 @@ def main() -> None:
     composed = compose_word_models(lex, phone_final)  # ALL words incl. OOV
     t_phone = time.perf_counter() - t0
 
-    print(json.dumps({
+    bi_composed = None
+    t_bi = None
+    bi_units = None
+    if args.biphones:
+        from cs304_tpu.models.biphone import (
+            compose_word_models_biphone,
+            train_biphone_models,
+        )
+
+        t0 = time.perf_counter()
+        bi_units, _ = train_biphone_models(
+            phone_final, labeled, lex,
+            ContinuousTrainConfig(max_iterations=args.iterations,
+                                  cov_reg=0.1),
+            smooth_tau=args.smooth_tau,
+        )
+        # ALL words: OOV pairs back off to the trained monophones.
+        bi_composed = compose_word_models_biphone(lex, bi_units, phone_final)
+        t_bi = time.perf_counter() - t0
+
+    training_line = {
         "stage": "training",
         "word_tier_params": params_of(word_final),
         "phone_tier_params": params_of(
@@ -151,7 +197,17 @@ def main() -> None:
         ),
         "word_tier_wall_s": round(t_word, 1),
         "phone_tier_wall_s": round(t_phone, 1),
-    }))
+    }
+    if bi_units is not None:
+        training_line["biphone_tier_params"] = params_of(bi_units)
+        training_line["biphone_units"] = sum(
+            1 for u in bi_units if u != "S"
+        )
+        training_line["biphone_tier_wall_s"] = round(t_bi, 1)
+        training_line["biphone_mode"] = (
+            "map_smoothed" if args.smooth_tau is not None else "untied"
+        )
+    print(json.dumps(training_line))
 
     # ---- in-vocab eval ---------------------------------------------------
     test_speakers = range(args.train_speakers,
@@ -165,17 +221,18 @@ def main() -> None:
             clips.append(corpus.sentence_audio(tr, spk, jitter_seed=200 + k))
         k += 1
     feats = mfcc_batch(clips)
+    tiers = [("word_tier", word_final), ("phone_tier", composed)]
+    if bi_composed is not None:
+        tiers.append(("biphone_tier", bi_composed))
     accs = {}
-    for name, models in (("word_tier", word_final),
-                         ("phone_tier", composed)):
+    for name, models in tiers:
         dec = ContinuousDecoder(models, penalty=args.penalty)
         preds = dec.predict_batch(feats)
         accs[name] = float(np.mean([p == t for p, t in zip(preds, truths)]))
     print(json.dumps({
         "stage": "in_vocab",
         "utterances": len(feats),
-        "word_tier_acc": round(accs["word_tier"], 4),
-        "phone_tier_acc": round(accs["phone_tier"], 4),
+        **{f"{name}_acc": round(a, 4) for name, a in accs.items()},
     }))
 
     # ---- OOV eval (phone tier only; word tier has no model AT ALL) -------
@@ -190,8 +247,9 @@ def main() -> None:
                 clips2.append(
                     corpus.sentence_audio(tr, spk, jitter_seed=300 + k)
                 )
+        feats2 = mfcc_batch(clips2)
         dec = ContinuousDecoder(composed, penalty=args.penalty)
-        preds2 = dec.predict_batch(mfcc_batch(clips2))
+        preds2 = dec.predict_batch(feats2)
         oov_acc = float(np.mean([p == t for p, t in zip(preds2, truths2)]))
         oov_wer_pairs = [
             ([t[i:i+3] for i in range(0, len(t), 3)],
@@ -200,7 +258,7 @@ def main() -> None:
         ]
         from cs304_tpu.reporting.metrics import corpus_wer
 
-        print(json.dumps({
+        oov_line = {
             "stage": "oov",
             "utterances": len(clips2),
             "phone_tier_oov_exact": round(oov_acc, 4),
@@ -208,20 +266,36 @@ def main() -> None:
             "word_tier_oov_exact": 0.0,
             "note": "word tier cannot express unseen words — 0 by "
                     "construction",
-        }))
+        }
+        if bi_composed is not None:
+            preds_bi = ContinuousDecoder(
+                bi_composed, penalty=args.penalty
+            ).predict_batch(feats2)
+            oov_line["biphone_tier_oov_exact"] = round(float(np.mean(
+                [p == t for p, t in zip(preds_bi, truths2)]
+            )), 4)
+        print(json.dumps(oov_line))
 
     print(json.dumps({
         "metric": f"phone-tier OOV exact-sequence accuracy "
                   f"({len(train_words)}+{len(oov)} words)",
         "value": oov_acc if oov_acc is not None else accs["phone_tier"],
         "unit": "accuracy",
-        "in_vocab_word_tier": round(accs["word_tier"], 4),
-        "in_vocab_phone_tier": round(accs["phone_tier"], 4),
+        **{f"in_vocab_{name}": round(a, 4) for name, a in accs.items()},
     }))
     if not args.no_gates:
-        assert accs["phone_tier"] >= 0.85, accs
-        assert oov_acc is None or oov_acc >= 0.3, oov_acc
-        print(json.dumps({"gates": "pass"}))
+        if args.hard:
+            print(json.dumps({
+                "gates": "skipped",
+                "note": "--hard is a difficulty study; absolute gates "
+                        "apply at default difficulty only",
+            }))
+        else:
+            assert accs["phone_tier"] >= 0.85, accs
+            assert oov_acc is None or oov_acc >= 0.3, oov_acc
+            if "biphone_tier" in accs:
+                assert accs["biphone_tier"] >= 0.85, accs
+            print(json.dumps({"gates": "pass"}))
 
 
 if __name__ == "__main__":
