@@ -54,14 +54,42 @@ def main() -> None:
 
     models = load_models(cfg.checkpoint_dir)
     lex = None
+    expand_lex = None
     if args.lexicon:
+        import os as _os
+
         from cs304_tpu.models.lexicon import Lexicon
 
         lex = Lexicon.load(args.lexicon)
+        expand_lex = lex
+        align_models = models
+        bdir = _os.path.join(
+            _os.path.dirname(_os.path.abspath(args.lexicon)), "biphones"
+        )
+        if _os.path.isdir(bdir):
+            # Context-dependent alignment: expand through the derived
+            # biphone lexicon and align against the unit models (unseen
+            # pairs back off to the monophones) — segment names carry the
+            # context ("pA-pB"), i.e. phone timings with context labels.
+            from cs304_tpu.models.biphone import (
+                backoff_table,
+                biphone_lexicon,
+                observed_units,
+            )
+
+            unit_models = load_models(bdir)
+            table, backed = backoff_table(
+                unit_models, models, observed_units(lex)
+            )
+            table["S"] = unit_models.get("S", models["S"])
+            expand_lex = biphone_lexicon(lex)
+            align_models = table
+            print(f"biphone alignment: {len(table) - 1} units "
+                  f"({backed} backed off to monophones)")
         # Transcripts are pre-expanded to phone sequences (silence between
         # words only), so the aligner must not interleave silence again.
         aligner = ForcedAligner(
-            models, insert_sil=False, cross_word=args.cross_word
+            align_models, insert_sil=False, cross_word=args.cross_word
         )
     else:
         aligner = ForcedAligner(
@@ -88,7 +116,7 @@ def main() -> None:
                        else "no words")
                     + f" — lexicon has {len(lex.words)} words"
                 )
-            aligned_transcript = lex.expand_transcript(
+            aligned_transcript = expand_lex.expand_transcript(
                 words, insert_silence=not args.no_silence
             )
         else:

@@ -276,6 +276,65 @@ def test_map_smoothed_biphones(rng):
         )
 
 
+def test_biphone_forced_alignment(rng):
+    """Forced alignment against biphone UNITS (align.py --lexicon with a
+    biphones/ checkpoint): expansion through the derived lexicon, unit
+    models with monophone back-off, silence pre-interleaved."""
+    from cs304_tpu.models.align import ForcedAligner
+    from cs304_tpu.models.lexicon import train_phone_models
+    from cs304_tpu.models.train_continuous import ContinuousTrainConfig
+
+    lex, boot, labeled, utt = _context_corpus(rng)
+    cfg = ContinuousTrainConfig(max_iterations=4, cov_reg=0.05,
+                                length_multiple=32)
+    mono, _ = train_phone_models(dict(boot), labeled, lex, config=cfg)
+    bi, _ = train_biphone_models(dict(boot), labeled, lex, config=cfg)
+
+    blex = biphone_lexicon(lex)
+    table, _ = backoff_table(bi, mono, observed_units(lex))
+    table["S"] = bi["S"]
+    aligner = ForcedAligner(table, insert_sil=False)
+    clip = utt("ax")
+    res = aligner.align(clip, blex.expand_transcript(("ax",)))
+    segs = res.word_segments(include_silence=False)
+    assert [s.word for s in segs] == ["S-pA", "pA-pX"]
+    # The context-shifted phone's frames sit in the second half of speech.
+    assert segs[1].start_frame > segs[0].start_frame
+    assert res.num_frames == len(clip)
+
+
+def test_composed_biphone_words_stream(rng):
+    """Composed biphone words are ordinary WordHMMs: the batched streaming
+    pool serves them with offline-exact finals (the serving stack needs no
+    biphone awareness)."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.lexicon import train_phone_models
+    from cs304_tpu.models.train_continuous import ContinuousTrainConfig
+    from cs304_tpu.ops.streaming_batch import BatchedStreamingComposite
+
+    lex, boot, labeled, utt = _context_corpus(rng)
+    cfg = ContinuousTrainConfig(max_iterations=3, cov_reg=0.05,
+                                length_multiple=32)
+    mono, _ = train_phone_models(dict(boot), labeled, lex, config=cfg)
+    bi, _ = train_biphone_models(dict(boot), labeled, lex, config=cfg)
+    dec = ContinuousDecoder(
+        compose_word_models_biphone(lex, bi, mono), penalty=-5.0
+    )
+    pool = BatchedStreamingComposite(
+        dec.composite, num_slots=2, chunk_size=8, max_frames=128
+    )
+    utts = [utt("ax"), utt("cy")]
+    slots = [pool.start() for _ in utts]
+    for i, s in enumerate(slots):
+        for lo in range(0, len(utts[i]), 8):
+            pool.step({s: utts[i][lo : lo + 8]})
+    streamed = pool.finalize(slots)
+    offline = dec.predict_batch(utts)
+    for i, s in enumerate(slots):
+        assert streamed[s][1] == offline[i]
+    assert offline == ["ax", "cy"]
+
+
 def test_biphone_oov_word_decodes(rng):
     """A word added to the lexicon AFTER biphone training decodes through
     trained units where its pairs were observed and monophone back-off
