@@ -284,11 +284,11 @@ def main() -> None:
         **{f"in_vocab_{name}": round(a, 4) for name, a in accs.items()},
     }))
     if not args.no_gates:
-        if args.hard:
+        if args.hard or args.coarticulation > 0:
             print(json.dumps({
                 "gates": "skipped",
-                "note": "--hard is a difficulty study; absolute gates "
-                        "apply at default difficulty only",
+                "note": "--hard/--coarticulation are difficulty studies; "
+                        "absolute gates apply at default difficulty only",
             }))
         else:
             assert accs["phone_tier"] >= 0.85, accs

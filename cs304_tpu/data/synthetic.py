@@ -133,6 +133,11 @@ class SyntheticTIDigits:
         return list(self.phone_templates or _DIGIT_PHONES)
 
     def __post_init__(self) -> None:
+        if not 0.0 <= self.coarticulation <= 1.0:
+            raise ValueError(
+                f"coarticulation must be in [0, 1] (fraction of each "
+                f"phone's onset), got {self.coarticulation}"
+            )
         rng = np.random.default_rng(self.seed)
         self._speaker_params = [
             {

@@ -146,7 +146,9 @@ def train_biphone_models(
     """Embedded training of the biphone units observed in the training
     words, initialized from the trained monophones. `labeled_features`
     maps WORD transcripts to utterances, exactly as for
-    `train_phone_models` — the derived biphone lexicon handles the
+    `train_phone_models`: a tuple of word labels, or a digit-string style
+    str that iterates as one word PER CHARACTER (multi-char word labels
+    must use tuples) — the derived biphone lexicon handles the
     relabeling. Returns (unit models incl. silence, K=1 iterations).
 
     smooth_tau: MAP-smoothed units instead of full re-estimation — the
@@ -161,7 +163,9 @@ def train_biphone_models(
 
     train_words: Set[str] = set()
     for tr in labeled_features:
-        train_words.update([tr] if isinstance(tr, str) else tr)
+        # str transcripts iterate per character, matching
+        # Lexicon.expand_transcript's digit-string convention.
+        train_words.update(list(tr) if isinstance(tr, str) else tr)
     missing = sorted(w for w in train_words if w not in lexicon)
     if missing:
         raise ValueError(f"transcript words missing from lexicon: {missing}")
@@ -183,6 +187,13 @@ def train_biphone_models(
             blex.expand_transcript(tr): feats
             for tr, feats in labeled_features.items()
         }
+        if len(expanded) != len(labeled_features):
+            # Same guard train_phone_models applies: merging homophones
+            # silently would drop all but one transcript's utterances.
+            raise ValueError(
+                "two transcripts expanded to the same biphone sequence — "
+                "merge their utterance lists first"
+            )
         return map_adapt(clones, expanded, tau=smooth_tau,
                          insert_sil=False), 1
     return train_phone_models(
@@ -203,7 +214,7 @@ def compose_word_models_biphone(
     lexicon."""
     names = lexicon.words if words is None else list(words)
     blex = biphone_lexicon(lexicon, names)
-    units = observed_units(lexicon, names)
+    units = {u for seq in blex.entries.values() for u in seq}
     table, _ = backoff_table(biphone_models, monophones, units)
     for src in (biphone_models, monophones):
         if SILENCE_LABEL in src:
@@ -212,14 +223,18 @@ def compose_word_models_biphone(
     return compose_word_models(blex, table, names)
 
 
-def compose_from_checkpoint(
+def load_unit_table(
     lexicon_path: str, monophones: Dict[str, WordHMM]
-) -> Tuple[Lexicon, Dict[str, WordHMM], int]:
-    """Compose word models from a phone checkpoint, biphone-aware: if a
-    ``biphones/`` directory sits next to the lexicon JSON (written by
-    ``train_phones.py --biphones``), its unit models are used with
-    monophone back-off; otherwise this is the plain monophone composition.
-    Returns (lexicon, word models, number of biphone units used)."""
+) -> Tuple[Lexicon, Dict[str, WordHMM] | None, int, int]:
+    """Detect and load a phone checkpoint's biphone units — THE one place
+    that knows the on-disk convention (a ``biphones/`` directory next to
+    the lexicon JSON, written by ``train_phones.py --biphones``); both
+    `compose_from_checkpoint` (transcribe) and align.py route through it.
+
+    Returns (lexicon, unit_table, n_units, backed_off). unit_table is
+    None for a plain monophone checkpoint; otherwise it maps every unit
+    of the full lexicon to a model (trained unit, or monophone back-off)
+    plus the silence model (preferring the biphone stage's)."""
     import os
 
     from ..utils.checkpoint import load_models
@@ -227,12 +242,31 @@ def compose_from_checkpoint(
     lexicon = Lexicon.load(lexicon_path)
     bdir = os.path.join(os.path.dirname(os.path.abspath(lexicon_path)),
                         "biphones")
-    if os.path.isdir(bdir):
-        unit_models = load_models(bdir)
-        n_units = sum(1 for u in unit_models if u != SILENCE_LABEL)
-        return (
-            lexicon,
-            compose_word_models_biphone(lexicon, unit_models, monophones),
-            n_units,
-        )
-    return lexicon, compose_word_models(lexicon, monophones), 0
+    if not os.path.isdir(bdir):
+        return lexicon, None, 0, 0
+    unit_models = load_models(bdir)
+    n_units = sum(1 for u in unit_models if u != SILENCE_LABEL)
+    table, backed = backoff_table(
+        unit_models, monophones, observed_units(lexicon)
+    )
+    for src in (unit_models, monophones):
+        if SILENCE_LABEL in src:
+            table[SILENCE_LABEL] = src[SILENCE_LABEL]
+            break
+    return lexicon, table, n_units, backed
+
+
+def compose_from_checkpoint(
+    lexicon_path: str, monophones: Dict[str, WordHMM]
+) -> Tuple[Lexicon, Dict[str, WordHMM], int]:
+    """Compose word models from a phone checkpoint, biphone-aware (see
+    `load_unit_table` for the detection convention). Returns
+    (lexicon, word models, number of biphone units used)."""
+    lexicon, table, n_units, _ = load_unit_table(lexicon_path, monophones)
+    if table is None:
+        return lexicon, compose_word_models(lexicon, monophones), 0
+    return (
+        lexicon,
+        compose_word_models(biphone_lexicon(lexicon), table),
+        n_units,
+    )

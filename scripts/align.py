@@ -56,32 +56,16 @@ def main() -> None:
     lex = None
     expand_lex = None
     if args.lexicon:
-        import os as _os
+        from cs304_tpu.models.biphone import biphone_lexicon, load_unit_table
 
-        from cs304_tpu.models.lexicon import Lexicon
-
-        lex = Lexicon.load(args.lexicon)
+        lex, table, _, backed = load_unit_table(args.lexicon, models)
         expand_lex = lex
         align_models = models
-        bdir = _os.path.join(
-            _os.path.dirname(_os.path.abspath(args.lexicon)), "biphones"
-        )
-        if _os.path.isdir(bdir):
+        if table is not None:
             # Context-dependent alignment: expand through the derived
             # biphone lexicon and align against the unit models (unseen
             # pairs back off to the monophones) — segment names carry the
             # context ("pA-pB"), i.e. phone timings with context labels.
-            from cs304_tpu.models.biphone import (
-                backoff_table,
-                biphone_lexicon,
-                observed_units,
-            )
-
-            unit_models = load_models(bdir)
-            table, backed = backoff_table(
-                unit_models, models, observed_units(lex)
-            )
-            table["S"] = unit_models.get("S", models["S"])
             expand_lex = biphone_lexicon(lex)
             align_models = table
             print(f"biphone alignment: {len(table) - 1} units "

@@ -66,6 +66,11 @@ def main() -> None:
     args = parser.parse_args()
     if args.smooth_tau is not None and not args.biphones:
         parser.error("--smooth-tau only applies with --biphones")
+    if args.smooth_tau is not None and args.gmm_mixtures > 1:
+        # Statically-known incompatibility: fail before minutes of
+        # monophone training, not inside the biphone stage.
+        parser.error("--smooth-tau is a K=1 MAP pass; use full "
+                     "re-estimation with --gmm-mixtures")
     cfg = load_config(args)
 
     corpus = make_word_corpus(
