@@ -100,6 +100,9 @@ _EXPORTS = {
     "train_biphone_models": ".models.biphone",
     "compose_word_models_biphone": ".models.biphone",
     "biphone_lexicon": ".models.biphone",
+    "train_triphone_models": ".models.triphone",
+    "compose_word_models_triphone": ".models.triphone",
+    "triphone_lexicon": ".models.triphone",
     "make_word_corpus": ".data.wordvocab",
     "make_lexicon": ".data.wordvocab",
     "save_models": ".utils.checkpoint",

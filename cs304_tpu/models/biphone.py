@@ -225,48 +225,71 @@ def compose_word_models_biphone(
 
 def load_unit_table(
     lexicon_path: str, monophones: Dict[str, WordHMM]
-) -> Tuple[Lexicon, Dict[str, WordHMM] | None, int, int]:
-    """Detect and load a phone checkpoint's biphone units — THE one place
-    that knows the on-disk convention (a ``biphones/`` directory next to
-    the lexicon JSON, written by ``train_phones.py --biphones``); both
-    `compose_from_checkpoint` (transcribe) and align.py route through it.
+) -> Tuple[Lexicon, Lexicon | None, Dict[str, WordHMM] | None, str]:
+    """Detect and load a phone checkpoint's context-dependent units — THE
+    one place that knows the on-disk convention (``biphones/`` and/or
+    ``triphones/`` directories next to the lexicon JSON, written by
+    ``train_phones.py --biphones/--triphones``); `compose_from_checkpoint`
+    (transcribe) and align.py both route through it.
 
-    Returns (lexicon, unit_table, n_units, backed_off). unit_table is
-    None for a plain monophone checkpoint; otherwise it maps every unit
-    of the full lexicon to a model (trained unit, or monophone back-off)
-    plus the silence model (preferring the biphone stage's)."""
+    Returns (lexicon, unit_lexicon, unit_table, description):
+    (lex, None, None, "") for a plain monophone checkpoint; otherwise the
+    derived unit lexicon (biphone or triphone) and a table mapping every
+    unit of the full lexicon to a model through the back-off chain
+    (triphone -> biphone when present -> monophone), plus the silence
+    model (preferring the most context-dependent stage's)."""
     import os
 
     from ..utils.checkpoint import load_models
 
     lexicon = Lexicon.load(lexicon_path)
-    bdir = os.path.join(os.path.dirname(os.path.abspath(lexicon_path)),
-                        "biphones")
-    if not os.path.isdir(bdir):
-        return lexicon, None, 0, 0
-    unit_models = load_models(bdir)
-    n_units = sum(1 for u in unit_models if u != SILENCE_LABEL)
-    table, backed = backoff_table(
-        unit_models, monophones, observed_units(lexicon)
-    )
-    for src in (unit_models, monophones):
-        if SILENCE_LABEL in src:
-            table[SILENCE_LABEL] = src[SILENCE_LABEL]
-            break
-    return lexicon, table, n_units, backed
+    root = os.path.dirname(os.path.abspath(lexicon_path))
+    bdir = os.path.join(root, "biphones")
+    tdir = os.path.join(root, "triphones")
+    bi_models = load_models(bdir) if os.path.isdir(bdir) else None
+    if os.path.isdir(tdir):
+        from .triphone import (
+            backoff_table_tri,
+            observed_units_tri,
+            triphone_lexicon,
+        )
+
+        tri_models = load_models(tdir)
+        n = sum(1 for u in tri_models if u != SILENCE_LABEL)
+        table, to_bi, to_mono = backoff_table_tri(
+            tri_models, bi_models or {}, monophones,
+            observed_units_tri(lexicon),
+        )
+        for src in (tri_models, monophones):
+            if SILENCE_LABEL in src:
+                table[SILENCE_LABEL] = src[SILENCE_LABEL]
+                break
+        desc = (f"{n} triphone units ({to_bi} backed off to biphones, "
+                f"{to_mono} to monophones)")
+        return lexicon, triphone_lexicon(lexicon), table, desc
+    if bi_models is not None:
+        n = sum(1 for u in bi_models if u != SILENCE_LABEL)
+        table, backed = backoff_table(
+            bi_models, monophones, observed_units(lexicon)
+        )
+        for src in (bi_models, monophones):
+            if SILENCE_LABEL in src:
+                table[SILENCE_LABEL] = src[SILENCE_LABEL]
+                break
+        desc = f"{n} biphone units ({backed} backed off to monophones)"
+        return lexicon, biphone_lexicon(lexicon), table, desc
+    return lexicon, None, None, ""
 
 
 def compose_from_checkpoint(
     lexicon_path: str, monophones: Dict[str, WordHMM]
-) -> Tuple[Lexicon, Dict[str, WordHMM], int]:
-    """Compose word models from a phone checkpoint, biphone-aware (see
-    `load_unit_table` for the detection convention). Returns
-    (lexicon, word models, number of biphone units used)."""
-    lexicon, table, n_units, _ = load_unit_table(lexicon_path, monophones)
-    if table is None:
-        return lexicon, compose_word_models(lexicon, monophones), 0
-    return (
-        lexicon,
-        compose_word_models(biphone_lexicon(lexicon), table),
-        n_units,
+) -> Tuple[Lexicon, Dict[str, WordHMM], str]:
+    """Compose word models from a phone checkpoint, context-dependence-
+    aware (see `load_unit_table` for the detection convention). Returns
+    (lexicon, word models, unit-tier description — "" for monophones)."""
+    lexicon, unit_lex, table, desc = load_unit_table(
+        lexicon_path, monophones
     )
+    if table is None:
+        return lexicon, compose_word_models(lexicon, monophones), ""
+    return lexicon, compose_word_models(unit_lex, table), desc

@@ -1,0 +1,207 @@
+"""Triphones: both-side context-dependent phone units with a back-off
+chain.
+
+`models/biphone.py` models the LEFT neighbor; real coarticulation is
+bidirectional (a phone's offset anticipates the next phone as much as its
+onset carries the previous one). A triphone unit is the string
+``f"{prev}-{cur}+{next}"`` — word-initial ``prev`` and word-final ``next``
+are the silence label, so every word's unit sequence stays CONTEXT-CLOSED
+(independent of sentence neighbors), preserving compose-on-demand
+decoding and OOV words exactly as in the biphone tier.
+
+Everything is the same relabeling trick over the unchanged embedded
+trainer; what triphones add is the classical BACK-OFF CHAIN for the much
+sparser unit space: a word's unit resolves to the trained triphone, else
+the trained left-biphone ``prev-cur``, else the monophone — so a tier
+trained with any coverage still composes every lexicon word. MAP
+smoothing (`smooth_tau`) applies unchanged and matters more here (unit
+counts grow ~quadratically in inventory contexts).
+
+No reference equivalent (the reference is word-level only); builds on
+models/lexicon.py and models/biphone.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Set, Tuple
+
+from .biphone import biphone_label
+from .hmm import WordHMM
+from .lexicon import Lexicon, SILENCE_LABEL, compose_word_models
+
+
+def triphone_label(prev: str, cur: str, nxt: str) -> str:
+    if "-" in cur or "+" in cur:
+        raise ValueError(f"phone name {cur!r} may not contain '-' or '+'")
+    return f"{prev}-{cur}+{nxt}"
+
+
+def split_triphone(unit: str) -> Tuple[str, str, str]:
+    """Inverse of `triphone_label` (contexts never contain '-'/'+')."""
+    prev, _, rest = unit.partition("-")
+    cur, sep, nxt = rest.partition("+")
+    if not rest or not sep or not cur:
+        raise ValueError(f"{unit!r} is not a triphone unit")
+    return prev, cur, nxt
+
+
+def word_units_tri(phones: Sequence[str]) -> Tuple[str, ...]:
+    """A pronunciation -> its triphone unit sequence; silence stands in
+    for the missing contexts at both word edges."""
+    out: List[str] = []
+    for i, p in enumerate(phones):
+        prev = phones[i - 1] if i > 0 else SILENCE_LABEL
+        nxt = phones[i + 1] if i + 1 < len(phones) else SILENCE_LABEL
+        out.append(triphone_label(prev, p, nxt))
+    return tuple(out)
+
+
+def triphone_lexicon(
+    lexicon: Lexicon, words: Iterable[str] | None = None
+) -> Lexicon:
+    names = lexicon.words if words is None else list(words)
+    return Lexicon({w: word_units_tri(lexicon[w]) for w in names})
+
+
+def observed_units_tri(
+    lexicon: Lexicon, words: Iterable[str] | None = None
+) -> Set[str]:
+    names = lexicon.words if words is None else list(words)
+    units: Set[str] = set()
+    for w in names:
+        units.update(word_units_tri(lexicon[w]))
+    return units
+
+
+def clone_triphone_models(
+    monophones: Dict[str, WordHMM], units: Iterable[str]
+) -> Dict[str, WordHMM]:
+    """Context-dependent init: each triphone starts as a copy of its
+    center monophone (same contract as the biphone clones)."""
+    import numpy as np
+
+    out: Dict[str, WordHMM] = {}
+    for unit in sorted(set(units)):
+        _, cur, _ = split_triphone(unit)
+        if cur not in monophones:
+            raise ValueError(f"unit {unit!r} needs untrained phone {cur!r}")
+        m = monophones[cur]
+        if hasattr(m, "weights"):
+            raise ValueError(
+                "triphone units initialize from K=1 monophones; pass "
+                "gmm_mixtures to the triphone stage instead"
+            )
+        out[unit] = WordHMM(
+            label=unit,
+            means=np.array(m.means, copy=True),
+            covariances=np.array(m.covariances, copy=True),
+            log_a=np.array(m.log_a, copy=True),
+        )
+    return out
+
+
+def backoff_table_tri(
+    triphone_models: Dict[str, WordHMM],
+    biphone_models: Dict[str, WordHMM],
+    monophones: Dict[str, WordHMM],
+    units: Iterable[str],
+) -> Tuple[Dict[str, WordHMM], int, int]:
+    """unit -> model through the chain triphone -> left-biphone ->
+    monophone. Returns (table, biphone_backoffs, monophone_backoffs).
+    Pass {} for biphone_models to skip that rung."""
+    table: Dict[str, WordHMM] = {}
+    to_bi = 0
+    to_mono = 0
+    for unit in sorted(set(units)):
+        if unit in triphone_models:
+            table[unit] = triphone_models[unit]
+            continue
+        prev, cur, _ = split_triphone(unit)
+        bi = biphone_label(prev, cur)
+        if bi in biphone_models:
+            table[unit] = biphone_models[bi]
+            to_bi += 1
+        elif cur in monophones:
+            table[unit] = monophones[cur]
+            to_mono += 1
+        else:
+            raise ValueError(
+                f"unit {unit!r}: no triphone, no biphone {bi!r}, and no "
+                f"monophone {cur!r} to back off to"
+            )
+    return table, to_bi, to_mono
+
+
+def train_triphone_models(
+    monophones: Dict[str, WordHMM],
+    labeled_features: Dict[object, Sequence["np.ndarray"]],
+    lexicon: Lexicon,
+    config=None,
+    mesh=None,
+    gmm_mixtures: int = 0,
+    smooth_tau: float | None = None,
+) -> Tuple[Dict[str, WordHMM], int]:
+    """Embedded training of the triphone units observed in the training
+    words (same transcript conventions as `train_biphone_models`:
+    tuples of word labels, or per-character digit strings). smooth_tau
+    swaps full re-estimation for one MAP pass against the monophone-clone
+    priors — the recommended mode for triphones, whose per-unit data is
+    sparsest. Returns (unit models incl. silence, K=1 iterations)."""
+    from .lexicon import train_phone_models
+
+    train_words: Set[str] = set()
+    for tr in labeled_features:
+        train_words.update(list(tr) if isinstance(tr, str) else tr)
+    missing = sorted(w for w in train_words if w not in lexicon)
+    if missing:
+        raise ValueError(f"transcript words missing from lexicon: {missing}")
+    units = observed_units_tri(lexicon, sorted(train_words))
+    clones = clone_triphone_models(monophones, units)
+    if SILENCE_LABEL not in monophones:
+        raise ValueError("monophones must include the silence model 'S'")
+    clones[SILENCE_LABEL] = monophones[SILENCE_LABEL]
+    tlex = triphone_lexicon(lexicon)
+    if smooth_tau is not None:
+        if gmm_mixtures > 1:
+            raise ValueError(
+                "smooth_tau is a K=1 MAP pass; refine with gmm_mixtures "
+                "via full re-estimation instead"
+            )
+        from .adapt import map_adapt
+
+        expanded = {
+            tlex.expand_transcript(tr): feats
+            for tr, feats in labeled_features.items()
+        }
+        if len(expanded) != len(labeled_features):
+            raise ValueError(
+                "two transcripts expanded to the same triphone sequence — "
+                "merge their utterance lists first"
+            )
+        return map_adapt(clones, expanded, tau=smooth_tau,
+                         insert_sil=False), 1
+    return train_phone_models(
+        clones, labeled_features, tlex,
+        config=config, mesh=mesh, gmm_mixtures=gmm_mixtures,
+    )
+
+
+def compose_word_models_triphone(
+    lexicon: Lexicon,
+    triphone_models: Dict[str, WordHMM],
+    monophones: Dict[str, WordHMM],
+    biphone_models: Dict[str, WordHMM] | None = None,
+    words: Sequence[str] | None = None,
+) -> Dict[str, WordHMM]:
+    """Per-word HMMs from triphone units through the back-off chain
+    (triphone -> left-biphone when supplied -> monophone)."""
+    names = lexicon.words if words is None else list(words)
+    tlex = triphone_lexicon(lexicon, names)
+    units = {u for seq in tlex.entries.values() for u in seq}
+    table, _, _ = backoff_table_tri(
+        triphone_models, biphone_models or {}, monophones, units
+    )
+    for src in (triphone_models, monophones):
+        if SILENCE_LABEL in src:
+            table[SILENCE_LABEL] = src[SILENCE_LABEL]
+            break
+    return compose_word_models(tlex, table, names)

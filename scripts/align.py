@@ -56,20 +56,20 @@ def main() -> None:
     lex = None
     expand_lex = None
     if args.lexicon:
-        from cs304_tpu.models.biphone import biphone_lexicon, load_unit_table
+        from cs304_tpu.models.biphone import load_unit_table
 
-        lex, table, _, backed = load_unit_table(args.lexicon, models)
+        lex, unit_lex, table, desc = load_unit_table(args.lexicon, models)
         expand_lex = lex
         align_models = models
         if table is not None:
             # Context-dependent alignment: expand through the derived
-            # biphone lexicon and align against the unit models (unseen
-            # pairs back off to the monophones) — segment names carry the
-            # context ("pA-pB"), i.e. phone timings with context labels.
-            expand_lex = biphone_lexicon(lex)
+            # unit lexicon (biphone or triphone) and align against the
+            # unit models (unseen contexts back off down the chain) —
+            # segment names carry the context ("pA-pB", "pA-pB+pC"),
+            # i.e. phone timings with context labels.
+            expand_lex = unit_lex
             align_models = table
-            print(f"biphone alignment: {len(table) - 1} units "
-                  f"({backed} backed off to monophones)")
+            print(f"context-dependent alignment: {desc}")
         # Transcripts are pre-expanded to phone sequences (silence between
         # words only), so the aligner must not interleave silence again.
         aligner = ForcedAligner(

@@ -54,18 +54,25 @@ def main() -> None:
                              "<out-dir>/biphones/ and picked up "
                              "automatically by transcribe.py --lexicon, "
                              "with monophone back-off for unseen pairs")
+    parser.add_argument("--triphones", action="store_true",
+                        help="also train BOTH-SIDE context units "
+                             "(models/triphone.py) under <out-dir>/"
+                             "triphones/; with --biphones too, decode/"
+                             "align back off triphone -> biphone -> "
+                             "monophone")
     parser.add_argument("--smooth-tau", type=float, default=None,
                         metavar="TAU",
-                        help="with --biphones: MAP-smooth the units toward "
-                             "their monophone priors instead of full "
-                             "re-estimation (rare units stay tied, frequent "
-                             "units specialize — the sparse-data setting)")
+                        help="with --biphones/--triphones: MAP-smooth the "
+                             "units toward their monophone priors instead "
+                             "of full re-estimation (rare units stay tied, "
+                             "frequent units specialize — the sparse-data "
+                             "setting)")
     parser.add_argument("--lexicon-in", default=None,
                         help="pronunciation lexicon JSON (default: the "
                              "corpus's generation-truth lexicon)")
     args = parser.parse_args()
-    if args.smooth_tau is not None and not args.biphones:
-        parser.error("--smooth-tau only applies with --biphones")
+    if args.smooth_tau is not None and not (args.biphones or args.triphones):
+        parser.error("--smooth-tau only applies with --biphones/--triphones")
     if args.smooth_tau is not None and args.gmm_mixtures > 1:
         # Statically-known incompatibility: fail before minutes of
         # monophone training, not inside the biphone stage.
@@ -120,11 +127,12 @@ def main() -> None:
 
     train_cfg = ContinuousTrainConfig(max_iterations=args.iterations,
                                       cov_reg=0.1)
+    context_tiers = args.biphones or args.triphones
     phones, iterations = train_phone_models(
         boot, labeled, lex, train_cfg,
-        # With --biphones the GMM refinement belongs to the unit stage;
+        # With context tiers the GMM refinement belongs to the unit stage;
         # the monophones stay K=1 so unit clones and back-off are K=1.
-        gmm_mixtures=0 if args.biphones else args.gmm_mixtures,
+        gmm_mixtures=0 if context_tiers else args.gmm_mixtures,
     )
     print(f"tied training: {iterations} iterations over "
           f"{sum(len(v) for v in labeled.values())} utterances")
@@ -146,6 +154,19 @@ def main() -> None:
         print(f"biphone stage: {bi_iterations} iterations; saved "
               f"{len(units) - 1} context-dependent units to "
               f"{os.path.join(args.out_dir, 'biphones')}")
+
+    if args.triphones:
+        from cs304_tpu.models.triphone import train_triphone_models
+
+        tri_units, tri_iterations = train_triphone_models(
+            phones, labeled, lex, train_cfg,
+            gmm_mixtures=args.gmm_mixtures,
+            smooth_tau=args.smooth_tau,
+        )
+        save_models(tri_units, os.path.join(args.out_dir, "triphones"))
+        print(f"triphone stage: {tri_iterations} iterations; saved "
+              f"{len(tri_units) - 1} context-dependent units to "
+              f"{os.path.join(args.out_dir, 'triphones')}")
 
 
 if __name__ == "__main__":

@@ -93,10 +93,11 @@ def main() -> None:
     if args.lexicon:
         from cs304_tpu.models.biphone import compose_from_checkpoint
 
-        lex, models, n_units = compose_from_checkpoint(args.lexicon, models)
+        lex, models, unit_desc = compose_from_checkpoint(args.lexicon,
+                                                         models)
         print(f"composed {len(lex.words)} words from "
               f"{len(lex.phones)} phones"
-              + (f" + {n_units} biphone units" if n_units else ""))
+              + (f" + {unit_desc}" if unit_desc else ""))
     decoder = ContinuousDecoder(
         models, penalty=cfg.decode.word_penalty,
         beam=args.beam or None,

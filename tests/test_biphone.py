@@ -235,19 +235,19 @@ def test_compose_from_checkpoint_roundtrip(tmp_path, rng):
     ck = tmp_path / "ck"
     save_models(phones, str(ck))
     lex.save(str(ck / "lexicon.json"))
-    _, mono_composed, n = compose_from_checkpoint(
+    _, mono_composed, desc = compose_from_checkpoint(
         str(ck / "lexicon.json"), phones
     )
-    assert n == 0
+    assert desc == ""
     np.testing.assert_array_equal(
         mono_composed["ab"].means, compose_word_models(lex, phones)["ab"].means
     )
 
     save_models(units, str(ck / "biphones"))
-    _, bi_composed, n = compose_from_checkpoint(
+    _, bi_composed, desc = compose_from_checkpoint(
         str(ck / "lexicon.json"), phones
     )
-    assert n == 2
+    assert desc.startswith("2 biphone units")
     assert bi_composed["ab"].means[3, 0] == 7.0  # the shifted trained unit
 
 
