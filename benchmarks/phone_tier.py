@@ -48,6 +48,9 @@ def main() -> None:
     ap.add_argument("--coarticulation", type=float, default=0.0,
                     help="formant-glide fraction at phone onsets (0 = the "
                          "legacy piecewise-constant synthesis)")
+    ap.add_argument("--anticipatory", type=float, default=0.0,
+                    help="formant-glide fraction at phone OFFSETS toward "
+                         "the next phone — the cue only triphones model")
     ap.add_argument("--hard", action="store_true",
                     help="hardened corpus degradations (absolute gates are "
                          "then skipped — difficulty study, not a gate run)")
@@ -55,13 +58,16 @@ def main() -> None:
                     metavar=("LO", "HI"))
     ap.add_argument("--biphones", action="store_true",
                     help="also train + evaluate the left-biphone tier")
+    ap.add_argument("--triphones", action="store_true",
+                    help="also train + evaluate the triphone tier (backs "
+                         "off through the biphone tier when both are on)")
     ap.add_argument("--smooth-tau", type=float, default=None,
                     help="with --biphones: MAP-smoothing pass instead of "
                          "full unit re-estimation")
     ap.add_argument("--no-gates", action="store_true")
     args = ap.parse_args()
-    if args.smooth_tau is not None and not args.biphones:
-        ap.error("--smooth-tau only applies with --biphones")
+    if args.smooth_tau is not None and not (args.biphones or args.triphones):
+        ap.error("--smooth-tau only applies with --biphones/--triphones")
 
     from cs304_tpu.audio.endpointing import SignalSeparation
     from cs304_tpu.data.wordvocab import make_lexicon, make_word_corpus
@@ -86,6 +92,7 @@ def main() -> None:
         args.num_words, num_train_speakers=args.train_speakers,
         num_test_speakers=args.test_speakers, takes_per_digit=args.takes,
         hard=args.hard, coarticulation=args.coarticulation,
+        anticipatory_coarticulation=args.anticipatory,
         phones_per_word=tuple(args.phones_per_word),
     )
     lex = make_lexicon(args.num_words,
@@ -189,6 +196,27 @@ def main() -> None:
         bi_composed = compose_word_models_biphone(lex, bi_units, phone_final)
         t_bi = time.perf_counter() - t0
 
+    tri_composed = None
+    t_tri = None
+    tri_units = None
+    if args.triphones:
+        from cs304_tpu.models.triphone import (
+            compose_word_models_triphone,
+            train_triphone_models,
+        )
+
+        t0 = time.perf_counter()
+        tri_units, _ = train_triphone_models(
+            phone_final, labeled, lex,
+            ContinuousTrainConfig(max_iterations=args.iterations,
+                                  cov_reg=0.1),
+            smooth_tau=args.smooth_tau,
+        )
+        tri_composed = compose_word_models_triphone(
+            lex, tri_units, phone_final, biphone_models=bi_units
+        )
+        t_tri = time.perf_counter() - t0
+
     training_line = {
         "stage": "training",
         "word_tier_params": params_of(word_final),
@@ -207,6 +235,12 @@ def main() -> None:
         training_line["biphone_mode"] = (
             "map_smoothed" if args.smooth_tau is not None else "untied"
         )
+    if tri_units is not None:
+        training_line["triphone_tier_params"] = params_of(tri_units)
+        training_line["triphone_units"] = sum(
+            1 for u in tri_units if u != "S"
+        )
+        training_line["triphone_tier_wall_s"] = round(t_tri, 1)
     print(json.dumps(training_line))
 
     # ---- in-vocab eval ---------------------------------------------------
@@ -224,6 +258,8 @@ def main() -> None:
     tiers = [("word_tier", word_final), ("phone_tier", composed)]
     if bi_composed is not None:
         tiers.append(("biphone_tier", bi_composed))
+    if tri_composed is not None:
+        tiers.append(("triphone_tier", tri_composed))
     accs = {}
     for name, models in tiers:
         dec = ContinuousDecoder(models, penalty=args.penalty)
@@ -267,12 +303,14 @@ def main() -> None:
             "note": "word tier cannot express unseen words — 0 by "
                     "construction",
         }
-        if bi_composed is not None:
-            preds_bi = ContinuousDecoder(
-                bi_composed, penalty=args.penalty
+        for name, m in (("biphone", bi_composed), ("triphone", tri_composed)):
+            if m is None:
+                continue
+            preds_cd = ContinuousDecoder(
+                m, penalty=args.penalty
             ).predict_batch(feats2)
-            oov_line["biphone_tier_oov_exact"] = round(float(np.mean(
-                [p == t for p, t in zip(preds_bi, truths2)]
+            oov_line[f"{name}_tier_oov_exact"] = round(float(np.mean(
+                [p == t for p, t in zip(preds_cd, truths2)]
             )), 4)
         print(json.dumps(oov_line))
 
@@ -284,17 +322,19 @@ def main() -> None:
         **{f"in_vocab_{name}": round(a, 4) for name, a in accs.items()},
     }))
     if not args.no_gates:
-        if args.hard or args.coarticulation > 0:
+        if args.hard or args.coarticulation > 0 or args.anticipatory > 0:
             print(json.dumps({
                 "gates": "skipped",
-                "note": "--hard/--coarticulation are difficulty studies; "
-                        "absolute gates apply at default difficulty only",
+                "note": "--hard/--coarticulation/--anticipatory are "
+                        "difficulty studies; absolute gates apply at "
+                        "default difficulty only",
             }))
         else:
             assert accs["phone_tier"] >= 0.85, accs
             assert oov_acc is None or oov_acc >= 0.3, oov_acc
-            if "biphone_tier" in accs:
-                assert accs["biphone_tier"] >= 0.85, accs
+            for tier in ("biphone_tier", "triphone_tier"):
+                if tier in accs:
+                    assert accs[tier] >= 0.85, accs
             print(json.dumps({"gates": "pass"}))
 
 

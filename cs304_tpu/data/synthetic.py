@@ -109,6 +109,12 @@ class SyntheticTIDigits:
     # own targets (silence carries no formants), matching the biphone
     # tier's silence-context convention (models/biphone.py).
     coarticulation: float = 0.0
+    # Anticipatory (right-context) coarticulation: fraction of each phone's
+    # OFFSET that glides toward the NEXT phone's target formants — the cue
+    # only triphones can model (models/triphone.py); left-context units
+    # share one model across successors. Word-final phones hold their
+    # targets. 0.0 = no anticipation (bit-identical to prior corpora).
+    anticipatory_coarticulation: float = 0.0
 
     @classmethod
     def hard(cls, **overrides) -> "SyntheticTIDigits":
@@ -137,6 +143,17 @@ class SyntheticTIDigits:
             raise ValueError(
                 f"coarticulation must be in [0, 1] (fraction of each "
                 f"phone's onset), got {self.coarticulation}"
+            )
+        if not 0.0 <= self.anticipatory_coarticulation <= 1.0:
+            raise ValueError(
+                f"anticipatory_coarticulation must be in [0, 1] (fraction "
+                f"of each phone's offset), got "
+                f"{self.anticipatory_coarticulation}"
+            )
+        if self.coarticulation + self.anticipatory_coarticulation > 1.0:
+            raise ValueError(
+                "coarticulation + anticipatory_coarticulation must not "
+                "exceed 1.0 — the onset and offset glides would overlap"
             )
         rng = np.random.default_rng(self.seed)
         self._speaker_params = [
@@ -277,7 +294,8 @@ class SyntheticTIDigits:
         rng = np.random.default_rng(key)
         pieces = []
         prev_eff = None  # previous phone's realized (f1, f2) for the glide
-        for f1, f2 in (self.phone_templates or _DIGIT_PHONES)[label]:
+        templates = list((self.phone_templates or _DIGIT_PHONES)[label])
+        for i, (f1, f2) in enumerate(templates):
             dur = rng.uniform(0.055, 0.10) * params["rate"]
             n = max(int(dur * SAMPLE_RATE), 240)
             t = np.arange(n) / SAMPLE_RATE
@@ -289,15 +307,37 @@ class SyntheticTIDigits:
             vib = 1.0 + 0.01 * np.sin(2 * np.pi * 6.0 * t + rng.uniform(0, 2 * np.pi))
             am = 1.0 + 0.15 * np.sin(2 * np.pi * 3.0 * t + rng.uniform(0, 2 * np.pi))
             n_tr = int(n * self.coarticulation) if prev_eff is not None else 0
-            if n_tr > 0:
+            # Anticipation targets the next phone's SCALED nominal formants
+            # (its jitter is not drawn yet — drawing it here would shift
+            # the rng stream and break bit-parity at zero coarticulation).
+            n_ant = (int(n * self.anticipatory_coarticulation)
+                     if i + 1 < len(templates) else 0)
+            if n_tr > 0 or n_ant > 0:
                 # Formant trajectory: onset glides from the previous
-                # phone's realization to this phone's target. Phase is the
-                # integral of instantaneous frequency; the constant-formant
-                # branch below keeps the legacy expression (and bitstream).
-                glide = np.zeros(n)
-                glide[:n_tr] = np.linspace(1.0, 0.0, n_tr, endpoint=False)
-                f1_traj = f1 * s1 + (prev_eff[0] - f1 * s1) * glide
-                f2_traj = f2 * s2 + (prev_eff[1] - f2 * s2) * glide
+                # phone's realization, offset glides toward the next
+                # phone's target. Phase is the integral of instantaneous
+                # frequency; the constant-formant branch below keeps the
+                # legacy expression (and bitstream).
+                onset = np.zeros(n)
+                if n_tr > 0:
+                    onset[:n_tr] = np.linspace(1.0, 0.0, n_tr,
+                                               endpoint=False)
+                offset = np.zeros(n)
+                if n_ant > 0:
+                    offset[n - n_ant:] = np.linspace(0.0, 1.0, n_ant,
+                                                     endpoint=False)
+                p1 = prev_eff[0] if prev_eff is not None else f1 * s1
+                p2 = prev_eff[1] if prev_eff is not None else f2 * s2
+                if n_ant > 0:
+                    nf1, nf2 = templates[i + 1]
+                    a1 = nf1 * params["formant_scale"]
+                    a2 = nf2 * params["formant_scale"]
+                else:
+                    a1, a2 = f1 * s1, f2 * s2
+                f1_traj = (f1 * s1 + (p1 - f1 * s1) * onset
+                           + (a1 - f1 * s1) * offset)
+                f2_traj = (f2 * s2 + (p2 - f2 * s2) * onset
+                           + (a2 - f2 * s2) * offset)
                 phone = (
                     np.sin(2 * np.pi * np.cumsum(f1_traj * vib) / SAMPLE_RATE
                            + rng.uniform(0, 2 * np.pi))

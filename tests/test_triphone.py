@@ -170,6 +170,41 @@ def test_anticipatory_context_separation(rng):
     assert acc_bi < 1.0, "corpus failed to defeat left-biphones"
 
 
+def test_anticipatory_coarticulation_synthesis():
+    """The anticipatory knob glides each phone's OFFSET toward the next
+    phone's target; zero is bit-identical, word-final phones hold their
+    targets, and onsets are untouched (up to the trajectory branch's
+    float-ulp drift — cumsum(f*vib) vs f*cumsum(vib))."""
+    from cs304_tpu.data.synthetic import SyntheticTIDigits
+    from cs304_tpu.data.wordvocab import make_word_corpus
+
+    kw = dict(num_train_speakers=2, num_test_speakers=1, takes_per_digit=2)
+    c0 = make_word_corpus(6, **kw)
+    ca = make_word_corpus(6, **kw, anticipatory_coarticulation=0.3)
+    czero = make_word_corpus(6, **kw, anticipatory_coarticulation=0.0)
+    w = c0.labels[0]
+    a0 = c0.digit_audio(w, 0, 1)
+    aa = ca.digit_audio(w, 0, 1)
+    np.testing.assert_array_equal(a0, czero.digit_audio(w, 0, 1))
+    bounds = c0.digit_audio_with_phone_segments(w, 0, 1)[1]
+    s0, e0 = bounds[0]
+    n_ant = int((e0 - s0) * 0.3)
+    # Onset numerically unchanged (float-ulp only, signal RMS is ~5e3)...
+    np.testing.assert_allclose(a0[s0 : e0 - n_ant], aa[s0 : e0 - n_ant],
+                               atol=1e-5)
+    # ...while the offset carries a REAL glide toward the next phone.
+    assert np.abs(a0[e0 - n_ant : e0] - aa[e0 - n_ant : e0]).max() > 1.0
+    # Word-final phone holds its target: bit-identical (legacy branch).
+    sl, el = bounds[-1]
+    np.testing.assert_array_equal(a0[sl:el], aa[sl:el])
+
+    with pytest.raises(ValueError, match="anticipatory"):
+        SyntheticTIDigits(anticipatory_coarticulation=1.2)
+    with pytest.raises(ValueError, match="overlap"):
+        SyntheticTIDigits(coarticulation=0.6,
+                          anticipatory_coarticulation=0.6)
+
+
 def test_checkpoint_chain_detection(tmp_path):
     """load_unit_table prefers triphones/ and routes its back-off through
     biphones/ when both directories exist; compose_from_checkpoint
