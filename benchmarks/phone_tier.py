@@ -62,8 +62,8 @@ def main() -> None:
                     help="also train + evaluate the triphone tier (backs "
                          "off through the biphone tier when both are on)")
     ap.add_argument("--smooth-tau", type=float, default=None,
-                    help="with --biphones: MAP-smoothing pass instead of "
-                         "full unit re-estimation")
+                    help="with --biphones/--triphones: MAP-smoothing pass "
+                         "instead of full unit re-estimation")
     ap.add_argument("--no-gates", action="store_true")
     args = ap.parse_args()
     if args.smooth_tau is not None and not (args.biphones or args.triphones):
@@ -232,15 +232,16 @@ def main() -> None:
             1 for u in bi_units if u != "S"
         )
         training_line["biphone_tier_wall_s"] = round(t_bi, 1)
-        training_line["biphone_mode"] = (
-            "map_smoothed" if args.smooth_tau is not None else "untied"
-        )
     if tri_units is not None:
         training_line["triphone_tier_params"] = params_of(tri_units)
         training_line["triphone_units"] = sum(
             1 for u in tri_units if u != "S"
         )
         training_line["triphone_tier_wall_s"] = round(t_tri, 1)
+    if bi_units is not None or tri_units is not None:
+        training_line["context_mode"] = (
+            "map_smoothed" if args.smooth_tau is not None else "untied"
+        )
     print(json.dumps(training_line))
 
     # ---- in-vocab eval ---------------------------------------------------

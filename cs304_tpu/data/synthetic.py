@@ -344,6 +344,12 @@ class SyntheticTIDigits:
                     + 0.6 * np.sin(2 * np.pi * np.cumsum(f2_traj * vib) / SAMPLE_RATE
                                    + rng.uniform(0, 2 * np.pi))
                 ) * env * am
+                # The next onset glides from where this trajectory actually
+                # ENDED — with anticipation on, that is near the next
+                # phone's target, so combined glides stay continuous
+                # instead of zigzagging at the boundary. Equals
+                # (f1*s1, f2*s2) whenever anticipation is off.
+                prev_eff = (float(f1_traj[-1]), float(f2_traj[-1]))
             else:
                 phone = (
                     np.sin(2 * np.pi * f1 * s1 * np.cumsum(vib) / SAMPLE_RATE
@@ -351,7 +357,7 @@ class SyntheticTIDigits:
                     + 0.6 * np.sin(2 * np.pi * f2 * s2 * np.cumsum(vib) / SAMPLE_RATE
                                    + rng.uniform(0, 2 * np.pi))
                 ) * env * am
-            prev_eff = (f1 * s1, f2 * s2)
+                prev_eff = (f1 * s1, f2 * s2)
             pieces.append(phone)
         sig = np.concatenate(pieces)
         sig += rng.normal(0, 0.06, sig.shape)

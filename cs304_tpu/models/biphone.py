@@ -83,23 +83,27 @@ def observed_units(
     return units
 
 
-def clone_biphone_models(
-    monophones: Dict[str, WordHMM], units: Iterable[str]
+def clone_unit_models(
+    monophones: Dict[str, WordHMM],
+    units: Iterable[str],
+    center_of_unit,
+    kind: str,
 ) -> Dict[str, WordHMM]:
-    """Context-dependent initialization: each unit starts as a copy of its
-    monophone, so an untrained biphone tier is numerically the monophone
-    tier; embedded training then lets the contexts diverge."""
+    """Shared context-dependent initialization for every unit tier: each
+    unit starts as a copy of its center monophone (`center_of_unit` maps a
+    unit label to its phone), so an untrained tier is numerically the
+    monophone tier; training then lets the contexts diverge."""
     out: Dict[str, WordHMM] = {}
     for unit in sorted(set(units)):
-        _, cur = split_biphone(unit)
+        cur = center_of_unit(unit)
         if cur not in monophones:
             raise ValueError(f"unit {unit!r} needs untrained phone {cur!r}")
         m = monophones[cur]
         if hasattr(m, "weights"):
             raise ValueError(
-                "biphone units initialize from K=1 monophones; train the "
+                f"{kind} units initialize from K=1 monophones; train the "
                 "monophone stage without gmm_mixtures and pass "
-                "gmm_mixtures to the biphone stage instead"
+                f"gmm_mixtures to the {kind} stage instead"
             )
         out[unit] = WordHMM(
             label=unit,
@@ -108,6 +112,83 @@ def clone_biphone_models(
             log_a=np.array(m.log_a, copy=True),
         )
     return out
+
+
+def clone_biphone_models(
+    monophones: Dict[str, WordHMM], units: Iterable[str]
+) -> Dict[str, WordHMM]:
+    return clone_unit_models(
+        monophones, units, lambda u: split_biphone(u)[1], "biphone"
+    )
+
+
+def prefer_silence(table: Dict[str, WordHMM], *sources) -> None:
+    """Install the silence model from the most context-dependent source
+    that has one (the unit stage re-estimates silence alongside its
+    units, so its version matches the units' alignment)."""
+    for src in sources:
+        if src and SILENCE_LABEL in src:
+            table[SILENCE_LABEL] = src[SILENCE_LABEL]
+            return
+
+
+def train_unit_models(
+    monophones: Dict[str, WordHMM],
+    labeled_features: Dict[object, Sequence[np.ndarray]],
+    lexicon: Lexicon,
+    unit_lexicon_fn,
+    clone_fn,
+    kind: str,
+    config=None,
+    mesh=None,
+    gmm_mixtures: int = 0,
+    smooth_tau: float | None = None,
+) -> Tuple[Dict[str, WordHMM], int]:
+    """Shared training body for every context-dependent tier: derive the
+    unit lexicon, clone the observed units from the monophones, then
+    either full embedded re-estimation (the unchanged trainer) or one
+    MAP-smoothing pass (`smooth_tau`)."""
+    from .lexicon import train_phone_models
+
+    train_words: Set[str] = set()
+    for tr in labeled_features:
+        # str transcripts iterate per character, matching
+        # Lexicon.expand_transcript's digit-string convention.
+        train_words.update(list(tr) if isinstance(tr, str) else tr)
+    missing = sorted(w for w in train_words if w not in lexicon)
+    if missing:
+        raise ValueError(f"transcript words missing from lexicon: {missing}")
+    unit_lex = unit_lexicon_fn(lexicon)
+    units = {u for w in sorted(train_words) for u in unit_lex[w]}
+    clones = clone_fn(monophones, units)
+    if SILENCE_LABEL not in monophones:
+        raise ValueError("monophones must include the silence model 'S'")
+    clones[SILENCE_LABEL] = monophones[SILENCE_LABEL]
+    if smooth_tau is not None:
+        if gmm_mixtures > 1:
+            raise ValueError(
+                "smooth_tau is a K=1 MAP pass; refine with gmm_mixtures "
+                "via full re-estimation instead"
+            )
+        from .adapt import map_adapt
+
+        expanded = {
+            unit_lex.expand_transcript(tr): feats
+            for tr, feats in labeled_features.items()
+        }
+        if len(expanded) != len(labeled_features):
+            # Same guard train_phone_models applies: merging homophones
+            # silently would drop all but one transcript's utterances.
+            raise ValueError(
+                f"two transcripts expanded to the same {kind} sequence — "
+                "merge their utterance lists first"
+            )
+        return map_adapt(clones, expanded, tau=smooth_tau,
+                         insert_sil=False), 1
+    return train_phone_models(
+        clones, labeled_features, unit_lex,
+        config=config, mesh=mesh, gmm_mixtures=gmm_mixtures,
+    )
 
 
 def backoff_table(
@@ -159,46 +240,11 @@ def train_biphone_models(
     acoustics — the data-sparsity answer measured in ROADMAP.md (untied
     units lose to monophones on sparse corpora, win at 4x data; smoothing
     interpolates between the regimes by unit occupancy)."""
-    from .lexicon import train_phone_models
-
-    train_words: Set[str] = set()
-    for tr in labeled_features:
-        # str transcripts iterate per character, matching
-        # Lexicon.expand_transcript's digit-string convention.
-        train_words.update(list(tr) if isinstance(tr, str) else tr)
-    missing = sorted(w for w in train_words if w not in lexicon)
-    if missing:
-        raise ValueError(f"transcript words missing from lexicon: {missing}")
-    units = observed_units(lexicon, sorted(train_words))
-    clones = clone_biphone_models(monophones, units)
-    if SILENCE_LABEL not in monophones:
-        raise ValueError("monophones must include the silence model 'S'")
-    clones[SILENCE_LABEL] = monophones[SILENCE_LABEL]
-    blex = biphone_lexicon(lexicon)
-    if smooth_tau is not None:
-        if gmm_mixtures > 1:
-            raise ValueError(
-                "smooth_tau is a K=1 MAP pass; refine with gmm_mixtures "
-                "via full re-estimation instead"
-            )
-        from .adapt import map_adapt
-
-        expanded = {
-            blex.expand_transcript(tr): feats
-            for tr, feats in labeled_features.items()
-        }
-        if len(expanded) != len(labeled_features):
-            # Same guard train_phone_models applies: merging homophones
-            # silently would drop all but one transcript's utterances.
-            raise ValueError(
-                "two transcripts expanded to the same biphone sequence — "
-                "merge their utterance lists first"
-            )
-        return map_adapt(clones, expanded, tau=smooth_tau,
-                         insert_sil=False), 1
-    return train_phone_models(
-        clones, labeled_features, blex,
+    return train_unit_models(
+        monophones, labeled_features, lexicon,
+        biphone_lexicon, clone_biphone_models, "biphone",
         config=config, mesh=mesh, gmm_mixtures=gmm_mixtures,
+        smooth_tau=smooth_tau,
     )
 
 
@@ -216,10 +262,7 @@ def compose_word_models_biphone(
     blex = biphone_lexicon(lexicon, names)
     units = {u for seq in blex.entries.values() for u in seq}
     table, _ = backoff_table(biphone_models, monophones, units)
-    for src in (biphone_models, monophones):
-        if SILENCE_LABEL in src:
-            table[SILENCE_LABEL] = src[SILENCE_LABEL]
-            break
+    prefer_silence(table, biphone_models, monophones)
     return compose_word_models(blex, table, names)
 
 
@@ -260,10 +303,7 @@ def load_unit_table(
             tri_models, bi_models or {}, monophones,
             observed_units_tri(lexicon),
         )
-        for src in (tri_models, monophones):
-            if SILENCE_LABEL in src:
-                table[SILENCE_LABEL] = src[SILENCE_LABEL]
-                break
+        prefer_silence(table, tri_models, monophones)
         desc = (f"{n} triphone units ({to_bi} backed off to biphones, "
                 f"{to_mono} to monophones)")
         return lexicon, triphone_lexicon(lexicon), table, desc
@@ -272,10 +312,7 @@ def load_unit_table(
         table, backed = backoff_table(
             bi_models, monophones, observed_units(lexicon)
         )
-        for src in (bi_models, monophones):
-            if SILENCE_LABEL in src:
-                table[SILENCE_LABEL] = src[SILENCE_LABEL]
-                break
+        prefer_silence(table, bi_models, monophones)
         desc = f"{n} biphone units ({backed} backed off to monophones)"
         return lexicon, biphone_lexicon(lexicon), table, desc
     return lexicon, None, None, ""

@@ -77,26 +77,11 @@ def clone_triphone_models(
 ) -> Dict[str, WordHMM]:
     """Context-dependent init: each triphone starts as a copy of its
     center monophone (same contract as the biphone clones)."""
-    import numpy as np
+    from .biphone import clone_unit_models
 
-    out: Dict[str, WordHMM] = {}
-    for unit in sorted(set(units)):
-        _, cur, _ = split_triphone(unit)
-        if cur not in monophones:
-            raise ValueError(f"unit {unit!r} needs untrained phone {cur!r}")
-        m = monophones[cur]
-        if hasattr(m, "weights"):
-            raise ValueError(
-                "triphone units initialize from K=1 monophones; pass "
-                "gmm_mixtures to the triphone stage instead"
-            )
-        out[unit] = WordHMM(
-            label=unit,
-            means=np.array(m.means, copy=True),
-            covariances=np.array(m.covariances, copy=True),
-            log_a=np.array(m.log_a, copy=True),
-        )
-    return out
+    return clone_unit_models(
+        monophones, units, lambda u: split_triphone(u)[1], "triphone"
+    )
 
 
 def backoff_table_tri(
@@ -146,42 +131,13 @@ def train_triphone_models(
     swaps full re-estimation for one MAP pass against the monophone-clone
     priors — the recommended mode for triphones, whose per-unit data is
     sparsest. Returns (unit models incl. silence, K=1 iterations)."""
-    from .lexicon import train_phone_models
+    from .biphone import train_unit_models
 
-    train_words: Set[str] = set()
-    for tr in labeled_features:
-        train_words.update(list(tr) if isinstance(tr, str) else tr)
-    missing = sorted(w for w in train_words if w not in lexicon)
-    if missing:
-        raise ValueError(f"transcript words missing from lexicon: {missing}")
-    units = observed_units_tri(lexicon, sorted(train_words))
-    clones = clone_triphone_models(monophones, units)
-    if SILENCE_LABEL not in monophones:
-        raise ValueError("monophones must include the silence model 'S'")
-    clones[SILENCE_LABEL] = monophones[SILENCE_LABEL]
-    tlex = triphone_lexicon(lexicon)
-    if smooth_tau is not None:
-        if gmm_mixtures > 1:
-            raise ValueError(
-                "smooth_tau is a K=1 MAP pass; refine with gmm_mixtures "
-                "via full re-estimation instead"
-            )
-        from .adapt import map_adapt
-
-        expanded = {
-            tlex.expand_transcript(tr): feats
-            for tr, feats in labeled_features.items()
-        }
-        if len(expanded) != len(labeled_features):
-            raise ValueError(
-                "two transcripts expanded to the same triphone sequence — "
-                "merge their utterance lists first"
-            )
-        return map_adapt(clones, expanded, tau=smooth_tau,
-                         insert_sil=False), 1
-    return train_phone_models(
-        clones, labeled_features, tlex,
+    return train_unit_models(
+        monophones, labeled_features, lexicon,
+        triphone_lexicon, clone_triphone_models, "triphone",
         config=config, mesh=mesh, gmm_mixtures=gmm_mixtures,
+        smooth_tau=smooth_tau,
     )
 
 
@@ -200,8 +156,7 @@ def compose_word_models_triphone(
     table, _, _ = backoff_table_tri(
         triphone_models, biphone_models or {}, monophones, units
     )
-    for src in (triphone_models, monophones):
-        if SILENCE_LABEL in src:
-            table[SILENCE_LABEL] = src[SILENCE_LABEL]
-            break
+    from .biphone import prefer_silence
+
+    prefer_silence(table, triphone_models, monophones)
     return compose_word_models(tlex, table, names)
