@@ -141,6 +141,125 @@ def train_triphone_models(
     )
 
 
+def cluster_triphone_units(
+    unit_models: Dict[str, WordHMM], max_per_phone: int
+) -> Dict[str, str]:
+    """Data-driven unit tying (generalized triphones, Lee 1990): within
+    each center phone, agglomeratively merge the acoustically closest
+    triphone units (Euclidean distance between stacked state means) until
+    at most `max_per_phone` clusters remain. Returns unit -> cluster
+    label ("<phone>~<k>"); silence and non-triphone labels are skipped.
+
+    This is MODEL-level tying — the answer to triphone data sparsity
+    that back-off only postpones: similar contexts SHARE one model and
+    pool their statistics when retrained (`tie_and_train_triphones`)."""
+    import numpy as np
+
+    if max_per_phone < 1:
+        raise ValueError(f"max_per_phone must be >= 1, got {max_per_phone}")
+    by_phone: Dict[str, List[str]] = {}
+    for unit in unit_models:
+        if unit == SILENCE_LABEL:
+            continue
+        _, cur, _ = split_triphone(unit)
+        by_phone.setdefault(cur, []).append(unit)
+    mapping: Dict[str, str] = {}
+    for phone, units in sorted(by_phone.items()):
+        units = sorted(units)
+        clusters: List[List[str]] = [[u] for u in units]
+
+        def centroid(cluster):
+            return np.mean(
+                [np.asarray(unit_models[u].means).ravel() for u in cluster],
+                axis=0,
+            )
+
+        while len(clusters) > max_per_phone:
+            cents = [centroid(c) for c in clusters]
+            best = None
+            for i in range(len(clusters)):
+                for j in range(i + 1, len(clusters)):
+                    d = float(np.linalg.norm(cents[i] - cents[j]))
+                    if best is None or d < best[0]:
+                        best = (d, i, j)
+            _, i, j = best
+            clusters[i] = clusters[i] + clusters[j]
+            del clusters[j]
+        for k, cluster in enumerate(clusters):
+            for u in cluster:
+                mapping[u] = f"{phone}~{k}"
+    return mapping
+
+
+def tie_and_train_triphones(
+    monophones: Dict[str, WordHMM],
+    labeled_features: Dict[object, Sequence["np.ndarray"]],
+    lexicon: Lexicon,
+    max_per_phone: int = 4,
+    config=None,
+    mesh=None,
+    seed_smooth_tau: float = 30.0,
+) -> Tuple[Dict[str, WordHMM], Lexicon, Dict[str, str]]:
+    """Generalized-triphone training: (1) a cheap MAP-smoothed seed pass
+    estimates every observed unit's acoustics, (2) units cluster per
+    center phone, (3) the TIED models retrain through the unchanged
+    embedded trainer — each word's transcript expands to CLUSTER labels,
+    so cluster members pool statistics by construction (the same
+    relabeling trick as every other tier).
+
+    Returns (tied models incl. silence, tied word->cluster-label lexicon
+    covering the FULL input lexicon, unit->cluster mapping). Words whose
+    units were never seen in training fall back to their center
+    monophone's label inside the tied lexicon (the monophone model is
+    included in the returned dict), preserving OOV decoding."""
+    seed_units, _ = train_triphone_models(
+        monophones, labeled_features, lexicon, smooth_tau=seed_smooth_tau,
+    )
+    mapping = cluster_triphone_units(seed_units, max_per_phone)
+
+    def tied_label(unit: str) -> str:
+        if unit in mapping:
+            return mapping[unit]
+        # OOV back-off: unseen context uses the center monophone.
+        return split_triphone(unit)[1]
+
+    tied_entries = {
+        w: tuple(tied_label(u) for u in word_units_tri(lexicon[w]))
+        for w in lexicon.words
+    }
+    tied_lex = Lexicon(tied_entries)
+
+    from .biphone import clone_unit_models
+
+    train_words: Set[str] = set()
+    for tr in labeled_features:
+        train_words.update(list(tr) if isinstance(tr, str) else tr)
+    needed = {l for w in sorted(train_words) for l in tied_entries[w]}
+    clones = clone_unit_models(
+        monophones, {l for l in needed if "~" in l},
+        lambda lab: lab.split("~", 1)[0], "tied-triphone",
+    )
+    for lab in needed - set(clones):  # monophone back-off labels
+        clones[lab] = monophones[lab]
+    clones[SILENCE_LABEL] = monophones[SILENCE_LABEL]
+
+    from .lexicon import train_phone_models
+
+    trained, _ = train_phone_models(
+        clones, labeled_features,
+        Lexicon({w: tied_entries[w] for w in sorted(train_words)}),
+        config=config, mesh=mesh,
+    )
+    # Models for labels the training data never reached (OOV-only
+    # back-off monophones) come from the monophone inventory.
+    out = dict(trained)
+    for w in lexicon.words:
+        for lab in tied_entries[w]:
+            if lab not in out:
+                out[lab] = monophones[lab]
+    return out, tied_lex, mapping
+
+
 def compose_word_models_triphone(
     lexicon: Lexicon,
     triphone_models: Dict[str, WordHMM],

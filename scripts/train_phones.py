@@ -60,6 +60,16 @@ def main() -> None:
                              "triphones/; with --biphones too, decode/"
                              "align back off triphone -> biphone -> "
                              "monophone")
+    parser.add_argument("--tie-triphones", type=int, default=None,
+                        metavar="N",
+                        help="GENERALIZED triphones: seed-train triphone "
+                             "units, cluster them to at most N per center "
+                             "phone (data-driven tying), retrain the tied "
+                             "models, and save them with the TIED lexicon "
+                             "as an ordinary phone checkpoint — "
+                             "transcribe/align need no special handling; "
+                             "the unit->cluster map lands in "
+                             "tied_units.json")
     parser.add_argument("--smooth-tau", type=float, default=None,
                         metavar="TAU",
                         help="with --biphones/--triphones: MAP-smooth the "
@@ -73,6 +83,10 @@ def main() -> None:
     args = parser.parse_args()
     if args.smooth_tau is not None and not (args.biphones or args.triphones):
         parser.error("--smooth-tau only applies with --biphones/--triphones")
+    if args.tie_triphones is not None and (args.biphones or args.triphones):
+        parser.error("--tie-triphones writes a self-contained tied "
+                     "checkpoint; do not combine with "
+                     "--biphones/--triphones")
     if args.smooth_tau is not None and args.gmm_mixtures > 1:
         # Statically-known incompatibility: fail before minutes of
         # monophone training, not inside the biphone stage.
@@ -127,7 +141,8 @@ def main() -> None:
 
     train_cfg = ContinuousTrainConfig(max_iterations=args.iterations,
                                       cov_reg=0.1)
-    context_tiers = args.biphones or args.triphones
+    context_tiers = (args.biphones or args.triphones
+                     or args.tie_triphones is not None)
     phones, iterations = train_phone_models(
         boot, labeled, lex, train_cfg,
         # With context tiers the GMM refinement belongs to the unit stage;
@@ -167,6 +182,26 @@ def main() -> None:
         print(f"triphone stage: {tri_iterations} iterations; saved "
               f"{len(tri_units) - 1} context-dependent units to "
               f"{os.path.join(args.out_dir, 'triphones')}")
+
+    if args.tie_triphones is not None:
+        import json
+
+        from cs304_tpu.models.triphone import tie_and_train_triphones
+
+        tied, tied_lex, mapping = tie_and_train_triphones(
+            phones, labeled, lex, max_per_phone=args.tie_triphones,
+            config=train_cfg,
+        )
+        tied_dir = os.path.join(args.out_dir, "tied")
+        save_models(tied, tied_dir, frontend=frontend_manifest(cfg))
+        tied_lex.save(os.path.join(tied_dir, "lexicon.json"))
+        with open(os.path.join(tied_dir, "tied_units.json"), "w") as f:
+            json.dump(mapping, f, indent=1, sort_keys=True)
+        print(f"tied {len(mapping)} triphone units into "
+              f"{len(set(mapping.values()))} generalized models "
+              f"(max {args.tie_triphones}/phone); self-contained tied "
+              f"checkpoint at {tied_dir} — decode with "
+              f"--lexicon {os.path.join(tied_dir, 'lexicon.json')}")
 
 
 if __name__ == "__main__":

@@ -248,6 +248,87 @@ def test_checkpoint_chain_detection(tmp_path):
     assert composed["ab"].means[3, 0] == 8.0
 
 
+def test_cluster_triphone_units(rng):
+    """Data-driven tying groups acoustically-equal contexts and keeps
+    genuinely different realizations apart."""
+    from cs304_tpu.models.triphone import cluster_triphone_units
+
+    lex, boot, labeled, utt = _anticipatory_corpus(rng)
+    seed, _ = train_triphone_models(dict(boot), labeled, lex,
+                                    smooth_tau=1.0)
+    mapping = cluster_triphone_units(seed, max_per_phone=2)
+    # The two pX realizations (3 before pA, 9 before pC) stay separate.
+    assert mapping["S-pX+pA"] != mapping["S-pX+pC"]
+    # Cluster labels preserve the center phone.
+    assert mapping["S-pX+pA"].startswith("pX~")
+    # max_per_phone=1 pools every context of a phone into one cluster.
+    one = cluster_triphone_units(seed, max_per_phone=1)
+    assert one["S-pX+pA"] == one["S-pX+pC"]
+    with pytest.raises(ValueError):
+        cluster_triphone_units(seed, max_per_phone=0)
+
+
+def test_tie_and_train_triphones(rng):
+    """Generalized triphones: tied models keep the anticipatory contrast
+    at max_per_phone=2 (full-triphone accuracy with shared models) and
+    provably lose it when forced into one cluster per phone."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.train_continuous import ContinuousTrainConfig
+    from cs304_tpu.models.triphone import tie_and_train_triphones
+
+    lex, boot, labeled, utt = _anticipatory_corpus(rng)
+    cfg = ContinuousTrainConfig(max_iterations=4, cov_reg=0.05,
+                                length_multiple=32)
+    tied, tied_lex, mapping = tie_and_train_triphones(
+        dict(boot), labeled, lex, max_per_phone=2, config=cfg
+    )
+    dec = ContinuousDecoder(compose_word_models(tied_lex, tied),
+                            penalty=-5.0)
+    truths = [w for w in lex.words for _ in range(4)]
+    clips = [utt(w) for w in truths]
+    acc = np.mean([p == t for p, t in zip(dec.predict_batch(clips),
+                                          truths)])
+    assert acc == 1.0, acc
+    # Tying shares models: distinct model objects <= distinct units.
+    assert len(set(mapping.values())) <= len(mapping)
+
+    # One cluster per phone erases the contrast (the sanity direction).
+    tied1, lex1, _ = tie_and_train_triphones(
+        dict(boot), labeled, lex, max_per_phone=1, config=cfg
+    )
+    dec1 = ContinuousDecoder(compose_word_models(lex1, tied1),
+                             penalty=-5.0)
+    acc1 = np.mean([p == t for p, t in zip(dec1.predict_batch(clips),
+                                           truths)])
+    assert acc1 < 1.0, "max_per_phone=1 should collapse the contrast"
+
+
+def test_tied_lexicon_covers_oov(rng):
+    """Words added to the lexicon before tying but absent from training
+    fall back to monophone labels inside the tied lexicon and compose."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.train_continuous import ContinuousTrainConfig
+    from cs304_tpu.models.triphone import tie_and_train_triphones
+
+    lex, boot, labeled, utt = _anticipatory_corpus(rng)
+    bigger = lex.with_words({"ca": ("pC", "pA")})  # never trained
+    cfg = ContinuousTrainConfig(max_iterations=3, cov_reg=0.05,
+                                length_multiple=32)
+    tied, tied_lex, _ = tie_and_train_triphones(
+        dict(boot), labeled, bigger, max_per_phone=2, config=cfg
+    )
+    assert "ca" in tied_lex
+    models = compose_word_models(tied_lex, tied)
+    dec = ContinuousDecoder(models, penalty=-5.0)
+    frames = [[-12.0, st, 0.0] for st in range(3) for _ in range(4)]
+    for center in (0.0, 0.0):  # pC then pA, both realize at 0
+        frames += [[center, st, 0.0] for st in range(3) for _ in range(4)]
+    frames += [[-12.0, st, 0.0] for st in range(3) for _ in range(4)]
+    clip = (np.asarray(frames, np.float32)
+            + rng.normal(0, 0.05, (len(frames), 3)).astype(np.float32))
+    assert dec.predict(clip) in bigger.words
+
+
 def test_map_smoothed_triphones(rng):
     lex, boot, labeled, utt = _anticipatory_corpus(rng)
     tied, iters = train_triphone_models(
