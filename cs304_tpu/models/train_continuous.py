@@ -66,6 +66,16 @@ class HMMTrainMeanFail(RuntimeError):
     """A used (label, state) slot received zero frames."""
 
 
+def _pool_np(stat: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Host-side tie pooling (the legacy spine's analogue of
+    train_fused._pool_slots): scatter-add a leading-axis statistic over tie
+    groups and broadcast group totals back to member rows."""
+    flat = stat.reshape(ids.shape[0], -1)
+    pooled = np.zeros_like(flat)
+    np.add.at(pooled, ids, flat)
+    return pooled[ids].reshape(stat.shape)
+
+
 @dataclass(frozen=True)
 class ContinuousTrainConfig:
     max_iterations: int = 100
@@ -344,13 +354,26 @@ class ContinuousTrainer:
         models: Dict[str, WordHMM],
         cfg: ContinuousTrainConfig = ContinuousTrainConfig(),
         mesh=None,
+        state_ties: Dict[tuple, object] | None = None,
+        transition_ties: Dict[str, object] | None = None,
     ) -> None:
         """mesh: optional jax.sharding.Mesh — when given, the fused training
         program shards each length-bucket's batch over the mesh's data axis
         and psums the sufficient statistics inside the compiled step,
         replacing the reference's per-transcript ProcessPool
         (hidden_markov_model.py:746-750). Requires cfg.fused (the default);
-        the legacy fused=False oracle is single-host."""
+        the legacy fused=False oracle is single-host.
+
+        state_ties: optional (label, state) -> group key. Slots sharing a
+        group key pool their emission statistics before every M-step and so
+        train as ONE shared Gaussian (senone-style state tying, models/
+        senone.py builds these maps from phonetic decision trees). Slots not
+        mentioned stay untied. transition_ties: optional label -> group key;
+        tied labels (which must have equal state counts) pool transition
+        counts and share one transition matrix. Both apply to the fused AND
+        legacy spines identically; a resumed trainer must be constructed
+        with the same ties. No reference equivalent (nothing below the word
+        level is tied there)."""
         from .stacking import stack_models  # deferred: stacking imports us
 
         if cfg.update not in ("viterbi", "baum_welch"):
@@ -378,6 +401,87 @@ class ContinuousTrainer:
         self.means_g = stacked.means
         self.covs_g = stacked.covariances
         self.log_a_g = stacked.log_a
+        self._tie_flat = self._build_state_ties(state_ties)
+        self._trans_tie = self._build_transition_ties(transition_ties)
+        self._conv_tie = self._build_convergence_groups(
+            state_ties, transition_ties
+        )
+
+    def _build_state_ties(self, state_ties) -> np.ndarray | None:
+        """(label, state) -> key dict into a (L*s_max,) int32 tie map whose
+        group ids are each group's smallest member flat index (guaranteeing
+        valid, collision-free segment ids); unmapped slots keep their own
+        flat index (singleton segments = untied)."""
+        if not state_ties:
+            return None
+        l, s = len(self.labels), self.s_max
+        tie = np.arange(l * s, dtype=np.int32)
+        groups: Dict[object, List[int]] = {}
+        for (label, st), key in state_ties.items():
+            if label not in self.label_index:
+                raise ValueError(f"state_ties: unknown label {label!r}")
+            if not 0 <= st < self.state_counts[label]:
+                raise ValueError(
+                    f"state_ties: state {st} out of range for {label!r} "
+                    f"({self.state_counts[label]} states)"
+                )
+            groups.setdefault(key, []).append(
+                self.label_index[label] * s + st
+            )
+        for members in groups.values():
+            tie[members] = min(members)
+        return tie
+
+    def _build_convergence_groups(
+        self, state_ties, transition_ties
+    ) -> np.ndarray | None:
+        """Labels connected through any tie group must freeze together
+        (per-label convergence would un-share tied parameters mid-run);
+        returns (L,) int32 connected-component ids, or None when untied."""
+        if not state_ties and not transition_ties:
+            return None
+        l = len(self.labels)
+        parent = list(range(l))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        def union(i, j):
+            parent[find(i)] = find(j)
+
+        groups: Dict[object, List[int]] = {}
+        for (label, _st), key in (state_ties or {}).items():
+            groups.setdefault(("s", key), []).append(self.label_index[label])
+        for label, key in (transition_ties or {}).items():
+            groups.setdefault(("t", key), []).append(self.label_index[label])
+        for members in groups.values():
+            for m in members[1:]:
+                union(members[0], m)
+        return np.asarray([find(i) for i in range(l)], np.int32)
+
+    def _build_transition_ties(self, transition_ties) -> np.ndarray | None:
+        if not transition_ties:
+            return None
+        l = len(self.labels)
+        tie = np.arange(l, dtype=np.int32)
+        groups: Dict[object, List[str]] = {}
+        for label, key in transition_ties.items():
+            if label not in self.label_index:
+                raise ValueError(f"transition_ties: unknown label {label!r}")
+            groups.setdefault(key, []).append(label)
+        for members in groups.values():
+            counts = {self.state_counts[m] for m in members}
+            if len(counts) > 1:
+                raise ValueError(
+                    "transition_ties: tied labels must have equal state "
+                    f"counts, got {sorted(counts)} for {sorted(members)}"
+                )
+            idx = [self.label_index[m] for m in members]
+            tie[idx] = min(idx)
+        return tie
 
     # -- public ---------------------------------------------------------
     def models(self) -> Dict[str, WordHMM]:
@@ -486,7 +590,7 @@ class ContinuousTrainer:
             atol=float(self.cfg.atol),
             num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
             max_iterations=int(remaining), update=self.cfg.update,
-            emissions=self.cfg.emissions,
+            emissions=self.cfg.emissions, **self._tie_kwargs(),
         )
         if self.mesh is not None:
             out = fused_train_run_sharded(*args, self.mesh, **kwargs)
@@ -612,6 +716,22 @@ class ContinuousTrainer:
             slot_used[i, : self.state_counts[label]] = True
         return slot_used
 
+    def _tie_kwargs(self):
+        return dict(
+            tie_flat=(
+                jnp.asarray(self._tie_flat)
+                if self._tie_flat is not None else None
+            ),
+            trans_tie=(
+                jnp.asarray(self._trans_tie)
+                if self._trans_tie is not None else None
+            ),
+            conv_tie=(
+                jnp.asarray(self._conv_tie)
+                if self._conv_tie is not None else None
+            ),
+        )
+
     def _device_state(self):
         if self._dev_state is None:
             self._dev_state = (
@@ -649,7 +769,7 @@ class ContinuousTrainer:
             cov_reg=float(self.cfg.cov_reg), rtol=float(self.cfg.rtol),
             atol=float(self.cfg.atol),
             num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
-            emissions=self.cfg.emissions,
+            emissions=self.cfg.emissions, **self._tie_kwargs(),
         )
         if self.mesh is not None:
             return fused_viterbi_iteration_sharded(*args, self.mesh, **kwargs)
@@ -670,7 +790,7 @@ class ContinuousTrainer:
             cov_reg=float(self.cfg.cov_reg), rtol=float(self.cfg.rtol),
             atol=float(self.cfg.atol),
             num_labels=l, s_max=s, cross_word=self.cfg.cross_word,
-            emissions=self.cfg.emissions,
+            emissions=self.cfg.emissions, **self._tie_kwargs(),
         )
         if self.mesh is not None:
             return fused_bw_iteration_sharded(*args, self.mesh, **kwargs)
@@ -822,6 +942,12 @@ class ContinuousTrainer:
             sums += np.asarray(sm, np.float64)
             trans += np.asarray(tr, np.float64)
 
+        if self._tie_flat is not None:
+            counts = _pool_np(counts.reshape(l * s), self._tie_flat).reshape(l, s)
+            sums = _pool_np(sums.reshape(l * s, d), self._tie_flat).reshape(l, s, d)
+        if self._trans_tie is not None:
+            trans = _pool_np(trans, self._trans_tie)
+
         # Real (label, state) slots: states < that label's state count.
         slot_used = np.zeros((l, s), bool)
         for label, i in self.label_index.items():
@@ -851,6 +977,13 @@ class ContinuousTrainer:
                 for i in range(l)
             ]
         )
+        if self._conv_tie is not None:
+            # Tie-connected labels freeze together: a label freezing early
+            # while a tie partner keeps updating would un-share the tied
+            # parameters (same rule as the fused bodies).
+            bad = np.zeros(l, np.int64)
+            np.add.at(bad, self._conv_tie, (~converged).astype(np.int64))
+            converged = bad[self._conv_tie] == 0
         if converged.all():
             return True
 
@@ -876,6 +1009,12 @@ class ContinuousTrainer:
                     ),
                     np.float64,
                 )
+        if self._tie_flat is not None:
+            # Tied slots share new_means, so pooled centered moments give the
+            # exact group covariance under either denominator.
+            m2 = _pool_np(
+                m2.reshape(l * s, d, d), self._tie_flat
+            ).reshape(l, s, d, d)
         # Viterbi keeps the reference's np.cov ddof=1 denominator; soft counts
         # use the standard ML normalization.
         denom = (np.maximum(counts, 1e-4) if baum_welch

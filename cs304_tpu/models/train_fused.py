@@ -246,6 +246,60 @@ def _banded_trellis_batch(log_b, c0, c1, c2, lengths, n_states):
     return scores, paths
 
 
+def _pool_slots(stat, tie_flat):
+    """State-level parameter tying: sum a per-slot statistic over tie groups
+    and broadcast each group total back to its member slots.
+
+    tie_flat (F,) int32 maps every flat (label, state) slot to a tie-group id
+    in [0, F); untied slots carry unique ids (singleton segments), for which
+    segment_sum returns the element itself — bitwise-identical to no pooling.
+    Tied slots then re-estimate from their POOLED statistics, so they end the
+    M-step with identical parameters: this is senone-style shared-state
+    training (Young et al. 1994) expressed as one scatter-add + gather, with
+    alignment/trellis passes untouched. No reference equivalent (the
+    reference ties nothing below the word level)."""
+    pooled = jax.ops.segment_sum(
+        stat, tie_flat, num_segments=stat.shape[0]
+    )
+    return pooled[tie_flat]
+
+
+def _tie_operands(tie_flat, trans_tie, conv_tie, num_labels: int, s_max: int):
+    """Materialize identity tie maps for the shard_map entry points (which
+    pass ties as explicit replicated operands). Identity pooling —
+    segment_sum over singleton segments — is bitwise-identical to no
+    pooling, and identity convergence groups preserve the per-label freeze
+    semantics, so absent ties cost nothing semantically."""
+    if tie_flat is None:
+        tie_flat = jnp.arange(num_labels * s_max, dtype=jnp.int32)
+    if trans_tie is None:
+        trans_tie = jnp.arange(num_labels, dtype=jnp.int32)
+    if conv_tie is None:
+        conv_tie = jnp.arange(num_labels, dtype=jnp.int32)
+    return (jnp.asarray(tie_flat, jnp.int32),
+            jnp.asarray(trans_tie, jnp.int32),
+            jnp.asarray(conv_tie, jnp.int32))
+
+
+def _couple_convergence(converged_l, conv_tie):
+    """Freeze tie-connected labels together: a label counts as converged
+    only when every label in its convergence group is."""
+    bad = jax.ops.segment_sum(
+        (~converged_l).astype(jnp.int32), conv_tie,
+        num_segments=converged_l.shape[0],
+    )
+    return bad[conv_tie] == 0
+
+
+def _pool_labels(stat, trans_tie):
+    """Label-level pooling of per-label statistics (transition tying: e.g.
+    all triphones of one center phone share a transition matrix)."""
+    pooled = jax.ops.segment_sum(
+        stat, trans_tie, num_segments=stat.shape[0]
+    )
+    return pooled[trans_tie]
+
+
 def _identity(x):
     return x
 
@@ -378,6 +432,7 @@ def _iteration_body(
     num_labels: int, s_max: int, cross_word: str,
     emissions: str = "whiten",
     reduce_fn=_identity,
+    tie_flat=None, trans_tie=None, conv_tie=None,
 ):
     """Shared body of the fused iteration (single-device and mesh-sharded).
 
@@ -386,6 +441,15 @@ def _iteration_body(
     the only difference between the two deployments, so the M-step (and
     therefore the trained parameters) are bitwise-identical by construction
     modulo the reduction order.
+
+    tie_flat (F,) / trans_tie (L,) int32, optional: state-level emission
+    tying and label-level transition tying — statistics pool over tie groups
+    before the M-step (see _pool_slots), so tied slots train as ONE shared
+    distribution. None (default) leaves the program untouched. conv_tie (L,)
+    int32, optional: convergence-coupling groups — labels sharing a tie group
+    freeze TOGETHER (a label freezing early while a tie partner keeps
+    updating would silently un-share the tied parameters); untied labels
+    keep the reference's per-label freeze semantics.
     """
     l, s, d = means_g.shape
     f = num_labels * s_max
@@ -454,8 +518,13 @@ def _iteration_body(
     counts_f = reduce_fn(counts_f)
     sums = reduce_fn(sums)
     trans_f = reduce_fn(trans_f)
+    if tie_flat is not None:
+        counts_f = _pool_slots(counts_f, tie_flat)
+        sums = _pool_slots(sums, tie_flat)
     counts = counts_f.reshape(l, s)
     trans = trans_f.reshape(l, s, s)
+    if trans_tie is not None:
+        trans = _pool_labels(trans, trans_tie)
 
     # ---- M-step: means + convergence ----
     empty = slot_used & (counts < 1.0)
@@ -464,6 +533,8 @@ def _iteration_body(
     # np.allclose(new, old): |new - old| <= atol + rtol * |old|.
     close = jnp.abs(new_means - means_g) <= atol + rtol * jnp.abs(means_g)
     converged_l = jnp.all(close.all(-1) | ~slot_used, axis=-1)  # (L,)
+    if conv_tie is not None:
+        converged_l = _couple_convergence(converged_l, conv_tie)
 
     # ---- pass B: covariance centered on the NEW means (np.cov parity) ----
     new_means_flat = new_means.reshape(f, d)
@@ -493,7 +564,13 @@ def _iteration_body(
         pass_b, jnp.zeros((f, d * d), jnp.float32),
         (batch, lengths, paths, topo_id),
     )
-    m2 = reduce_fn(m2_flat).reshape(l, s, d, d)
+    m2_flat = reduce_fn(m2_flat)
+    if tie_flat is not None:
+        # Tied slots share new_means, so each pooled m2 is centered at its
+        # group mean — the group covariance with np.cov ddof=1 on the GROUP
+        # count follows exactly.
+        m2_flat = _pool_slots(m2_flat, tie_flat)
+    m2 = m2_flat.reshape(l, s, d, d)
     denom = jnp.maximum(counts - 1.0, 1.0)[..., None, None]  # np.cov ddof=1
     eye = jnp.eye(d, dtype=jnp.float32)
     new_covs = m2 / denom + cov_reg * eye
@@ -529,6 +606,7 @@ def _bw_body(
     num_labels: int, s_max: int, cross_word: str,
     emissions: str = "whiten",
     reduce_fn=_identity,
+    tie_flat=None, trans_tie=None, conv_tie=None,
 ):
     """Baum-Welch analogue of _iteration_body: one XLA program per iteration.
 
@@ -650,8 +728,13 @@ def _bw_body(
     counts_f = reduce_fn(counts_f)
     sums = reduce_fn(sums)
     trans_f = reduce_fn(trans_f)
+    if tie_flat is not None:
+        counts_f = _pool_slots(counts_f, tie_flat)
+        sums = _pool_slots(sums, tie_flat)
     counts = counts_f.reshape(l, s)
     trans = trans_f.reshape(l, s, s)
+    if trans_tie is not None:
+        trans = _pool_labels(trans, trans_tie)
 
     # ---- M-step: means + convergence (BW floors) ----
     empty = slot_used & (counts < _BW_FLOOR)
@@ -661,6 +744,8 @@ def _bw_body(
     new_means = jnp.where(empty[..., None], means_g, new_means)
     close = jnp.abs(new_means - means_g) <= atol + rtol * jnp.abs(means_g)
     converged_l = jnp.all(close.all(-1) | ~slot_used, axis=-1)
+    if conv_tie is not None:
+        converged_l = _couple_convergence(converged_l, conv_tie)
 
     # ---- pass B: covariance via König around the global weighted mean ----
     new_means_flat = new_means.reshape(f, d)
@@ -686,7 +771,14 @@ def _bw_body(
         pass_b, jnp.zeros((f, d * d), jnp.float32),
         (batch, lengths, topo_id, la_c, be_c, ll_c, valid_c),
     )
-    sxx = reduce_fn(sxx_flat).reshape(f, d, d)
+    sxx_flat = reduce_fn(sxx_flat)
+    if tie_flat is not None:
+        # König around c_glob holds for any fixed centering point; pooling
+        # sxx and using the pooled counts with the shared group mean gives
+        # the exact group covariance. (c_glob itself is computed from the
+        # broadcast pooled sums — a different but still fixed point.)
+        sxx_flat = _pool_slots(sxx_flat, tie_flat)
+    sxx = sxx_flat.reshape(f, d, d)
     m2 = (
         sxx - counts_f[:, None, None] * (d_f[:, :, None] * d_f[:, None, :])
     ).reshape(l, s, d, d)
@@ -721,6 +813,7 @@ def fused_bw_iteration(
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str = "exit_only",
     emissions: str = "whiten",
+    tie_flat=None, trans_tie=None, conv_tie=None,
 ):
     """One embedded Baum-Welch iteration as one XLA program (see _bw_body)."""
     return _bw_body(
@@ -729,7 +822,8 @@ def fused_bw_iteration(
         batch, lengths, topo_id,
         cov_reg=cov_reg, rtol=rtol, atol=atol,
         num_labels=num_labels, s_max=s_max, cross_word=cross_word,
-        emissions=emissions,
+        emissions=emissions, tie_flat=tie_flat, trans_tie=trans_tie,
+        conv_tie=conv_tie,
     )
 
 
@@ -743,6 +837,7 @@ def fused_bw_iteration_sharded(
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str = "exit_only",
     emissions: str = "whiten",
+    tie_flat=None, trans_tie=None, conv_tie=None,
 ):
     """Mesh-sharded fused Baum-Welch (psum'd soft statistics; see
     fused_viterbi_iteration_sharded for the sharding layout)."""
@@ -751,24 +846,31 @@ def fused_bw_iteration_sharded(
 
     from ..parallel.data_parallel import DATA_AXIS
 
-    body = partial(
-        _bw_body,
-        cov_reg=cov_reg, rtol=rtol, atol=atol,
-        num_labels=num_labels, s_max=s_max, cross_word=cross_word,
-        emissions=emissions,
-        reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
-    )
+    tie_flat, trans_tie, conv_tie = _tie_operands(
+        tie_flat, trans_tie, conv_tie, num_labels, s_max)
+
+    def body(*args):
+        *main, tf, tt, cv = args
+        return _bw_body(
+            *main,
+            cov_reg=cov_reg, rtol=rtol, atol=atol,
+            num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+            emissions=emissions,
+            reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
+            tie_flat=tf, trans_tie=tt, conv_tie=cv,
+        )
+
     rep, sh = P(), P(DATA_AXIS)
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(rep,) * 10 + (sh, sh, sh),
+        in_specs=(rep,) * 10 + (sh, sh, sh) + (rep, rep, rep),
         out_specs=(rep,) * 6,
         check_vma=False,
     )(
         means_g, covs_g, log_a_g, slot_used,
         lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
-        batch, lengths, topo_id,
+        batch, lengths, topo_id, tie_flat, trans_tie, conv_tie,
     )
 
 
@@ -805,6 +907,7 @@ def fused_viterbi_iteration(
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str = "exit_only",
     emissions: str = "whiten",
+    tie_flat=None, trans_tie=None, conv_tie=None,
 ):
     """One embedded-training iteration as one XLA program.
 
@@ -824,7 +927,8 @@ def fused_viterbi_iteration(
         batch, lengths, topo_id,
         cov_reg=cov_reg, rtol=rtol, atol=atol,
         num_labels=num_labels, s_max=s_max, cross_word=cross_word,
-        emissions=emissions,
+        emissions=emissions, tie_flat=tie_flat, trans_tie=trans_tie,
+        conv_tie=conv_tie,
     )
 
 
@@ -875,6 +979,7 @@ def fused_train_run(
     num_labels: int, s_max: int, cross_word: str,
     max_iterations: int, update: str = "viterbi",
     emissions: str = "whiten",
+    tie_flat=None, trans_tie=None, conv_tie=None,
 ):
     """The ENTIRE embedded training run as ONE XLA program.
 
@@ -895,7 +1000,8 @@ def fused_train_run(
             batch, lengths, topo_id,
             cov_reg=cov_reg, rtol=rtol, atol=atol,
             num_labels=num_labels, s_max=s_max, cross_word=cross_word,
-            emissions=emissions,
+            emissions=emissions, tie_flat=tie_flat, trans_tie=trans_tie,
+        conv_tie=conv_tie,
         )
 
     run = _train_loop_body(one_iter, max_iterations)
@@ -914,6 +1020,7 @@ def fused_train_run_sharded(
     num_labels: int, s_max: int, cross_word: str,
     max_iterations: int, update: str = "viterbi",
     emissions: str = "whiten",
+    tie_flat=None, trans_tie=None, conv_tie=None,
 ):
     """Whole-run device loop over a data-parallel mesh: the psums ride the
     ICI inside the while_loop, so N chips complete the full multi-iteration
@@ -924,11 +1031,13 @@ def fused_train_run_sharded(
     from ..parallel.data_parallel import DATA_AXIS
 
     body_fn = _iteration_body if update == "viterbi" else _bw_body
+    tie_flat, trans_tie, conv_tie = _tie_operands(
+        tie_flat, trans_tie, conv_tie, num_labels, s_max)
 
     def run_shard(
         means_g, covs_g, log_a_g, slot_used,
         lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
-        batch, lengths, topo_id,
+        batch, lengths, topo_id, tie_flat, trans_tie, conv_tie,
     ):
         def one_iter(means, covs, log_a):
             return body_fn(
@@ -939,6 +1048,7 @@ def fused_train_run_sharded(
                 num_labels=num_labels, s_max=s_max, cross_word=cross_word,
                 emissions=emissions,
                 reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
+                tie_flat=tie_flat, trans_tie=trans_tie, conv_tie=conv_tie,
             )
 
         run = _train_loop_body(one_iter, max_iterations)
@@ -949,13 +1059,13 @@ def fused_train_run_sharded(
     return shard_map(
         run_shard,
         mesh=mesh,
-        in_specs=(rep,) * 10 + (sh, sh, sh),
+        in_specs=(rep,) * 10 + (sh, sh, sh) + (rep, rep, rep),
         out_specs=(rep,) * 6,
         check_vma=False,
     )(
         means_g, covs_g, log_a_g, slot_used,
         lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
-        batch, lengths, topo_id,
+        batch, lengths, topo_id, tie_flat, trans_tie, conv_tie,
     )
 
 
@@ -969,6 +1079,7 @@ def fused_viterbi_iteration_sharded(
     cov_reg: float, rtol: float, atol: float,
     num_labels: int, s_max: int, cross_word: str = "exit_only",
     emissions: str = "whiten",
+    tie_flat=None, trans_tie=None, conv_tie=None,
 ):
     """The fused iteration over a data-parallel mesh — still ONE program.
 
@@ -991,22 +1102,29 @@ def fused_viterbi_iteration_sharded(
 
     from ..parallel.data_parallel import DATA_AXIS
 
-    body = partial(
-        _iteration_body,
-        cov_reg=cov_reg, rtol=rtol, atol=atol,
-        num_labels=num_labels, s_max=s_max, cross_word=cross_word,
-        emissions=emissions,
-        reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
-    )
+    tie_flat, trans_tie, conv_tie = _tie_operands(
+        tie_flat, trans_tie, conv_tie, num_labels, s_max)
+
+    def body(*args):
+        *main, tf, tt, cv = args
+        return _iteration_body(
+            *main,
+            cov_reg=cov_reg, rtol=rtol, atol=atol,
+            num_labels=num_labels, s_max=s_max, cross_word=cross_word,
+            emissions=emissions,
+            reduce_fn=lambda x: jax.lax.psum(x, DATA_AXIS),
+            tie_flat=tf, trans_tie=tt, conv_tie=cv,
+        )
+
     rep, sh = P(), P(DATA_AXIS)
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(rep,) * 10 + (sh, sh, sh),
+        in_specs=(rep,) * 10 + (sh, sh, sh) + (rep, rep, rep),
         out_specs=(rep, rep, rep, rep, rep, sh),
         check_vma=False,
     )(
         means_g, covs_g, log_a_g, slot_used,
         lab_tab, loc_tab, pos_tab, samew_tab, cross_tab, n_states_t,
-        batch, lengths, topo_id,
+        batch, lengths, topo_id, tie_flat, trans_tie, conv_tie,
     )
