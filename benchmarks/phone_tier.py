@@ -64,6 +64,13 @@ def main() -> None:
     ap.add_argument("--smooth-tau", type=float, default=None,
                     help="with --biphones/--triphones: MAP-smoothing pass "
                          "instead of full unit re-estimation")
+    ap.add_argument("--senones", type=int, default=None, metavar="N",
+                    help="also train + evaluate the SENONE tier (models/"
+                         "senone.py): decision-tree state tying with at "
+                         "most N leaves per (phone, state); unseen "
+                         "triphones synthesize through the trees")
+    ap.add_argument("--senone-min-gain", type=float, default=0.0)
+    ap.add_argument("--senone-min-count", type=float, default=8.0)
     ap.add_argument("--no-gates", action="store_true")
     args = ap.parse_args()
     if args.smooth_tau is not None and not (args.biphones or args.triphones):
@@ -217,6 +224,31 @@ def main() -> None:
         )
         t_tri = time.perf_counter() - t0
 
+    sen_composed = None
+    t_sen = None
+    sen_units = None
+    sen_tying = None
+    if args.senones is not None:
+        from cs304_tpu.models.senone import (
+            compose_word_models_senone,
+            train_senone_models,
+        )
+
+        t0 = time.perf_counter()
+        sen_units, sen_tying, _ = train_senone_models(
+            phone_final, labeled, lex,
+            max_per_state=args.senones,
+            min_gain=args.senone_min_gain,
+            min_count=args.senone_min_count,
+            config=ContinuousTrainConfig(max_iterations=args.iterations,
+                                         cov_reg=0.1),
+        )
+        # ALL words: unseen triphones synthesize through the trees.
+        sen_composed = compose_word_models_senone(
+            lex, sen_units, sen_tying, phone_final
+        )
+        t_sen = time.perf_counter() - t0
+
     training_line = {
         "stage": "training",
         "word_tier_params": params_of(word_final),
@@ -242,6 +274,23 @@ def main() -> None:
         training_line["context_mode"] = (
             "map_smoothed" if args.smooth_tau is not None else "untied"
         )
+    if sen_units is not None:
+        # Senone-tier parameters: distinct senones + one transition matrix
+        # per center phone (the materialized per-unit copies share them).
+        from cs304_tpu.models.senone import senone_table
+
+        sen_params = senone_table(sen_units, sen_tying)
+        d = next(iter(sen_units.values())).dim
+        training_line["senone_tier_params"] = int(
+            len(sen_params) * (d + d * d)
+            + sum(np.isfinite(phone_final[p].log_a).sum()
+                  for p in lex.phones)
+        )
+        training_line["senones"] = sen_tying.num_senones()
+        training_line["senone_units"] = sum(
+            1 for u in sen_units if u != "S"
+        )
+        training_line["senone_tier_wall_s"] = round(t_sen, 1)
     print(json.dumps(training_line))
 
     # ---- in-vocab eval ---------------------------------------------------
@@ -261,6 +310,8 @@ def main() -> None:
         tiers.append(("biphone_tier", bi_composed))
     if tri_composed is not None:
         tiers.append(("triphone_tier", tri_composed))
+    if sen_composed is not None:
+        tiers.append(("senone_tier", sen_composed))
     accs = {}
     for name, models in tiers:
         dec = ContinuousDecoder(models, penalty=args.penalty)
@@ -304,7 +355,8 @@ def main() -> None:
             "note": "word tier cannot express unseen words — 0 by "
                     "construction",
         }
-        for name, m in (("biphone", bi_composed), ("triphone", tri_composed)):
+        for name, m in (("biphone", bi_composed), ("triphone", tri_composed),
+                        ("senone", sen_composed)):
             if m is None:
                 continue
             preds_cd = ContinuousDecoder(
@@ -333,7 +385,7 @@ def main() -> None:
         else:
             assert accs["phone_tier"] >= 0.85, accs
             assert oov_acc is None or oov_acc >= 0.3, oov_acc
-            for tier in ("biphone_tier", "triphone_tier"):
+            for tier in ("biphone_tier", "triphone_tier", "senone_tier"):
                 if tier in accs:
                     assert accs[tier] >= 0.85, accs
             print(json.dumps({"gates": "pass"}))

@@ -279,14 +279,32 @@ def load_unit_table(
     (lex, None, None, "") for a plain monophone checkpoint; otherwise the
     derived unit lexicon (biphone or triphone) and a table mapping every
     unit of the full lexicon to a model through the back-off chain
-    (triphone -> biphone when present -> monophone), plus the silence
-    model (preferring the most context-dependent stage's)."""
+    (senones -> triphone -> biphone when present -> monophone), plus the
+    silence model (preferring the most context-dependent stage's). A
+    ``senones/`` directory (train_phones.py --senones) wins over every
+    other tier: unseen triphones there are SYNTHESIZED from their
+    decision-tree senones rather than backed off."""
     import os
 
     from ..utils.checkpoint import load_models
 
     lexicon = Lexicon.load(lexicon_path)
     root = os.path.dirname(os.path.abspath(lexicon_path))
+    sdir = os.path.join(root, "senones")
+    if os.path.isdir(sdir):
+        from .senone import SenoneTying, senone_unit_table
+        from .triphone import triphone_lexicon
+
+        unit_models = load_models(sdir)
+        tying = SenoneTying.load(os.path.join(sdir, "senone_tying.json"))
+        table, synthesized = senone_unit_table(
+            lexicon, unit_models, tying, monophones
+        )
+        n = sum(1 for u in unit_models if u != SILENCE_LABEL)
+        desc = (f"{n} senone-tied triphone units / "
+                f"{tying.num_senones()} senones "
+                f"({synthesized} unseen units synthesized from trees)")
+        return lexicon, triphone_lexicon(lexicon), table, desc
     bdir = os.path.join(root, "biphones")
     tdir = os.path.join(root, "triphones")
     bi_models = load_models(bdir) if os.path.isdir(bdir) else None

@@ -1001,7 +1001,7 @@ def fused_train_run(
             cov_reg=cov_reg, rtol=rtol, atol=atol,
             num_labels=num_labels, s_max=s_max, cross_word=cross_word,
             emissions=emissions, tie_flat=tie_flat, trans_tie=trans_tie,
-        conv_tie=conv_tie,
+            conv_tie=conv_tie,
         )
 
     run = _train_loop_body(one_iter, max_iterations)

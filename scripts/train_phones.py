@@ -70,6 +70,21 @@ def main() -> None:
                              "transcribe/align need no special handling; "
                              "the unit->cluster map lands in "
                              "tied_units.json")
+    parser.add_argument("--senones", type=int, default=None, metavar="N",
+                        help="STATE-LEVEL tying (models/senone.py): "
+                             "seed-train triphone units, grow one phonetic "
+                             "decision tree per (phone, state) over data-"
+                             "driven context classes with at most N leaves "
+                             "(senones) each, and retrain the units with "
+                             "per-senone statistic pooling. Saved under "
+                             "<out-dir>/senones/ and auto-detected by "
+                             "transcribe/align --lexicon; unseen triphones "
+                             "are synthesized through the trees instead of "
+                             "backing off")
+    parser.add_argument("--senone-min-gain", type=float, default=0.0,
+                        help="minimum likelihood gain for a tree split")
+    parser.add_argument("--senone-min-count", type=float, default=8.0,
+                        help="minimum occupancy per split child")
     parser.add_argument("--smooth-tau", type=float, default=None,
                         metavar="TAU",
                         help="with --biphones/--triphones: MAP-smooth the "
@@ -87,6 +102,16 @@ def main() -> None:
         parser.error("--tie-triphones writes a self-contained tied "
                      "checkpoint; do not combine with "
                      "--biphones/--triphones")
+    if args.senones is not None and (
+        args.biphones or args.triphones or args.tie_triphones is not None
+    ):
+        parser.error("--senones is its own unit tier; do not combine with "
+                     "--biphones/--triphones/--tie-triphones")
+    if args.senones is not None and args.senones < 1:
+        parser.error("--senones must be >= 1")
+    if args.senones is not None and args.gmm_mixtures > 1:
+        parser.error("senone retraining is K=1 (state ties pool Gaussian "
+                     "statistics); drop --gmm-mixtures")
     if args.smooth_tau is not None and args.gmm_mixtures > 1:
         # Statically-known incompatibility: fail before minutes of
         # monophone training, not inside the biphone stage.
@@ -142,7 +167,8 @@ def main() -> None:
     train_cfg = ContinuousTrainConfig(max_iterations=args.iterations,
                                       cov_reg=0.1)
     context_tiers = (args.biphones or args.triphones
-                     or args.tie_triphones is not None)
+                     or args.tie_triphones is not None
+                     or args.senones is not None)
     phones, iterations = train_phone_models(
         boot, labeled, lex, train_cfg,
         # With context tiers the GMM refinement belongs to the unit stage;
@@ -182,6 +208,25 @@ def main() -> None:
         print(f"triphone stage: {tri_iterations} iterations; saved "
               f"{len(tri_units) - 1} context-dependent units to "
               f"{os.path.join(args.out_dir, 'triphones')}")
+
+    if args.senones is not None:
+        from cs304_tpu.models.senone import train_senone_models
+
+        units, tying, sen_iterations = train_senone_models(
+            phones, labeled, lex,
+            max_per_state=args.senones,
+            min_gain=args.senone_min_gain,
+            min_count=args.senone_min_count,
+            config=train_cfg,
+        )
+        sen_dir = os.path.join(args.out_dir, "senones")
+        save_models(units, sen_dir)
+        tying.save(os.path.join(sen_dir, "senone_tying.json"))
+        print(f"senone stage: {sen_iterations} iterations; "
+              f"{len(units) - 1} triphone units tied into "
+              f"{tying.num_senones()} senones "
+              f"(max {args.senones}/(phone,state)); saved to {sen_dir} — "
+              f"transcribe/align --lexicon auto-detect it")
 
     if args.tie_triphones is not None:
         import json
