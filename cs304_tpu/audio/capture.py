@@ -23,6 +23,7 @@ from typing import List, Optional
 import numpy as np
 
 from .wav import write_wav_int16
+from ..native import native_endpoint_feed as _endpoint_feed
 
 logger = logging.getLogger(__name__)
 
@@ -114,6 +115,10 @@ class Segmentation:
             int(self.silence_duration_threshold / per_frame_time), 1
         )
         self._end_counter = SpeechEndCounter(self._max_silence_frames)
+        # Reused (counter, between, ever_high) buffer for feed_frames — a
+        # fresh np.array per 100 ms chunk was a measurable share of the
+        # serving host loop.
+        self._feed_state = np.zeros(3, np.int32)
 
     # -- frame-level state machine (identical to the offline separator) -----
     def detect_speech(self, frame: np.ndarray, threshold: str) -> bool:
@@ -150,6 +155,47 @@ class Segmentation:
                     continue
             if self._ever_high:
                 self._results.append(frame)
+
+    def feed_frames(self, samples: np.ndarray) -> tuple:
+        """Batched streaming advance over EXACT full frames — the serving
+        hot path. One native call (cs304_tpu/native wavio.cpp:endpoint_feed;
+        Python fallback identical) fuses the per-frame energies with the
+        hysteresis machine instead of paying the queue/`routine()`/exception
+        round-trip per 20 ms frame. Returns (done, consumed_samples): when
+        `done`, the take ended after `consumed_samples` — re-feed the
+        remainder to a fresh Segmentation (nothing between utterances is
+        lost). State stays in the same attributes routine() uses, so the two
+        entry points can interleave."""
+        samples = np.ascontiguousarray(samples, np.float32).reshape(-1)
+        n_frames = len(samples) // self.frame_size
+        if n_frames * self.frame_size != len(samples):
+            raise ValueError(
+                f"feed_frames needs whole {self.frame_size}-sample frames; "
+                f"got {len(samples)} samples"
+            )
+        if not n_frames:
+            return False, 0
+        state = self._feed_state
+        state[0] = self._end_counter._counter
+        state[1] = self._between
+        state[2] = self._ever_high
+        done, labels = _endpoint_feed(
+            state, samples, self.frame_size,
+            self.speech_high_threshold, self.speech_low_threshold,
+            self._max_silence_frames,
+        )
+        self._end_counter._counter = int(state[0])
+        self._between = bool(state[1])
+        self._ever_high = bool(state[2])
+        upto = done if done else n_frames
+        if labels[upto - 1]:
+            # ever_high latches, so labels are 0...0 1...1 within a call:
+            # everything from the first 1 belongs to the result.
+            frames = samples[: upto * self.frame_size].reshape(
+                -1, self.frame_size
+            )
+            self._results.extend(frames[int(labels[:upto].argmax()):])
+        return bool(done), upto * self.frame_size
 
     def _append_and_check(self, frame: np.ndarray) -> None:
         # Record the frame first so the trailing-silence trim below stays

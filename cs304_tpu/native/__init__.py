@@ -7,6 +7,7 @@ native.
 """
 from .loader import (
     HAS_NATIVE,
+    native_endpoint_feed,
     native_endpoint_frames,
     native_frame_energies,
     native_read_wav,
@@ -17,4 +18,5 @@ __all__ = [
     "native_read_wav",
     "native_frame_energies",
     "native_endpoint_frames",
+    "native_endpoint_feed",
 ]

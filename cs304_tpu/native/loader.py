@@ -19,7 +19,12 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    path = LIBRARY if os.path.exists(LIBRARY) else build()
+    # build() is a no-op when the .so is newer than the source; going
+    # through it (rather than using any existing file) keeps the loaded
+    # library's symbol set in sync with this module's bindings.
+    path = build()
+    if path is None and os.path.exists(LIBRARY):
+        path = LIBRARY  # compiler unavailable: an older build beats none
     if path is None:
         return None
     try:
@@ -39,6 +44,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.endpoint_frames.argtypes = [
         f32p, ctypes.c_long, ctypes.c_float, ctypes.c_float, ctypes.c_int, u8p
     ]
+    try:  # absent only from a stale pre-built .so with no compiler to rebuild
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.endpoint_feed.restype = ctypes.c_long
+        lib.endpoint_feed.argtypes = [
+            i32p, f32p, ctypes.c_long, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int, u8p,
+        ]
+    except AttributeError:
+        logger.warning("native library lacks endpoint_feed (stale build); "
+                       "the streaming endpointer uses the Python fallback")
     _lib = lib
     return lib
 
@@ -107,7 +122,19 @@ def native_endpoint_frames(
         return int(done), labels[:n]
     # Python fallback mirrors wavio.cpp / audio/endpointing.py
     labels = np.zeros(n, np.uint8)
-    counter, between, ever = 0, False, False
+    done, _counter, _between, _ever = _endpoint_py(
+        energies, high, low, max_silence, labels, 0, False, False,
+        noise_bit=True,
+    )
+    return done, labels
+
+
+def _endpoint_py(energies, high, low, max_silence, labels,
+                 counter, between, ever, noise_bit):
+    """Shared Python hysteresis loop (fallback for both native automata).
+    Writes per-frame flags into `labels`; returns (done, counter, between,
+    ever) so the stateful streaming caller can carry the machine across
+    calls. noise_bit toggles the offline automaton's bit-1 noise flag."""
     done = 0
     for t, e in enumerate(energies):
         fin = False
@@ -123,7 +150,8 @@ def native_endpoint_frames(
             if e > high:
                 between, ever, counter = True, True, 0
             else:
-                lab |= 2
+                if noise_bit:
+                    lab |= 2
                 if ever:
                     counter += 1
                     fin = counter >= max_silence
@@ -133,4 +161,37 @@ def native_endpoint_frames(
         if fin:
             done = t + 1
             break
-    return done, labels
+    return done, counter, between, ever
+
+
+def native_endpoint_feed(
+    state: np.ndarray, samples: np.ndarray, frame_size: int,
+    high: float, low: float, max_silence: int,
+) -> Tuple[int, np.ndarray]:
+    """Stateful streaming endpointer over exact full frames (serving hot
+    path). `state` is int32[3] {counter, between, ever_high}, updated in
+    place and carried across calls. Returns (done_frame_count or 0,
+    per-frame bit0 result labels). Frames past an endpoint are NOT consumed
+    — re-feed them against a fresh state (mirrors wavio.cpp:endpoint_feed)."""
+    samples = np.ascontiguousarray(samples, np.float32)
+    n_frames = len(samples) // frame_size
+    labels = np.zeros(max(n_frames, 1), np.uint8)
+    lib = _load()
+    if lib is not None and hasattr(lib, "endpoint_feed"):
+        done = lib.endpoint_feed(
+            state.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n_frames, frame_size, high, low, max_silence,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        return int(done), labels[:n_frames]
+    energies = (
+        np.abs(samples[: n_frames * frame_size])
+        .reshape(-1, frame_size).mean(1)
+    )
+    done, counter, between, ever = _endpoint_py(
+        energies, high, low, max_silence, labels,
+        int(state[0]), bool(state[1]), bool(state[2]), noise_bit=False,
+    )
+    state[0], state[1], state[2] = counter, int(between), int(ever)
+    return done, labels[:n_frames]

@@ -174,4 +174,58 @@ long endpoint_frames(const float* energies, long n_frames, float high,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Stateful streaming endpointer (the serving hot path)
+// ---------------------------------------------------------------------------
+// One call processes a chunk of EXACT full frames for one session: computes
+// each frame's mean-|x| energy and advances the same hysteresis machine as
+// endpoint_frames, carrying state across calls. `state` is 3 int32s owned by
+// the caller: {silence counter, between flag, ever_high flag}. Per-frame
+// labels use bit 0 = frame belongs to the speech result (identical to the
+// live Segmentation machine in audio/capture.py:126-159, which appends the
+// frame to _results whenever ever_high is set). Returns the 1-based frame
+// index (within THIS call) at which the take ended, or 0 if it did not end;
+// frames past the endpoint are untouched — the caller re-feeds them to a
+// fresh state so inter-utterance audio is never lost.
+
+long endpoint_feed(int32_t* state, const float* samples, long n_frames,
+                   int frame_size, float high, float low, int max_silence,
+                   unsigned char* labels) {
+    int counter = state[0];
+    bool between = state[1] != 0;
+    bool ever_high = state[2] != 0;
+    long done = 0;
+    for (long t = 0; t < n_frames; ++t) {
+        double acc = 0.0;
+        const float* p = samples + t * frame_size;
+        for (int i = 0; i < frame_size; ++i) acc += std::fabs((double)p[i]);
+        float e = (float)(acc / frame_size);
+        bool fin = false;
+        if (between) {
+            if (e > low) {
+                counter = 0;
+            } else {
+                between = false;
+                counter += 1;
+                fin = counter >= max_silence;
+            }
+        } else {
+            if (e > high) {
+                between = true;
+                ever_high = true;
+                counter = 0;
+            } else if (ever_high) {
+                counter += 1;
+                fin = counter >= max_silence;
+            }
+        }
+        labels[t] = ever_high ? 1 : 0;
+        if (fin) { done = t + 1; break; }
+    }
+    state[0] = counter;
+    state[1] = between ? 1 : 0;
+    state[2] = ever_high ? 1 : 0;
+    return done;
+}
+
 }  // extern "C"

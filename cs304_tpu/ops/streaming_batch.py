@@ -453,6 +453,13 @@ class BatchedStreamingComposite:
         """Frames accumulated per active slot (host mirror — no device sync)."""
         return {slot: int(self._t[slot]) for slot in sorted(self._active)}
 
+    def fill_of(self, slot: int) -> int:
+        """One slot's accumulated frames — the serving ring-capacity guard
+        reads this per talking session per feed(); building the full fill()
+        dict there was O(active slots) per read."""
+        self._check_slot(slot)
+        return int(self._t[slot])
+
     def _check_slot(self, slot: int) -> None:
         if slot not in self._active:
             raise KeyError(f"slot {slot} is not active")

@@ -30,7 +30,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .audio.capture import Segmentation, SegmentationDone
+from .audio.capture import Segmentation
 from .models.decoder import ContinuousDecoder
 from .ops.mfcc import MFCCConfig, mfcc_batch
 from .ops.streaming_batch import BatchedStreamingComposite
@@ -269,12 +269,13 @@ class ServingSessionPool:
                       stream_feeds: dict, pending: list) -> None:
         """Frame-accurate endpointing: samples buffer to exact 320-sample
         frames (the sub-frame remainder carries across feed() calls AND
-        across utterances), and frames are run one at a time so audio after
-        an endpoint flows into the NEXT utterance instead of being lost
-        (review finding: Segmentation.routine drains its whole queue and
-        drops the remainder when it raises mid-chunk). Endpoints append
-        (session, signal, slot) to `pending`; feed() finalizes/releases the
-        slots in one batch."""
+        across utterances). The hysteresis machine advances a whole chunk
+        per native call (Segmentation.feed_frames — the C++ streaming
+        endpointer); an endpoint consumes exactly the frames up to it, and
+        the remainder re-feeds a fresh state so audio after an endpoint
+        flows into the NEXT utterance instead of being lost. Endpoints
+        append (session, signal, slot) to `pending`; feed() finalizes/
+        releases the slots in one batch."""
         state = self._check(session)
         fs = state["seg"].frame_size
         buf = (
@@ -283,20 +284,18 @@ class ServingSessionPool:
         )
         n_full = len(buf) // fs
         state["tail"] = buf[n_full * fs:]
-        i = 0
-        while i < n_full:
+        off, end = 0, n_full * fs
+        while off < end:
             seg = state["seg"]
-            seg.audio_cache.put(buf[i * fs : (i + 1) * fs])
-            i += 1
-            try:
-                seg.routine()
-                if i == n_full:
-                    # Stream once per feed() call, not per frame: the
-                    # per-frame variant made the host loop quadratic at
-                    # scale (every call re-ran the holdback/calibration
-                    # bookkeeping and the causal front-end's edge logic).
-                    self._advance_stream(state, stream_feeds)
-            except SegmentationDone:
+            done, consumed = seg.feed_frames(buf[off:end])
+            off += consumed
+            if not done:
+                # Stream once per feed() call, not per frame: the per-frame
+                # variant made the host loop quadratic at scale (every call
+                # re-ran the holdback/calibration bookkeeping and the causal
+                # front-end's edge logic).
+                self._advance_stream(state, stream_feeds)
+            else:
                 # Flush the utterance's tail frames into the step-wide batch
                 # so the final streaming hypothesis covers the whole
                 # utterance. The flush may extend frames already queued for
@@ -421,7 +420,7 @@ class ServingSessionPool:
             # mirroring the pool-exhaustion path.
             queued = len(stream_feeds.get(slot, ()))
             if (
-                self._pool.fill().get(slot, 0) + queued + len(frames)
+                self._pool.fill_of(slot) + queued + len(frames)
                 > self._pool.max_frames
             ):
                 logger.info(
