@@ -32,6 +32,13 @@ def run(num_sessions: int, seconds: float, partials: bool,
     try:
         models = load_models("/tmp/ck6c")
     except Exception:
+        models = None
+    if models is None:
+        try:
+            models = load_models("/tmp/ck6")  # the verify-recipe checkpoint
+        except Exception:
+            models = None
+    if models is None:
         # Fall back to quickly-trained boot models (capacity is shape-bound,
         # not accuracy-bound).
         from cs304_tpu.data.ti_digits import DIGIT_LABELS
