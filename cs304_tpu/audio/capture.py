@@ -190,11 +190,15 @@ class Segmentation:
         upto = done if done else n_frames
         if labels[upto - 1]:
             # ever_high latches, so labels are 0...0 1...1 within a call:
-            # everything from the first 1 belongs to the result.
-            frames = samples[: upto * self.frame_size].reshape(
-                -1, self.frame_size
-            )
-            self._results.extend(frames[int(labels[:upto].argmax()):])
+            # everything from the first 1 belongs to the result. Copy the
+            # retained region — ascontiguousarray above is a no-op for
+            # contiguous float32 input, so slices would otherwise be views
+            # into the caller's (reusable) feed buffer.
+            start = int(labels[:upto].argmax())
+            frames = samples[
+                start * self.frame_size : upto * self.frame_size
+            ].copy().reshape(-1, self.frame_size)
+            self._results.extend(frames)
         return bool(done), upto * self.frame_size
 
     def _append_and_check(self, frame: np.ndarray) -> None:

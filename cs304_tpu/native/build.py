@@ -15,7 +15,11 @@ LIBRARY = os.path.join(_HERE, "libcs304wavio.so")
 def build(force: bool = False) -> str | None:
     """Compile wavio.cpp -> libcs304wavio.so. Returns the path or None."""
     if os.path.exists(LIBRARY) and not force:
-        if os.path.getmtime(LIBRARY) >= os.path.getmtime(SOURCE):
+        try:
+            if os.path.getmtime(LIBRARY) >= os.path.getmtime(SOURCE):
+                return LIBRARY
+        except OSError:
+            # Installed-package layout: a prebuilt .so without the source.
             return LIBRARY
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",

@@ -109,20 +109,44 @@ long wav_read(const char* path, float* out, long max_len, int* sample_rate) {
 // Frame energies: mean |x| per frame (incl. trailing partial frame)
 // ---------------------------------------------------------------------------
 
+// Float32 pairwise |x| summation with NumPy's exact reduction structure
+// (numpy pairwise_sum_FLOAT, PW_BLOCKSIZE = 128): bit-identical to
+// np.abs(x).sum() / np.abs(x).mean() on float32 input, so the native and
+// NumPy-fallback hysteresis machines see the SAME energy at threshold
+// boundaries (advisor finding r3: a double-accumulated energy can differ
+// by 1 ulp from NumPy's float32 pairwise mean and flip a hysteresis
+// decision exactly at a threshold). Parity is pinned by
+// tests/test_endpoint_feed.py.
+static float pairwise_abs_sum_f32(const float* a, long n) {
+    if (n < 8) {
+        float res = 0.0f;
+        for (long i = 0; i < n; ++i) res += std::fabs(a[i]);
+        return res;
+    } else if (n <= 128) {
+        float r[8];
+        for (int j = 0; j < 8; ++j) r[j] = std::fabs(a[j]);
+        long i = 8;
+        for (; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; ++j) r[j] += std::fabs(a[i + j]);
+        float res = ((r[0] + r[1]) + (r[2] + r[3])) +
+                    ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; ++i) res += std::fabs(a[i]);
+        return res;
+    }
+    long n2 = n / 2;
+    n2 -= n2 % 8;
+    return pairwise_abs_sum_f32(a, n2) + pairwise_abs_sum_f32(a + n2, n - n2);
+}
+
 long frame_energies(const float* x, long n, int frame_size, float* out) {
     long n_full = n / frame_size;
-    for (long t = 0; t < n_full; ++t) {
-        double acc = 0.0;
-        const float* p = x + t * frame_size;
-        for (int i = 0; i < frame_size; ++i) acc += std::fabs((double)p[i]);
-        out[t] = (float)(acc / frame_size);
-    }
+    for (long t = 0; t < n_full; ++t)
+        out[t] = pairwise_abs_sum_f32(x + t * frame_size, frame_size)
+                 / (float)frame_size;
     long rem = n - n_full * frame_size;
     if (rem > 0) {
-        double acc = 0.0;
-        const float* p = x + n_full * frame_size;
-        for (long i = 0; i < rem; ++i) acc += std::fabs((double)p[i]);
-        out[n_full] = (float)(acc / rem);
+        out[n_full] = pairwise_abs_sum_f32(x + n_full * frame_size, rem)
+                      / (float)rem;
         return n_full + 1;
     }
     return n_full;
@@ -196,10 +220,8 @@ long endpoint_feed(int32_t* state, const float* samples, long n_frames,
     bool ever_high = state[2] != 0;
     long done = 0;
     for (long t = 0; t < n_frames; ++t) {
-        double acc = 0.0;
         const float* p = samples + t * frame_size;
-        for (int i = 0; i < frame_size; ++i) acc += std::fabs((double)p[i]);
-        float e = (float)(acc / frame_size);
+        float e = pairwise_abs_sum_f32(p, frame_size) / (float)frame_size;
         bool fin = false;
         if (between) {
             if (e > low) {

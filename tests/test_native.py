@@ -76,3 +76,60 @@ def test_wav_read_truncated_data_chunk(tmp_path, rng):
         96000, ctypes.byref(rate),
     )
     assert n == -5, n
+
+
+def test_frame_energies_bitwise_numpy_parity(rng):
+    """The native energy uses NumPy's exact float32 pairwise reduction
+    structure, so native and NumPy hysteresis machines see IDENTICAL
+    energies at threshold boundaries (advisor finding r3: a double-
+    accumulated energy can differ by 1 ulp and flip a decision)."""
+    if not HAS_NATIVE:
+        pytest.skip("native library unavailable")
+    for frame_size in (7, 64, 160, 320, 400):
+        sig = np.abs(rng.normal(0, 3000, frame_size * 37 + 5)).astype(np.float32)
+        got = native_frame_energies(sig, frame_size)
+        n_full = len(sig) // frame_size
+        ref_full = np.abs(sig[: n_full * frame_size]).reshape(
+            -1, frame_size
+        ).mean(1)
+        ref = np.concatenate(
+            [ref_full, [np.abs(sig[n_full * frame_size:]).mean()]]
+        ).astype(np.float32)
+        # Bitwise, not approximate: the point is threshold-boundary parity.
+        assert got.tobytes() == ref.tobytes(), frame_size
+
+
+def test_endpoint_feed_energy_bitwise_parity(rng):
+    """endpoint_feed's internal energies must match the Python fallback's
+    float32 pairwise mean bit-for-bit: pin via a threshold set exactly AT a
+    computed energy value, where any 1-ulp divergence flips the decision."""
+    import ctypes
+
+    from cs304_tpu.native.loader import _load, native_endpoint_feed
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "endpoint_feed"):
+        pytest.skip("native endpoint_feed unavailable")
+    frame_size = 320
+    frames = np.abs(rng.normal(0, 3000, (40, frame_size))).astype(np.float32)
+    energies = frames.mean(1)  # NumPy float32 pairwise — the fallback's view
+    # Thresholds straddling exact energy values: e > high is FALSE when the
+    # native energy equals NumPy's bit-for-bit, TRUE if it lands 1 ulp high.
+    high = float(energies[0])
+    low = float(np.min(energies)) - 1.0
+    state_native = np.zeros(3, np.int32)
+    done_n = lib.endpoint_feed(
+        state_native.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        frames.reshape(-1).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        40, frame_size, high, low, 5,
+        np.zeros(40, np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    # Python fallback path (force it by driving _endpoint_py via energies)
+    from cs304_tpu.native.loader import _endpoint_py
+
+    labels = np.zeros(40, np.uint8)
+    done_p, counter, between, ever = _endpoint_py(
+        energies, high, low, 5, labels, 0, False, False, noise_bit=False
+    )
+    assert int(done_n) == int(done_p)
+    assert tuple(state_native[1:]) == (int(between), int(ever))
