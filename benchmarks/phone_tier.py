@@ -71,6 +71,13 @@ def main() -> None:
                          "triphones synthesize through the trees")
     ap.add_argument("--senone-min-gain", type=float, default=0.0)
     ap.add_argument("--senone-min-count", type=float, default=8.0)
+    ap.add_argument("--tie-triphones", type=int, default=None, metavar="M",
+                    help="also train + evaluate the GENERALIZED-triphone "
+                         "tier (models/triphone.py:tie_and_train_triphones)"
+                         ": data-driven UNIT tying to at most M clusters "
+                         "per center phone — the whole-unit-tying baseline "
+                         "senones are judged against at matched parameter "
+                         "counts")
     ap.add_argument("--no-gates", action="store_true")
     args = ap.parse_args()
     if args.smooth_tau is not None and not (args.biphones or args.triphones):
@@ -224,6 +231,26 @@ def main() -> None:
         )
         t_tri = time.perf_counter() - t0
 
+    tied_composed = None
+    t_tied = None
+    tied_models = None
+    tied_lex = None
+    tied_mapping = None
+    if args.tie_triphones is not None:
+        from cs304_tpu.models.triphone import tie_and_train_triphones
+
+        t0 = time.perf_counter()
+        tied_models, tied_lex, tied_mapping = tie_and_train_triphones(
+            phone_final, labeled, lex,
+            max_per_phone=args.tie_triphones,
+            config=ContinuousTrainConfig(max_iterations=args.iterations,
+                                         cov_reg=0.1),
+        )
+        # ALL words: the tied lexicon covers the full vocabulary (unseen
+        # contexts fall back to their center monophone's label).
+        tied_composed = compose_word_models(tied_lex, tied_models)
+        t_tied = time.perf_counter() - t0
+
     sen_composed = None
     t_sen = None
     sen_units = None
@@ -274,6 +301,17 @@ def main() -> None:
         training_line["context_mode"] = (
             "map_smoothed" if args.smooth_tau is not None else "untied"
         )
+    if tied_models is not None:
+        # Tied-tier parameters: DISTINCT models the tied lexicon reaches
+        # (cluster models + back-off monophones) — copies share nothing.
+        reachable = {lab for seq in tied_lex.entries.values() for lab in seq}
+        training_line["tied_triphone_tier_params"] = params_of(
+            {lab: tied_models[lab] for lab in reachable}
+        )
+        training_line["tied_triphone_clusters"] = len(
+            set(tied_mapping.values())
+        )
+        training_line["tied_triphone_tier_wall_s"] = round(t_tied, 1)
     if sen_units is not None:
         # Senone-tier parameters: distinct senones + one transition matrix
         # per center phone (the materialized per-unit copies share them).
@@ -310,6 +348,8 @@ def main() -> None:
         tiers.append(("biphone_tier", bi_composed))
     if tri_composed is not None:
         tiers.append(("triphone_tier", tri_composed))
+    if tied_composed is not None:
+        tiers.append(("tied_triphone_tier", tied_composed))
     if sen_composed is not None:
         tiers.append(("senone_tier", sen_composed))
     accs = {}
@@ -356,6 +396,7 @@ def main() -> None:
                     "construction",
         }
         for name, m in (("biphone", bi_composed), ("triphone", tri_composed),
+                        ("tied_triphone", tied_composed),
                         ("senone", sen_composed)):
             if m is None:
                 continue
@@ -365,6 +406,29 @@ def main() -> None:
             oov_line[f"{name}_tier_oov_exact"] = round(float(np.mean(
                 [p == t for p, t in zip(preds_cd, truths2)]
             )), 4)
+        if sen_composed is not None:
+            # Ablation isolating TREE SYNTHESIS: the same trained senone
+            # units composed with plain monophone back-off for unseen
+            # contexts instead of synthesizing them through the trees.
+            from cs304_tpu.models.senone import senone_unit_table
+            from cs304_tpu.models.triphone import (
+                compose_word_models_triphone,
+            )
+
+            _, n_synth = senone_unit_table(
+                lex, sen_units, sen_tying, phone_final
+            )
+            sen_backoff = compose_word_models_triphone(
+                lex, dict(sen_units), phone_final
+            )
+            preds_bo = ContinuousDecoder(
+                sen_backoff, penalty=args.penalty
+            ).predict_batch(feats2)
+            oov_line["senone_tier_oov_exact_monophone_backoff"] = round(
+                float(np.mean(
+                    [p == t for p, t in zip(preds_bo, truths2)]
+                )), 4)
+            oov_line["senone_synthesized_units"] = int(n_synth)
         print(json.dumps(oov_line))
 
     print(json.dumps({
@@ -385,7 +449,8 @@ def main() -> None:
         else:
             assert accs["phone_tier"] >= 0.85, accs
             assert oov_acc is None or oov_acc >= 0.3, oov_acc
-            for tier in ("biphone_tier", "triphone_tier", "senone_tier"):
+            for tier in ("biphone_tier", "triphone_tier",
+                         "tied_triphone_tier", "senone_tier"):
                 if tier in accs:
                     assert accs[tier] >= 0.85, accs
             print(json.dumps({"gates": "pass"}))

@@ -266,35 +266,64 @@ def compose_word_models_biphone(
     return compose_word_models(blex, table, names)
 
 
+def _unit_tier_of(folder: str) -> str | None:
+    """A unit directory's tier: the manifest's self-describing
+    ``unit_tier`` field (checkpoints written since round 4), falling back
+    to the directory-name convention for older checkpoints."""
+    import os
+
+    from ..utils.checkpoint import load_manifest
+
+    tier = load_manifest(folder).get("unit_tier")
+    if tier:
+        return tier
+    name = os.path.basename(os.path.normpath(folder))
+    return name if name in ("senones", "triphones", "biphones") else None
+
+
 def load_unit_table(
     lexicon_path: str, monophones: Dict[str, WordHMM]
 ) -> Tuple[Lexicon, Lexicon | None, Dict[str, WordHMM] | None, str]:
     """Detect and load a phone checkpoint's context-dependent units — THE
-    one place that knows the on-disk convention (``biphones/`` and/or
-    ``triphones/`` directories next to the lexicon JSON, written by
-    ``train_phones.py --biphones/--triphones``); `compose_from_checkpoint`
-    (transcribe) and align.py both route through it.
+    one place that knows the on-disk convention; `compose_from_checkpoint`
+    (transcribe) and align.py both route through it. Unit directories
+    live next to the lexicon JSON (written by ``train_phones.py
+    --biphones/--triphones/--senones``) and SELF-DESCRIBE their tier via
+    the manifest's ``unit_tier`` field (utils/checkpoint.py:save_models);
+    manifest-less directories fall back to the historical name probe
+    (senones/ triphones/ biphones/), so old checkpoints still load.
 
     Returns (lexicon, unit_lexicon, unit_table, description):
     (lex, None, None, "") for a plain monophone checkpoint; otherwise the
     derived unit lexicon (biphone or triphone) and a table mapping every
     unit of the full lexicon to a model through the back-off chain
     (senones -> triphone -> biphone when present -> monophone), plus the
-    silence model (preferring the most context-dependent stage's). A
-    ``senones/`` directory (train_phones.py --senones) wins over every
-    other tier: unseen triphones there are SYNTHESIZED from their
-    decision-tree senones rather than backed off."""
+    silence model (preferring the most context-dependent stage's). The
+    senone tier wins over every other: unseen triphones there are
+    SYNTHESIZED from their decision-tree senones rather than backed off.
+    (The self-contained ``tied_triphones`` tier is NOT dispatched here —
+    a tied checkpoint is decoded via its OWN lexicon.json as plain
+    units.)"""
     import os
 
     from ..utils.checkpoint import load_models
 
     lexicon = Lexicon.load(lexicon_path)
     root = os.path.dirname(os.path.abspath(lexicon_path))
-    sdir = os.path.join(root, "senones")
-    if os.path.isdir(sdir):
+    tier_dirs: Dict[str, str] = {}
+    for name in sorted(os.listdir(root)):
+        sub = os.path.join(root, name)
+        if not os.path.isdir(sub):
+            continue
+        tier = _unit_tier_of(sub)
+        if tier is not None:
+            tier_dirs.setdefault(tier, sub)
+
+    if "senones" in tier_dirs:
         from .senone import SenoneTying, senone_unit_table
         from .triphone import triphone_lexicon
 
+        sdir = tier_dirs["senones"]
         unit_models = load_models(sdir)
         tying = SenoneTying.load(os.path.join(sdir, "senone_tying.json"))
         table, synthesized = senone_unit_table(
@@ -305,17 +334,18 @@ def load_unit_table(
                 f"{tying.num_senones()} senones "
                 f"({synthesized} unseen units synthesized from trees)")
         return lexicon, triphone_lexicon(lexicon), table, desc
-    bdir = os.path.join(root, "biphones")
-    tdir = os.path.join(root, "triphones")
-    bi_models = load_models(bdir) if os.path.isdir(bdir) else None
-    if os.path.isdir(tdir):
+    bi_models = (
+        load_models(tier_dirs["biphones"])
+        if "biphones" in tier_dirs else None
+    )
+    if "triphones" in tier_dirs:
         from .triphone import (
             backoff_table_tri,
             observed_units_tri,
             triphone_lexicon,
         )
 
-        tri_models = load_models(tdir)
+        tri_models = load_models(tier_dirs["triphones"])
         n = sum(1 for u in tri_models if u != SILENCE_LABEL)
         table, to_bi, to_mono = backoff_table_tri(
             tri_models, bi_models or {}, monophones,

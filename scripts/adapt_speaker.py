@@ -93,11 +93,20 @@ def main() -> None:
             adapt_silence=not args.no_adapt_silence,
         )
     frontend = None
+    src_manifest = {}
     try:
-        frontend = load_manifest(cfg.checkpoint_dir).get("frontend")
+        src_manifest = load_manifest(cfg.checkpoint_dir)
+        frontend = src_manifest.get("frontend")
     except OSError:
         pass
-    save_models(adapted, args.out_dir, frontend=frontend)
+    # Adapted checkpoints inherit the source's unit tier: MAP adaptation
+    # shifts parameters, not the unit convention.
+    save_models(
+        adapted, args.out_dir, frontend=frontend,
+        tier=src_manifest.get("unit_tier"),
+        provenance={"script": "adapt_speaker.py",
+                    "source": cfg.checkpoint_dir},
+    )
     print(f"adapted {len(adapted)} models on {len(args.wav)} enrollment "
           f"utterance(s) -> {args.out_dir}")
 

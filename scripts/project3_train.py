@@ -49,7 +49,8 @@ def main() -> None:
             print(f"trained GMM {label} (K={k}, bw={args.baum_welch})")
     else:
         models = train_digit_models(feats, kcfg)
-    save_models(models, cfg.checkpoint_dir, frontend=frontend_manifest(cfg))
+    save_models(models, cfg.checkpoint_dir, frontend=frontend_manifest(cfg),
+                tier="words", provenance={"script": "project3_train.py"})
     print(f"saved {len(models)} models to {cfg.checkpoint_dir}")
 
 

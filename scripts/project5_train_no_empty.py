@@ -53,7 +53,8 @@ def main() -> None:
     models["S"] = train_word_hmm(
         "S", mfcc_batch(noises, cfg=mcfg), silence_cfg
     ).model
-    save_models(models, cfg.checkpoint_dir, frontend=frontend_manifest(cfg))
+    save_models(models, cfg.checkpoint_dir, frontend=frontend_manifest(cfg),
+                tier="words", provenance={"script": "project5_train_no_empty.py"})
     print(f"saved {len(models)} models (incl. silence) to {cfg.checkpoint_dir}")
 
 

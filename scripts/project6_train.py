@@ -95,7 +95,8 @@ def main() -> None:
             print(f"GMM refinement (K={args.gmm_mixtures}) finished after "
                   f"{gmm_iters} iterations")
             final_models = gmm_trainer.models()
-        save_models(final_models, out_dir, frontend=frontend_manifest(cfg))
+        save_models(final_models, out_dir, frontend=frontend_manifest(cfg),
+                    tier="words", provenance={"script": "project6_train.py"})
         print(f"saved to {out_dir}")
 
 

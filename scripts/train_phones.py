@@ -178,7 +178,13 @@ def main() -> None:
     print(f"tied training: {iterations} iterations over "
           f"{sum(len(v) for v in labeled.values())} utterances")
 
-    save_models(phones, args.out_dir, frontend=frontend_manifest(cfg))
+    save_models(
+        phones, args.out_dir, frontend=frontend_manifest(cfg),
+        tier="monophones",
+        provenance={"script": "train_phones.py",
+                    "iterations": int(iterations),
+                    "num_words": args.num_words},
+    )
     lex.save(os.path.join(args.out_dir, "lexicon.json"))
     print(f"saved {len(phones)} phone models + lexicon.json to "
           f"{args.out_dir}")
@@ -191,7 +197,14 @@ def main() -> None:
             gmm_mixtures=args.gmm_mixtures,
             smooth_tau=args.smooth_tau,
         )
-        save_models(units, os.path.join(args.out_dir, "biphones"))
+        save_models(
+            units, os.path.join(args.out_dir, "biphones"),
+            tier="biphones",
+            provenance={"script": "train_phones.py --biphones",
+                        "iterations": int(bi_iterations),
+                        "units": len(units) - 1,
+                        "smooth_tau": args.smooth_tau},
+        )
         print(f"biphone stage: {bi_iterations} iterations; saved "
               f"{len(units) - 1} context-dependent units to "
               f"{os.path.join(args.out_dir, 'biphones')}")
@@ -204,7 +217,14 @@ def main() -> None:
             gmm_mixtures=args.gmm_mixtures,
             smooth_tau=args.smooth_tau,
         )
-        save_models(tri_units, os.path.join(args.out_dir, "triphones"))
+        save_models(
+            tri_units, os.path.join(args.out_dir, "triphones"),
+            tier="triphones",
+            provenance={"script": "train_phones.py --triphones",
+                        "iterations": int(tri_iterations),
+                        "units": len(tri_units) - 1,
+                        "smooth_tau": args.smooth_tau},
+        )
         print(f"triphone stage: {tri_iterations} iterations; saved "
               f"{len(tri_units) - 1} context-dependent units to "
               f"{os.path.join(args.out_dir, 'triphones')}")
@@ -220,7 +240,15 @@ def main() -> None:
             config=train_cfg,
         )
         sen_dir = os.path.join(args.out_dir, "senones")
-        save_models(units, sen_dir)
+        save_models(
+            units, sen_dir,
+            tier="senones",
+            provenance={"script": "train_phones.py --senones",
+                        "iterations": int(sen_iterations),
+                        "units": len(units) - 1,
+                        "senones": tying.num_senones(),
+                        "max_per_state": args.senones},
+        )
         tying.save(os.path.join(sen_dir, "senone_tying.json"))
         print(f"senone stage: {sen_iterations} iterations; "
               f"{len(units) - 1} triphone units tied into "
@@ -238,7 +266,13 @@ def main() -> None:
             config=train_cfg,
         )
         tied_dir = os.path.join(args.out_dir, "tied")
-        save_models(tied, tied_dir, frontend=frontend_manifest(cfg))
+        save_models(
+            tied, tied_dir, frontend=frontend_manifest(cfg),
+            tier="tied_triphones",
+            provenance={"script": "train_phones.py --tie-triphones",
+                        "clusters": len(set(mapping.values())),
+                        "max_per_phone": args.tie_triphones},
+        )
         tied_lex.save(os.path.join(tied_dir, "lexicon.json"))
         with open(os.path.join(tied_dir, "tied_units.json"), "w") as f:
             json.dump(mapping, f, indent=1, sort_keys=True)

@@ -361,3 +361,53 @@ def test_biphone_oov_word_decodes(rng):
     clip = (np.asarray(frames, np.float32)
             + rng.normal(0, 0.05, (len(frames), 3)).astype(np.float32))
     assert dec.predict(clip) == "ca"
+
+
+def test_manifest_tier_dispatch(tmp_path, rng):
+    """Checkpoints self-describe their unit tier via the manifest's
+    unit_tier field (utils/checkpoint.py:save_models): load_unit_table
+    dispatches on it even for a directory with a NON-conventional name,
+    and still falls back to the historical name probe for manifest-less
+    trees (old checkpoints load unchanged)."""
+    from cs304_tpu.models.biphone import compose_from_checkpoint
+    from cs304_tpu.utils.checkpoint import load_manifest, save_models
+
+    phones = {"pA": _phone("pA", 0.0), "pB": _phone("pB", 6.0),
+              "S": _phone("S", -12.0)}
+    lex = Lexicon({"ab": ("pA", "pB")})
+    units = clone_biphone_models(phones, observed_units(lex))
+    units["pA-pB"].means[:] += 1.0
+
+    ck = tmp_path / "ck"
+    save_models(phones, str(ck), tier="monophones",
+                provenance={"script": "test"})
+    lex.save(str(ck / "lexicon.json"))
+    assert load_manifest(str(ck))["unit_tier"] == "monophones"
+    assert load_manifest(str(ck))["provenance"]["script"] == "test"
+
+    # Manifest dispatch: unit dir under a name the probe chain never knew.
+    save_models(units, str(ck / "units_v2"), tier="biphones")
+    _, composed, desc = compose_from_checkpoint(
+        str(ck / "lexicon.json"), phones
+    )
+    assert desc.startswith("2 biphone units"), desc
+    assert composed["ab"].means[3, 0] == 7.0
+
+    # Old-layout fallback: manifest-less conventional directory name.
+    import json
+    import os
+
+    man = str(ck / "units_v2" / "manifest.json")
+    with open(man) as f:
+        m = json.load(f)
+    del m["unit_tier"]
+    with open(man, "w") as f:
+        json.dump(m, f)
+    _, _, desc2 = compose_from_checkpoint(str(ck / "lexicon.json"), phones)
+    assert desc2 == "", "tier-less unconventional dir must not dispatch"
+    os.rename(str(ck / "units_v2"), str(ck / "biphones"))
+    _, composed3, desc3 = compose_from_checkpoint(
+        str(ck / "lexicon.json"), phones
+    )
+    assert desc3.startswith("2 biphone units"), desc3
+    assert composed3["ab"].means[3, 0] == 7.0
