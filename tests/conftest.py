@@ -35,13 +35,22 @@ _SLOW_MODULES = {
 
 
 def pytest_collection_modifyitems(config, items):
-    """Auto-tier: anything using the session-scoped trained_system fixture or
-    living in a subprocess-CLI module is `slow`. Default runs stay fast with
-    `pytest -m "not slow"`; the full suite is unchanged."""
+    """Auto-tier: anything using the session-scoped trained_system fixture,
+    living in a subprocess-CLI module, or listed in tests/tiers.py (measured
+    integration-weight tests, VERDICT r3 #4) is `slow`. Default runs stay
+    fast with `pytest -m "not slow"`; the full suite is unchanged."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from tiers import RETIERED_SLOW
+
     for item in items:
+        rel_id = item.nodeid.split("tests/")[-1]
         if (
             "trained_system" in getattr(item, "fixturenames", ())
             or item.module.__name__ in _SLOW_MODULES
+            or rel_id in RETIERED_SLOW
         ):
             item.add_marker(pytest.mark.slow)
 
