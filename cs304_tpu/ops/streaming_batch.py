@@ -198,6 +198,115 @@ def _advance_banded(alpha, ring, t, valid, log_b, coeffs, seed_alpha_bias,
     return alpha, ring, t + valid
 
 
+def _advance_compact(alpha, ring, slot_ids, t, valid, log_b, seed_bias,
+                     is_entry, trans=None, coeffs=None):
+    """Compact+scatter advance: the same recursion as _advance /
+    _advance_banded, but over K fed rows instead of all B slots.
+
+    alpha (B, S) and ring (B, T_max, S) stay device-resident and donated;
+    slot_ids (K,) int32 names each compact row's slot (padding rows carry
+    B, an out-of-range id every scatter drops), t/valid (K,) are the fed
+    rows' clocks and frame counts, log_b (K, C, S). Only the K fed rows'
+    alpha is gathered, advanced, and scattered back; ring backpointer rows
+    are scattered at (slot, abs_t). Idle slots are untouched BY
+    CONSTRUCTION (their ids never appear), which is what makes the
+    sparse-upload serving path exact, not approximate."""
+    b, t_max, s = ring.shape
+    k, c, _ = log_b.shape
+    neg_inf = jnp.float32(-jnp.inf)
+    to = jnp.arange(s)
+    rows = alpha.at[slot_ids].get(mode="fill", fill_value=-jnp.inf)  # (K, S)
+
+    def step(carry, inputs):
+        rows, ring = carry
+        i, log_b_i = inputs  # (K, S)
+        live = i < valid
+        abs_t = t + i
+        if trans is not None:
+            scores = rows[:, :, None] + trans[None]  # (K, S', S)
+            new_rows = jnp.max(scores, axis=1) + log_b_i
+            bp = jnp.argmax(scores, axis=1).astype(ring.dtype)
+        else:
+            sub1, sub2, diag_ne, diag_e, is_exit, penalty, lm = coeffs
+            a1 = jnp.concatenate(
+                [jnp.full((k, 1), neg_inf), rows[:, :-1]], axis=1
+            )
+            a2 = jnp.concatenate(
+                [jnp.full((k, 2), neg_inf), rows[:, :-2]], axis=1
+            )
+            c0 = rows + diag_ne[None, :]
+            c1 = a1 + sub1[None, :]
+            c2 = a2 + sub2[None, :]
+            v12 = jnp.maximum(c1, c0)
+            val_ne = jnp.maximum(c2, v12)
+            bp_ne = jnp.where(
+                c2 >= v12,
+                jnp.maximum(to[None, :] - 2, 0),
+                jnp.where(c1 >= c0, jnp.maximum(to[None, :] - 1, 0),
+                          to[None, :]),
+            )
+            pair, word_of_state, uppers = lm if lm is not None else (
+                None, None, None
+            )
+            c_pen, best_exit_idx = entry_update(
+                rows, is_exit, penalty, pair, word_of_state, uppers
+            )
+            c_self = rows + diag_e[None, :]
+            val_e = jnp.maximum(c_pen, c_self)
+            bp_e = jnp.where(c_pen >= c_self, best_exit_idx, to[None, :])
+            new_rows = jnp.where(is_entry[None, :], val_e, val_ne) + log_b_i
+            bp = jnp.where(is_entry[None, :], bp_e, bp_ne).astype(ring.dtype)
+        seed = jnp.where(is_entry[None, :], log_b_i + seed_bias[None, :],
+                         neg_inf)
+        is_seed = (abs_t == 0)[:, None]
+        new_rows = jnp.where(is_seed, seed, new_rows)
+        bp = jnp.where(is_seed, jnp.asarray(-1, ring.dtype), bp)
+        rows = jnp.where(live[:, None], new_rows, rows)
+        # Dead rows (padding, or frames past this row's valid count) point
+        # out of range and are dropped by the scatter.
+        idx_slot = jnp.where(live, slot_ids, b)
+        ring = ring.at[idx_slot, jnp.clip(abs_t, 0, t_max - 1)].set(
+            bp, mode="drop"
+        )
+        return (rows, ring), None
+
+    (rows, ring), _ = jax.lax.scan(
+        step, (rows, ring),
+        (jnp.arange(c, dtype=jnp.int32), jnp.moveaxis(log_b, 1, 0)),
+    )
+    alpha = alpha.at[jnp.where(valid > 0, slot_ids, b)].set(
+        rows, mode="drop"
+    )
+    return alpha, ring
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("kind", "banded"))
+def _step_compact(alpha, ring, slot_ids, t, valid, feats, topo, seed_bias,
+                  is_entry, eparams, kind: str, banded: bool):
+    """One compact-upload pool step: emissions for the K fed rows only,
+    then the compact+scatter advance. kind selects the emission layout
+    ('whiten' | 'quad' | 'gmm'); banded selects the step math."""
+    from .gaussian import (
+        GaussianParams,
+        gaussian_log_pdf,
+        gaussian_log_pdf_quad,
+        gmm_log_pdf,
+    )
+
+    kk, c, d = feats.shape
+    flat = feats.reshape(kk * c, d)
+    if kind == "whiten":
+        log_b = gaussian_log_pdf(GaussianParams(*eparams), flat)
+    elif kind == "quad":
+        log_b = gaussian_log_pdf_quad(eparams, flat)
+    else:
+        log_b = gmm_log_pdf(eparams, flat)
+    log_b = log_b.reshape(kk, c, -1)
+    trans, coeffs = (topo, None) if not banded else (None, topo)
+    return _advance_compact(alpha, ring, slot_ids, t, valid, log_b,
+                            seed_bias, is_entry, trans=trans, coeffs=coeffs)
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _step_gaussian_banded(alpha, ring, t, valid, feats, coeffs, seed_bias,
                           is_entry, means, whiten, log_norm):
@@ -291,7 +400,8 @@ class BatchedStreamingComposite:
                  max_frames: int = 2048, gmm_params=None,
                  max_words: int = 64, mesh=None,
                  step_impl: str = "auto", bigram=None,
-                 lm_weight: float = 1.0, emissions: str = "whiten") -> None:
+                 lm_weight: float = 1.0, emissions: str = "whiten",
+                 sparse_upload: bool | str = "auto") -> None:
         """mesh: optional jax.sharding.Mesh with a 'data' axis — slots are
         sharded over it (each stream's recursion is independent, so the step
         and finalize programs partition with zero collectives: multi-chip
@@ -314,7 +424,17 @@ class BatchedStreamingComposite:
         large-vocabulary lever — the whitening step materializes a
         (slots*chunk, S, D) intermediate per step, ~640 MB at S=1003 /
         256 slots; quad is one full-depth MXU matmul, ~1e-2 logpdf drift).
-        Gaussian banded step only (GMM has no quad form)."""
+        Gaussian banded step only (GMM has no quad form).
+
+        sparse_upload: compact+scatter feature upload — step() uploads a
+        (K_fed, c_pad, D) array of ONLY the fed slots (both axes bucketed
+        to powers of two) and the device program gathers/advances/scatters
+        just those rows, instead of shipping the dense
+        (num_slots, chunk_size, D) buffer every step. The serving hot path
+        feeds ~5 new frames to the talking subset per 100 ms round, so the
+        dense upload was mostly zeros — this is VERDICT r3 item #3. "auto"
+        (default) enables it off-mesh; decodes are bit-identical to the
+        dense path (tests/test_streaming_batch.py pins parity)."""
         self.composite = composite
         self.num_slots = int(num_slots)
         self.chunk_size = int(chunk_size)
@@ -406,6 +526,21 @@ class BatchedStreamingComposite:
         self._active: set[int] = set()
         dim = c.means.shape[-1]
         self._dim = dim
+        if sparse_upload not in (True, False, "auto"):
+            raise ValueError(f"unknown sparse_upload {sparse_upload!r}")
+        if sparse_upload is True and self._sharding is not None:
+            raise ValueError(
+                "sparse_upload uses global gather/scatter slot indices — "
+                "not implemented over a mesh (slots are already "
+                "partitioned); use sparse_upload='auto'"
+            )
+        # The compact path's gather/scatter indices are per-slot global;
+        # under a mesh the dense per-shard layout stays (slots are already
+        # partitioned, and the full-chunk upload splits across hosts).
+        self._sparse = (
+            sparse_upload is True
+            or (sparse_upload == "auto" and self._sharding is None)
+        )
 
     @classmethod
     def from_models(cls, models, penalty: float = -100.0, **kwargs
@@ -473,10 +608,7 @@ class BatchedStreamingComposite:
         """
         if not feeds:
             return
-        chunk = np.zeros(
-            (self.num_slots, self.chunk_size, self._dim), np.float32
-        )
-        valid = np.zeros(self.num_slots, np.int32)
+        checked = {}
         for slot, feats in feeds.items():
             self._check_slot(slot)
             feats = np.asarray(feats, np.float32)
@@ -497,8 +629,17 @@ class BatchedStreamingComposite:
                     f"max_frames={self.max_frames} — finalize or enlarge the "
                     "ring"
                 )
-            chunk[slot, :c] = feats
-            valid[slot] = c
+            checked[slot] = feats
+        if self._sparse:
+            self._step_sparse(checked)
+            return
+        chunk = np.zeros(
+            (self.num_slots, self.chunk_size, self._dim), np.float32
+        )
+        valid = np.zeros(self.num_slots, np.int32)
+        for slot, feats in checked.items():
+            chunk[slot, : feats.shape[0]] = feats
+            valid[slot] = feats.shape[0]
         t_dev, valid_dev, chunk_dev = self._put_sharded(
             self._t, valid, chunk
         )
@@ -538,6 +679,48 @@ class BatchedStreamingComposite:
         # Non-inplace: the device transfer of the OLD t may be zero-copy
         # (CPU backend aliases host numpy buffers), so never mutate it.
         self._t = self._t + valid
+
+    def _step_sparse(self, checked: Dict[int, np.ndarray]) -> None:
+        """Compact+scatter step: upload ONLY the fed slots' features.
+
+        Both compact axes bucket to powers of two (a handful of compiled
+        shapes), so a 5-frame feed to 60 talking slots of a 1024-slot pool
+        ships a (64, 8, D) array instead of (1024, 32, D) — the serving
+        partials path's dominant host->device cost (VERDICT r3 #3). The
+        device program gathers the K rows' alpha, runs the identical
+        recursion, and scatters rows + ring backpointers back in place."""
+        ids = sorted(checked)
+        k = len(ids)
+        c_max = max(f.shape[0] for f in checked.values())
+        k_pad = max(8, 1 << (k - 1).bit_length())
+        c_pad = min(self.chunk_size, max(4, 1 << (c_max - 1).bit_length()))
+        feats = np.zeros((k_pad, c_pad, self._dim), np.float32)
+        slot_ids = np.full(k_pad, self.num_slots, np.int32)  # drop sentinel
+        t_rows = np.zeros(k_pad, np.int32)
+        valid_rows = np.zeros(k_pad, np.int32)
+        for j, slot in enumerate(ids):
+            f = checked[slot]
+            feats[j, : f.shape[0]] = f
+            slot_ids[j] = slot
+            t_rows[j] = self._t[slot]
+            valid_rows[j] = f.shape[0]
+        if self._gmm_params is not None:
+            kind, eparams = "gmm", self._gmm_params
+        elif self.emissions == "quad":
+            kind, eparams = "quad", self._quad
+        else:
+            kind, eparams = "whiten", self._emission
+        banded = self.step_impl == "banded"
+        topo = self._coeffs if banded else self._trans
+        self._alpha, self._ring = _step_compact(
+            self._alpha, self._ring,
+            jnp.asarray(slot_ids), jnp.asarray(t_rows),
+            jnp.asarray(valid_rows), jnp.asarray(feats),
+            topo, self._seed_bias, self._is_entry, eparams,
+            kind=kind, banded=banded,
+        )
+        for slot in ids:
+            self._t[slot] += checked[slot].shape[0]
 
     def _put_sharded(self, *arrays):
         """Slot-dim arrays onto the mesh (or plain device arrays without one).

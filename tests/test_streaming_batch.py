@@ -361,3 +361,75 @@ def test_quad_streaming_matches_quad_offline(rng):
             offline.composite, num_slots=2, step_impl="dense",
             emissions="quad",
         )
+
+
+@pytest.mark.parametrize("step_impl", ["dense", "banded"])
+def test_sparse_upload_bitwise_matches_dense(rng, step_impl):
+    """The compact+scatter step (sparse_upload, VERDICT r3 #3) must leave
+    alpha and the backpointer ring BIT-IDENTICAL to the dense full-pool
+    step under the same staggered feed sequence — the sparse path is an
+    upload-shape optimization, not a different decoder."""
+    models = _models(seed=11)
+    pools = {
+        name: BatchedStreamingComposite.from_models(
+            models, penalty=-5.0, num_slots=8, chunk_size=8, max_frames=64,
+            step_impl=step_impl, sparse_upload=sparse,
+        )
+        for name, sparse in (("dense", False), ("sparse", True))
+    }
+    assert pools["sparse"]._sparse and not pools["dense"]._sparse
+    utts = _utterances(models, 3, rng)
+    slots = {}
+    for name, pool in pools.items():
+        slots[name] = [pool.start() for _ in utts]
+    cursors = [0, 0, 0]
+    step_i = 0
+    feed_plan = []
+    while any(cursors[i] < len(utts[i]) for i in range(3)):
+        feeds = {}
+        for i in range(3):
+            if step_i < i or cursors[i] >= len(utts[i]):
+                continue
+            c = int(rng.integers(1, 9))
+            feeds[i] = utts[i][cursors[i] : cursors[i] + c]
+            cursors[i] += len(feeds[i])
+        feed_plan.append(feeds)
+        step_i += 1
+    for feeds in feed_plan:
+        for name, pool in pools.items():
+            pool.step({slots[name][i]: f for i, f in feeds.items()})
+    np.testing.assert_array_equal(
+        np.asarray(pools["dense"]._alpha), np.asarray(pools["sparse"]._alpha)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pools["dense"]._ring), np.asarray(pools["sparse"]._ring)
+    )
+    fin_d = pools["dense"].finalize(slots["dense"])
+    fin_s = pools["sparse"].finalize(slots["sparse"])
+    assert fin_d == fin_s
+
+
+def test_sparse_upload_few_of_many_slots(rng):
+    """The motivating serving shape: a large pool where only a few slots
+    talk per step — fed slots decode offline-exact, idle slots untouched."""
+    models = _models(seed=7)
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=64, chunk_size=8, max_frames=64,
+        sparse_upload=True,
+    )
+    utts = _utterances(models, 3, rng)
+    slots = [pool.start() for _ in utts]
+    # park an idle slot mid-utterance to prove non-fed rows are untouched
+    idle = pool.start()
+    pool.step({idle: utts[0][:6]})
+    idle_alpha = np.asarray(pool._alpha[idle]).copy()
+    for i, slot in enumerate(slots):
+        for start in range(0, len(utts[i]), 8):
+            pool.step({slot: utts[i][start : start + 8]})
+    np.testing.assert_array_equal(np.asarray(pool._alpha[idle]), idle_alpha)
+    results = pool.finalize(slots)
+    for i, slot in enumerate(slots):
+        score, text = results[slot]
+        off_score, off_text = _offline(pool.composite, utts[i])
+        assert score == pytest.approx(off_score, rel=1e-5)
+        assert text == off_text
