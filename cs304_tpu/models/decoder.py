@@ -38,7 +38,7 @@ class ContinuousDecoder:
         models,
         penalty: float = DEFAULT_WORD_PENALTY,
         sort_labels: bool = True,
-        backend: str = "fast",
+        backend: str = "auto",
         bigram=None,
         lm_weight: float = 1.0,
         beam: float | None = None,
@@ -50,8 +50,19 @@ class ContinuousDecoder:
             # The reference walks the checkpoint dir in sorted order
             # (hidden_markov_model.py:431), which fixes tie-break order.
             models = sorted(models, key=lambda m: m.label)
-        if backend not in ("scan", "fast", "pallas", "scanfree"):
+        if backend not in ("auto", "scan", "fast", "pallas", "scanfree"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "auto":
+            # On TPU the scan-free Pallas trellis pair wins at EVERY scale
+            # (1.6x at the 58-state flagship, ~240x the banded scan at
+            # 503-2503 states where the scan pays ~200 sequential
+            # while-loop dispatches — see benchmarks/mfu_breakdown.py
+            # --states-sweep); it is bitwise-identical to "fast" and falls
+            # back to it internally for shapes the kernels cannot tile.
+            # Off-TPU, "fast" (interpret-mode Pallas is for tests only).
+            backend = (
+                "scanfree" if jax.default_backend() == "tpu" else "fast"
+            )
         if bigram is not None and backend in ("pallas", "scanfree"):
             # The Pallas kernels hard-code the one-shared-penalty entry
             # update; the fast banded path supports per-pair penalties via
@@ -688,6 +699,20 @@ def _decode_batch(
     backend: str = "scan", lm_extras=None, beam=None,
     emissions: str = "whiten",
 ):
+    if (emissions == "quad" and backend == "scanfree"
+            and lm_extras is None and beam is None):
+        # The fully fused Pallas pipeline: the quadratic-form emission
+        # kernel writes log_b already padded to the trellis lane layout
+        # (no (B, T, S) relayout pass), then the scan-free forward +
+        # backtrace pair. Same numeric contract as the quad layout (the
+        # whitening path is the parity reference); falls back to
+        # quad + banded-fast internally for shapes the kernels cannot tile.
+        from ..ops.pallas.emission import decode_batch_fused
+
+        return decode_batch_fused(
+            means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,
+            batch, lengths,
+        )
     if emissions == "quad":
         from ..ops.gaussian import (
             gaussian_log_pdf_quad,

@@ -93,6 +93,41 @@ def _emission_kernel_selmm(nhp_ref, lin_ref, const_ref, ssel_ref, tsel_ref,
     out_ref[:] = quad + lin + const_ref[0:1, :]
 
 
+def _emission_kernel_blocked(nhp_ref, lin_ref, const_ref, frames_ref, out_ref,
+                             x2_scr, *, precision):
+    """State-blocked variant for S_PAD > 128 lanes (multi-tile composites,
+    round 4): grid (frame blocks, state blocks), the state dimension
+    innermost. The (F_BLK, D^2) x2 expansion is built ONCE per frame block
+    (at state block j == 0) into VMEM scratch and reused across the state
+    tiles, so the heavy work per (i, j) step is exactly one
+    (F_BLK, D^2) x (D^2, S_BLK) MXU matmul."""
+    j = pl.program_id(1)
+    frames = frames_ref[:]
+    f_blk, d = frames.shape
+
+    @pl.when(j == 0)
+    def _():
+        stretch = jnp.concatenate(
+            [jnp.broadcast_to(frames[:, i:i + 1], (f_blk, d))
+             for i in range(d)],
+            axis=1,
+        )
+        tiled = jnp.concatenate([frames] * d, axis=1)
+        x2_scr[:] = stretch * tiled
+
+    quad = jax.lax.dot_general(
+        x2_scr[:], nhp_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    lin = jax.lax.dot_general(
+        frames, lin_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    out_ref[:] = quad + lin + const_ref[0:1, :]
+
+
 def _selectors(d: int):
     """0/1 selector matrices: stretch = x @ S_sel, tiled = x @ T_sel."""
     ssel = np.zeros((d, d * d), np.float32)
@@ -136,13 +171,58 @@ def gaussian_log_pdf_fused(
     (broadcast/lane-select chain on the VPU) or "selmm" (two 0/1-selector
     matmuls on the MXU; bitwise-identical output, see
     benchmarks/emission_variants.py for the measured difference).
+
+    s_pad may be any multiple of 128: past one lane register the kernel
+    switches to a 2D (frame blocks, state blocks) grid with the x2
+    expansion cached in VMEM scratch per frame block (multi-tile states,
+    round 4 — the large-vocabulary serving lever). The blocked path always
+    builds x2 with the concat chain (it runs once per frame block, so the
+    selmm MXU trick has nothing to amortize); x2_mode is ignored there.
     """
     n, d = frames_flat.shape
+    if s_pad % LANES:
+        raise ValueError(f"s_pad {s_pad} must be a multiple of {LANES}")
     prec = (jax.lax.Precision.DEFAULT if precision == "default"
             else jax.lax.Precision.HIGHEST)
     from functools import partial as _partial
 
     nhp, lin, const = _pack_quad_params(means, covariances, s_pad)
+    if s_pad > LANES:
+        # Blocked path: smaller frame tile (the x2 scratch + streamed nhp
+        # tiles share VMEM), state tiles of up to 512 lanes.
+        f_blk = min(f_blk, 256)
+        s_blk = 512 if s_pad % 512 == 0 else (
+            256 if s_pad % 256 == 0 else LANES)
+        while n % f_blk:
+            f_blk //= 2
+        grid2 = (n // f_blk, s_pad // s_blk)
+        return pl.pallas_call(
+            _partial(_emission_kernel_blocked, precision=prec),
+            grid=grid2,
+            in_specs=[
+                pl.BlockSpec((d * d, s_blk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, s_blk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, s_blk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f_blk, d), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((f_blk, s_blk), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, s_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((f_blk, d * d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                # The default 16 MiB scoped limit is too tight once the
+                # double-buffered (D^2, s_blk) nhp tiles + the x2 scratch +
+                # the concat chain's stack temporaries add up (~20 MiB
+                # measured at s_pad=1024); v5e has 128 MiB.
+                vmem_limit_bytes=64 * 2**20,
+            ),
+            interpret=interpret,
+        )(nhp, lin, const, frames_flat)
     while n % f_blk:
         f_blk //= 2
     grid = (n // f_blk,)
@@ -190,17 +270,20 @@ def decode_batch_fused(
 
     batch_feats (B, T, D) float32 features, lengths (B,) -> (scores, paths).
     Emissions never touch HBM in (T, S, D) form and arrive already padded to
-    the trellis kernel's 128-lane layout.
+    the trellis kernel's lane layout (a multiple of 128 — multi-tile past
+    128 states, so large-vocabulary composites up to MAX_STATES ride the
+    same kernel pair).
     """
-    from .trellis_scanfree import _choose_tiles, _scanfree_impl
+    from .trellis_scanfree import MAX_STATES, _choose_tiles, _scanfree_impl
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t_total, d = batch_feats.shape
     s = means.shape[0]
+    s_pad = -(-s // LANES) * LANES
     if (
-        s > LANES or t_total < 2 or (b * t_total) % 8
-        or _choose_tiles(b, t_total - 1) is None
+        s > MAX_STATES or t_total < 2 or (b * t_total) % 8
+        or _choose_tiles(b, t_total - 1, s_pad) is None
     ):
         from ..gaussian import gaussian_log_pdf, make_gaussian_params
         from ..viterbi import viterbi_composite_batch_fast
@@ -214,10 +297,10 @@ def decode_batch_fused(
 
     frames_flat = batch_feats.reshape(b * t_total, d)
     log_b_pad = gaussian_log_pdf_fused(
-        means, covs, frames_flat, s_pad=LANES, interpret=interpret
-    ).reshape(b, t_total, LANES)
+        means, covs, frames_flat, s_pad=s_pad, interpret=interpret
+    ).reshape(b, t_total, s_pad)
     return _scanfree_impl(
         log_b_pad, log_a, lower_of_state, is_entry, is_exit, penalty,
         jnp.asarray(lengths, jnp.int32), quirk_backtrace, interpret,
-        states_prepadded=np.asarray(means).shape[0],
+        states_prepadded=s,
     )

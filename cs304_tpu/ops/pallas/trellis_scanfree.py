@@ -11,12 +11,20 @@ indexing (the round-1 killer — every in-block index below is a Python int).
 
 Layout (the fix for v2's sublane rolls): STATES IN LANES, batch in sublanes.
 
-    alpha: (TILE_B sublanes, 128 lanes = states padded from S)
+    alpha: (TILE_B sublanes, S_PAD lanes = states padded to a multiple of 128)
 
 so the banded predecessor shifts are lane rolls, the shared best-exit pool is
-a lane reduction, and every step is a handful of (TILE_B, 128) VPU ops.
+a lane reduction, and every step is a handful of (TILE_B, S_PAD) VPU ops.
 Backpointers stream to HBM blocks; the backtrace kernel re-reads them in
 reverse grid order and resolves bp[t, state] as a one-hot lane select.
+
+MULTI-TILE STATES (round 4, VERDICT r3 weak #2): S_PAD is any multiple of
+128 up to MAX_STATES — large-vocabulary composites (503/1003/2503 states at
+100/200/500 words) run the same kernels with states spread across
+S_PAD // 128 lane tiles. The per-step ops stay whole-register VPU work
+(Mosaic lowers the shift-by-1/2 and the cross-tile lane reductions); the
+batch tile shrinks as S_PAD grows so double-buffered emission/backpointer
+blocks stay inside VMEM (_choose_tiles). Semantics are unchanged.
 
 Semantics are bitwise those of ops.viterbi.viterbi_composite_batch_fast
 (same candidate order, same first-max tie-breaks, same live-step masking,
@@ -36,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+MAX_STATES = 4096  # multi-tile cap: 32 lane tiles (VMEM-budget bound)
 NEG = np.float32(-np.inf)
 
 
@@ -143,9 +152,9 @@ def _backtrace_kernel(
         final_ref[:] = state_scr[:]
 
 
-def _pack_coefs(log_a, lower_of_state, is_entry, is_exit):
+def _pack_coefs(log_a, lower_of_state, is_entry, is_exit, s_pad: int = LANES):
     """The O(S) banded coefficients of viterbi_composite_batch_fast
-    (viterbi.py:262-281), padded to the 128-lane register."""
+    (viterbi.py:262-281), padded to s_pad state lanes (a multiple of 128)."""
     s = log_a.shape[0]
     to = jnp.arange(s)
     diag = jnp.diagonal(log_a)
@@ -162,7 +171,7 @@ def _pack_coefs(log_a, lower_of_state, is_entry, is_exit):
     diag_init = jnp.where(jnp.isfinite(diag), diag, 0.0)
 
     def pad(v, fill):
-        return jnp.full((LANES,), fill, jnp.float32).at[:s].set(
+        return jnp.full((s_pad,), fill, jnp.float32).at[:s].set(
             v.astype(jnp.float32)
         )
 
@@ -174,38 +183,60 @@ def _pack_coefs(log_a, lower_of_state, is_entry, is_exit):
         pad(is_entry.astype(jnp.float32), 0.0),
         pad(is_exit.astype(jnp.float32), 0.0),
         pad(diag_init, 0.0),
-        jnp.zeros((LANES,), jnp.float32),
+        jnp.zeros((s_pad,), jnp.float32),
     ])
 
 
-def _choose_tiles(b: int, t_steps: int):
-    tile_b = 256 if b % 256 == 0 else (128 if b % 128 == 0 else None)
-    if tile_b is None:
-        for cand in (64, 32, 16, 8):
-            if b % cand == 0:
-                tile_b = cand
-                break
-        else:
-            return None
-    tb = 16
-    return tile_b, tb
+# Per-grid-step VMEM budget for the double-buffered emission + backpointer
+# blocks (~16 bytes per (batch, step, lane) element: f32 emission + i32
+# backpointer, each double-buffered). v5e VMEM is 128 MiB; the kernels ask
+# Mosaic for _VMEM_LIMIT (the default scoped limit is only 16 MiB) and the
+# tile chooser keeps the streamed blocks within _VMEM_BUDGET, leaving
+# headroom for alpha scratch / log_b0 / output blocks. The flagship
+# (tile_b=256, tb=16, 128 lanes = 8.4 MiB) config is unchanged.
+_VMEM_BUDGET = 64 * 2**20
+_VMEM_LIMIT = 100 * 2**20
+
+
+def _choose_tiles(b: int, t_steps: int, s_pad: int = LANES):
+    """Pick (tile_b, tb) for the forward/backtrace kernel pair.
+
+    Mosaic constrains the backtrace's transposed (tb, tile_b) output block:
+    its last dim must be 128-divisible or equal to the full batch — so
+    tile_b comes from {256, 128, b}, never an arbitrary divisor. When the
+    multi-tile state width pushes the streamed blocks past the VMEM budget,
+    the TIME block tb shrinks (16 -> 8) before the batch tile does.
+    """
+    for cand in (256, 128):
+        if b % cand:
+            continue
+        for tb in (16, 8):
+            if 16 * cand * tb * s_pad <= _VMEM_BUDGET:
+                return cand, tb
+    for tb in (16, 8):
+        if 16 * b * tb * s_pad <= _VMEM_BUDGET:
+            return b, tb
+    return None
 
 
 def viterbi_composite_batch_scanfree(
     log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
     quirk_backtrace: bool = True, interpret: bool | None = None,
 ):
-    """Drop-in replacement for viterbi_composite_batch_fast on S <= 128.
+    """Drop-in replacement for viterbi_composite_batch_fast on S <= MAX_STATES.
 
     log_b (B, T, S) f32, lengths (B,) i32 -> (scores (B,), paths (B, T) i32).
-    interpret=None auto-selects interpreter mode off-TPU. Shapes the kernel
-    cannot tile (S > 128, batch not a multiple of 8, T < 2) fall back to the
-    scan path — the decision is static, so it costs nothing under jit.
+    interpret=None auto-selects interpreter mode off-TPU. States pad to the
+    next multiple of 128 lanes (multi-tile past 128). Shapes the kernel
+    cannot tile (S > MAX_STATES, batch not a multiple of 8, T < 2) fall back
+    to the scan path — the decision is static, so it costs nothing under jit.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t_total, s = log_b.shape
-    if s > LANES or t_total < 2 or _choose_tiles(b, t_total - 1) is None:
+    s_pad = -(-s // LANES) * LANES
+    if (s > MAX_STATES or t_total < 2
+            or _choose_tiles(b, t_total - 1, s_pad) is None):
         from ..viterbi import viterbi_composite_batch_fast
 
         return viterbi_composite_batch_fast(
@@ -224,21 +255,25 @@ def _scanfree_impl(
     log_b, log_a, lower_of_state, is_entry, is_exit, penalty, lengths,
     quirk_backtrace: bool, interpret: bool, states_prepadded: int | None = None,
 ):
-    """states_prepadded: when log_b already has LANES state lanes (the fused
-    emission kernel's output layout), pass the REAL state count here; lane
-    padding is skipped and only the time axis is padded."""
+    """states_prepadded: when log_b already has its state lanes padded to a
+    multiple of 128 (the fused emission kernel's output layout), pass the
+    REAL state count here; lane padding is skipped and only the time axis is
+    padded."""
     b, t_total, s = log_b.shape
     if states_prepadded is not None:
-        assert s == LANES, (s, LANES)
+        s_pad = s
+        assert s_pad % LANES == 0, (s, LANES)
         s = states_prepadded
-    tile_b, tb = _choose_tiles(b, t_total - 1)
+    else:
+        s_pad = -(-s // LANES) * LANES
+    tile_b, tb = _choose_tiles(b, t_total - 1, s_pad)
     n_steps = t_total - 1
     t_pad = -(-max(n_steps, 1) // tb) * tb
     n_blocks = t_pad // tb
 
     coefs = _pack_coefs(
         jnp.asarray(log_a), jnp.asarray(lower_of_state),
-        jnp.asarray(is_entry), jnp.asarray(is_exit),
+        jnp.asarray(is_entry), jnp.asarray(is_exit), s_pad,
     )
     pen = jnp.asarray(penalty, jnp.float32).reshape(1, 1)
     lengths = jnp.asarray(lengths, jnp.int32)
@@ -248,7 +283,7 @@ def _scanfree_impl(
         log_b0 = log_b[:, 0, :]
         log_b_steps = log_b[:, 1:, :]
     else:
-        logb_pad = jnp.zeros((b, 1 + t_pad, LANES), jnp.float32)
+        logb_pad = jnp.zeros((b, 1 + t_pad, s_pad), jnp.float32)
         if states_prepadded is not None:
             logb_pad = logb_pad.at[:, :t_total, :].set(log_b)
         else:
@@ -263,35 +298,36 @@ def _scanfree_impl(
         _forward_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, LANES), lambda i, j: (0, 0),
+            pl.BlockSpec((8, s_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, LANES), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_b, s_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, tb, LANES), lambda i, j: (i, j, 0),
+            pl.BlockSpec((tile_b, tb, s_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_b, LANES), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_b, s_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, tb, LANES), lambda i, j: (i, j, 0),
+            pl.BlockSpec((tile_b, tb, s_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, s_pad), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((tile_b, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_b, s_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(coefs, pen, lengths_col, log_b0, log_b_steps)
 
-    lane = jnp.arange(LANES)
-    is_exit_pad = jnp.zeros((LANES,), bool).at[:s].set(jnp.asarray(is_exit))
+    lane = jnp.arange(s_pad)
+    is_exit_pad = jnp.zeros((s_pad,), bool).at[:s].set(jnp.asarray(is_exit))
     ex = jnp.where(is_exit_pad[None, :], alpha, -jnp.inf)
     scores = jnp.max(ex, axis=1)
     best = jnp.argmax(ex, axis=1).astype(jnp.int32)
@@ -304,7 +340,7 @@ def _scanfree_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, tb, LANES),
+            pl.BlockSpec((tile_b, tb, s_pad),
                          lambda i, j: (i, n_blocks - 1 - j, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -322,6 +358,7 @@ def _scanfree_impl(
         scratch_shapes=[pltpu.VMEM((tile_b, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(lengths_col, best[:, None], bps)

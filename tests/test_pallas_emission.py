@@ -36,6 +36,27 @@ def test_fused_emission_matches_whitening(rng):
     )
 
 
+def test_fused_emission_multitile_states(rng):
+    """s_pad > 128 switches to the state-blocked 2D grid (multi-tile states,
+    round 4): same quadratic form, x2 cached in scratch across state tiles."""
+    s, d, n = 150, 7, 32  # s_pad=256 -> two 128-lane state tiles
+    means, covs = _random_gaussians(rng, s, d)
+    frames = rng.normal(size=(n, d)).astype(np.float32)
+
+    want = gaussian_log_pdf(
+        make_gaussian_params(jnp.asarray(means), jnp.asarray(covs)),
+        jnp.asarray(frames),
+    )
+    got = gaussian_log_pdf_fused(
+        jnp.asarray(means), jnp.asarray(covs), jnp.asarray(frames),
+        s_pad=256, interpret=True, f_blk=16,
+    )
+    assert got.shape == (n, 256)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :s], np.asarray(want), rtol=1e-4, atol=1e-3
+    )
+
+
 def test_selmm_mode_bitwise_equals_concat(rng):
     s, d, n = 6, 5, 32
     means, covs = _random_gaussians(rng, s, d)

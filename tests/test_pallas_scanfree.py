@@ -8,6 +8,7 @@ array_equal); here the same assertion runs in interpreter mode on small shapes.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from cs304_tpu.models.hmm import WordHMM, stack_word_models, uniform_forward_log_a
@@ -31,6 +32,8 @@ def _composite(num_words, states_per_word, seed=0):
     (16, 33, 3, (5,)),
     (8, 17, 4, (5, 3)),       # mixed word sizes incl. silence-like 3-state
     (32, 50, 12, (5, 5, 3)),  # the flagship 58-state shape
+    (8, 20, 30, (5, 5, 3)),   # 130 states -> 2 lane tiles (multi-tile path)
+    (16, 18, 60, (5, 5, 3)),  # 260 states -> 3 lane tiles
 ])
 def test_scanfree_matches_fast(b, t, words, spw):
     comp = _composite(words, spw)
@@ -88,4 +91,48 @@ def test_decoder_scanfree_backend():
     clips = [rng.normal(size=(40, 39)).astype(np.float32) for _ in range(8)]
     ref = ContinuousDecoder(models, penalty=-50.0, backend="fast").predict_batch(clips)
     got = ContinuousDecoder(models, penalty=-50.0, backend="scanfree").predict_batch(clips)
+    assert got == ref
+
+
+def test_decoder_auto_backend_resolves():
+    """backend='auto' (the default) resolves by platform: 'fast' off-TPU,
+    'scanfree' on TPU — and never reaches the Pallas path with an LM/beam."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.ops.lm import train_word_bigram
+
+    rng = np.random.default_rng(4)
+    models = {}
+    for lab in ("1", "2", "S"):
+        s = 3 if lab == "S" else 5
+        means = rng.normal(size=(s, 39)).astype(np.float32) * 2
+        covs = np.tile(np.eye(39, dtype=np.float32), (s, 1, 1))
+        models[lab] = WordHMM(label=lab, means=means, covariances=covs,
+                              log_a=uniform_forward_log_a(s))
+    assert ContinuousDecoder(models).backend == (
+        "scanfree" if jax.default_backend() == "tpu" else "fast"
+    )
+    assert ContinuousDecoder(models, beam=50.0).backend == "fast"
+    lm = train_word_bigram([("1", "2"), ("2", "1")], ["1", "2", "S"])
+    assert ContinuousDecoder(models, bigram=lm).backend == "fast"
+
+
+def test_decoder_scanfree_quad_fused_route():
+    """backend='scanfree' + emissions='quad' rides the fully fused Pallas
+    pipeline (emission kernel -> scan-free trellis); predictions must agree
+    with the unfused quad + banded-fast decode."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+
+    rng = np.random.default_rng(7)
+    models = {}
+    for lab in ("1", "2", "3", "S"):
+        s = 3 if lab == "S" else 5
+        means = rng.normal(size=(s, 39)).astype(np.float32) * 2
+        covs = np.tile(np.eye(39, dtype=np.float32), (s, 1, 1))
+        models[lab] = WordHMM(label=lab, means=means, covariances=covs,
+                              log_a=uniform_forward_log_a(s))
+    clips = [rng.normal(size=(40, 39)).astype(np.float32) for _ in range(8)]
+    ref = ContinuousDecoder(models, penalty=-50.0, backend="fast",
+                            emissions="quad").predict_batch(clips)
+    got = ContinuousDecoder(models, penalty=-50.0, backend="scanfree",
+                            emissions="quad").predict_batch(clips)
     assert got == ref
