@@ -282,3 +282,102 @@ def test_collect_state_stats_shapes(rng):
     assert stats.counts[i].sum() > 0
     assert np.isfinite(stats.means[i]).all()
     assert (stats.vars[i] > 0).all()
+
+
+def test_composed_senone_words_stream(rng):
+    """Composed senone words are ordinary WordHMMs: the batched streaming
+    pool serves them with offline-exact finals — the serving stack needs no
+    senone awareness (VERDICT r3 item #7, feature-level half; the raw-audio
+    half is test_senone_serving_sessions_offline_parity)."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.ops.streaming_batch import BatchedStreamingComposite
+
+    lex, boot, labeled, utt, models, tying = _train(rng)
+    dec = ContinuousDecoder(
+        compose_word_models_senone(lex, models, tying, boot), penalty=-5.0
+    )
+    pool = BatchedStreamingComposite(
+        dec.composite, num_slots=2, chunk_size=8, max_frames=256
+    )
+    utts = [utt("xa"), utt("xc")]
+    slots = [pool.start() for _ in utts]
+    for i, s in enumerate(slots):
+        for lo in range(0, len(utts[i]), 8):
+            pool.step({s: utts[i][lo : lo + 8]})
+    streamed = pool.finalize(slots)
+    offline = dec.predict_batch(utts)
+    for i, s in enumerate(slots):
+        assert streamed[s][1] == offline[i]
+    assert offline == ["xa", "xc"]
+
+
+def test_senone_serving_sessions_offline_parity(rng):
+    """Raw-audio serving sessions on a SENONE checkpoint: endpointing +
+    partials + finals through ServingSessionPool, with finals equal to the
+    offline ContinuousDecoder on the same composed senone models (the
+    streamed==offline parity contract, VERDICT r3 item #7)."""
+    from cs304_tpu.audio.endpointing import SignalSeparation
+    from cs304_tpu.data.wordvocab import make_lexicon, make_word_corpus
+    from cs304_tpu.models.decoder import ContinuousDecoder
+    from cs304_tpu.models.lexicon import train_phone_models, uniform_phone_boot
+    from cs304_tpu.models.train_kmeans import (
+        SegmentalKMeansConfig,
+        train_word_hmm,
+    )
+    from cs304_tpu.ops.mfcc import mfcc_batch
+    from cs304_tpu.serving import ServingSessionPool
+
+    corpus = make_word_corpus(
+        6, num_train_speakers=2, num_test_speakers=1, takes_per_digit=2,
+        phones_per_word=(2, 3),
+    )
+    lex = make_lexicon(6, phones_per_word=(2, 3))
+    words = corpus.labels
+    sep = SignalSeparation()
+    stripped = {
+        w: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[w]))
+        for w in words
+    }
+    noises = [x for x in sep.get_all_noises() if len(x) >= 9 * sep.frame_size]
+    silence = train_word_hmm(
+        "S", mfcc_batch(noises),
+        SegmentalKMeansConfig(num_states=3, max_iterations=6,
+                              length_multiple=32),
+    ).model
+    boot = uniform_phone_boot(stripped, lex)
+    boot["S"] = silence
+    labeled = {(w,): mfcc_batch(corpus.train_dataset[w]) for w in words}
+    cfg = ContinuousTrainConfig(max_iterations=3, cov_reg=0.1,
+                                length_multiple=32)
+    mono, _ = train_phone_models(boot, labeled, lex, cfg)
+    units, tying, _ = train_senone_models(
+        mono, labeled, lex, max_per_state=2, min_count=4.0, config=cfg
+    )
+    composed = compose_word_models_senone(lex, units, tying, mono)
+
+    dec = ContinuousDecoder(composed, penalty=-100.0)
+    pool = ServingSessionPool(composed, num_slots=2)
+    sess = pool.open()
+
+    word = words[0]
+    speech = corpus.sentence_audio((word,), 2, jitter_seed=3)
+    noise = np.random.default_rng(0).normal(0, 20.0, 12000).astype(np.float32)
+    audio = np.concatenate([noise[:8000], speech, noise])
+    results = []
+    for lo in range(0, len(audio), 1600):
+        done = pool.feed({sess: audio[lo : lo + 1600]})
+        results.extend(done.get(sess, ()))
+    assert len(results) == 1
+    final = results[0]
+    assert final.num_samples > 0
+
+    # Offline parity: the pool decodes the endpointed signal — reconstruct
+    # it with the same segmentation machine and predict on those samples.
+    from cs304_tpu.audio.capture import Segmentation, SegmentationDone
+
+    seg = Segmentation(stream=None)
+    seg.audio_cache.put(audio)
+    with pytest.raises(SegmentationDone):
+        seg.routine()
+    endpointed = seg.result_signal()
+    assert final.text == dec.predict(mfcc_batch([endpointed])[0])
