@@ -162,6 +162,37 @@ def large_s(num_words: int, batch: int = 512, t_frames: int = 152) -> None:
         )
         return jnp.sum(scores) + jnp.sum(paths)
 
+    from cs304_tpu.ops.pallas.emission import (
+        decode_batch_fused,
+        gaussian_log_pdf_fused,
+    )
+    from cs304_tpu.ops.pallas.trellis_scanfree import (
+        viterbi_composite_batch_scanfree,
+    )
+
+    s_pad = -(-s // 128) * 128
+
+    @jax.jit
+    def emission_fused(fe):
+        b, t, dd = fe.shape
+        return jnp.sum(gaussian_log_pdf_fused(
+            means, covs, fe.reshape(b * t, dd), s_pad=s_pad
+        ))
+
+    @jax.jit
+    def trellis_scanfree(log_b, le):
+        scores, paths = viterbi_composite_batch_scanfree(
+            log_b, log_a, lower, is_entry, is_exit, penalty, le
+        )
+        return jnp.sum(scores) + jnp.sum(paths)
+
+    @jax.jit
+    def e2e_fused_pallas(fe, le):
+        scores, paths = decode_batch_fused(
+            means, covs, log_a, lower, is_entry, is_exit, penalty, fe, le
+        )
+        return jnp.sum(scores) + jnp.sum(paths)
+
     log_b = jax.block_until_ready(_logb(feats))
     log_b_small = log_b[:b_small]
 
@@ -190,6 +221,30 @@ def large_s(num_words: int, batch: int = 512, t_frames: int = 152) -> None:
             0.0,
             # read log_b + write int32 backpointers + backtrace re-read
             4 * (3 * f_big * s),
+        ),
+        "emission_fused": (
+            emission_fused, (feats,), batch,
+            # the blocked kernel builds x2 once per frame block, then one
+            # (F, D^2) x (D^2, S_BLK) matmul per state tile + the linear term
+            f_big * (d * d + 2 * s_pad * (d * d + d)),
+            1.0,
+            # feats in, log_b out; x2 stays in VMEM scratch (no HBM round
+            # trip — the quad XLA path's (T, D^2) intermediate is the delta)
+            4 * (f_big * d + f_big * s_pad + s_pad * d * d),
+        ),
+        "trellis_scanfree": (
+            trellis_scanfree, (log_b, lengths), batch,
+            f_big * (10 * s),
+            0.0,
+            # lane-padded log_b in, int32 bp blocks out, backtrace re-read
+            4 * (3 * f_big * s_pad),
+        ),
+        "e2e_fused_pallas": (
+            e2e_fused_pallas, (feats, lengths), batch,
+            f_big * (d * d + 2 * s_pad * (d * d + d) + 10 * s),
+            (2 * s_pad * (d * d + d))
+            / (d * d + 2 * s_pad * (d * d + d) + 10 * s),
+            4 * (f_big * d + 3 * f_big * s_pad + s_pad * d * d),
         ),
         "e2e_quad_fast": (
             e2e_quad_fast, (feats, lengths), batch,

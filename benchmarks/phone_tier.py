@@ -408,25 +408,26 @@ def main() -> None:
             )), 4)
         if sen_composed is not None:
             # Ablation isolating TREE SYNTHESIS: the same trained senone
-            # units composed with plain monophone back-off for unseen
-            # contexts instead of synthesizing them through the trees.
+            # units with unseen contexts synthesized through the trees
+            # instead of the default monophone back-off (the default IS
+            # back-off because this ablation measured synthesis WORSE at
+            # every corpus scale tried — see senone_unit_table).
             from cs304_tpu.models.senone import senone_unit_table
-            from cs304_tpu.models.triphone import (
-                compose_word_models_triphone,
-            )
 
             _, n_synth = senone_unit_table(
-                lex, sen_units, sen_tying, phone_final
+                lex, sen_units, sen_tying, phone_final,
+                unseen="synthesize",
             )
-            sen_backoff = compose_word_models_triphone(
-                lex, dict(sen_units), phone_final
+            sen_synth = compose_word_models_senone(
+                lex, sen_units, sen_tying, phone_final,
+                unseen="synthesize",
             )
-            preds_bo = ContinuousDecoder(
-                sen_backoff, penalty=args.penalty
+            preds_syn = ContinuousDecoder(
+                sen_synth, penalty=args.penalty
             ).predict_batch(feats2)
-            oov_line["senone_tier_oov_exact_monophone_backoff"] = round(
+            oov_line["senone_tier_oov_exact_tree_synthesis"] = round(
                 float(np.mean(
-                    [p == t for p, t in zip(preds_bo, truths2)]
+                    [p == t for p, t in zip(preds_syn, truths2)]
                 )), 4)
             oov_line["senone_synthesized_units"] = int(n_synth)
         print(json.dumps(oov_line))

@@ -282,7 +282,8 @@ def _unit_tier_of(folder: str) -> str | None:
 
 
 def load_unit_table(
-    lexicon_path: str, monophones: Dict[str, WordHMM]
+    lexicon_path: str, monophones: Dict[str, WordHMM],
+    unseen_senones: str = "backoff",
 ) -> Tuple[Lexicon, Lexicon | None, Dict[str, WordHMM] | None, str]:
     """Detect and load a phone checkpoint's context-dependent units — THE
     one place that knows the on-disk convention; `compose_from_checkpoint`
@@ -299,11 +300,12 @@ def load_unit_table(
     unit of the full lexicon to a model through the back-off chain
     (senones -> triphone -> biphone when present -> monophone), plus the
     silence model (preferring the most context-dependent stage's). The
-    senone tier wins over every other: unseen triphones there are
-    SYNTHESIZED from their decision-tree senones rather than backed off.
-    (The self-contained ``tied_triphones`` tier is NOT dispatched here —
-    a tied checkpoint is decoded via its OWN lexicon.json as plain
-    units.)"""
+    senone tier wins over every other; its unseen triphones back off to
+    monophones per ``unseen_senones`` ("backoff", the measured round-4
+    default — see senone_unit_table) or synthesize through the decision
+    trees ("synthesize"). (The self-contained ``tied_triphones`` tier is
+    NOT dispatched here — a tied checkpoint is decoded via its OWN
+    lexicon.json as plain units.)"""
     import os
 
     from ..utils.checkpoint import load_models
@@ -326,13 +328,15 @@ def load_unit_table(
         sdir = tier_dirs["senones"]
         unit_models = load_models(sdir)
         tying = SenoneTying.load(os.path.join(sdir, "senone_tying.json"))
-        table, synthesized = senone_unit_table(
-            lexicon, unit_models, tying, monophones
+        table, materialized = senone_unit_table(
+            lexicon, unit_models, tying, monophones, unseen=unseen_senones
         )
+        how = ("synthesized from trees" if unseen_senones == "synthesize"
+               else "backed off to monophones")
         n = sum(1 for u in unit_models if u != SILENCE_LABEL)
         desc = (f"{n} senone-tied triphone units / "
                 f"{tying.num_senones()} senones "
-                f"({synthesized} unseen units synthesized from trees)")
+                f"({materialized} unseen units {how})")
         return lexicon, triphone_lexicon(lexicon), table, desc
     bi_models = (
         load_models(tier_dirs["biphones"])

@@ -548,27 +548,57 @@ def senone_unit_table(
     tying: SenoneTying,
     monophones: Dict[str, WordHMM],
     words: Sequence[str] | None = None,
+    unseen: str = "backoff",
 ) -> Tuple[Dict[str, WordHMM], int]:
     """unit -> model for every triphone the lexicon needs: trained units
-    verbatim, unseen units synthesized from their tree-classified senones.
-    Returns (table, synthesized count)."""
+    verbatim; units absent from training materialize per ``unseen``:
+
+    - "backoff" (default): the center monophone, the classical chain.
+      This is the MEASURED default — on the round-4 senone ladder
+      (benchmarks/phone_tier.py --senones, recorded in ROADMAP.md) the
+      back-off OOV exact beats tree synthesis at every corpus scale
+      tried (0.30-0.35 vs 0.05 anticipatory; 0.80-1.00 vs 0.35-0.70 at
+      100 words): the trees extrapolate a context shift for phones whose
+      held-out realization is closest to the context-free center.
+    - "synthesize": build the unit from its tree-classified senones
+      (synthesize_unit) — wins only when the corpus isolates the context
+      cue the trees encode (tests/test_senone.py minimal pairs keep that
+      capability pinned).
+
+    Returns (table, count of unseen units materialized).
+    """
     from .biphone import prefer_silence
 
+    if unseen not in ("backoff", "synthesize"):
+        raise ValueError(f"unknown unseen mode {unseen!r}")
     names = lexicon.words if words is None else list(words)
     units = {u for w in names for u in word_units_tri(lexicon[w])}
     table: Dict[str, WordHMM] = {}
-    synthesized = 0
+    materialized = 0
     params = senone_table(unit_models, tying)
     for unit in sorted(units):
         if unit in unit_models:
             table[unit] = unit_models[unit]
-        else:
+        elif unseen == "synthesize":
             table[unit] = synthesize_unit(
                 unit, tying, params, unit_models, monophones
             )
-            synthesized += 1
+            materialized += 1
+        else:
+            _, cur, _ = split_triphone(unit)
+            if cur not in monophones:
+                raise ValueError(
+                    f"unit {unit!r}: phone {cur!r} not in inventory"
+                )
+            m = monophones[cur]
+            table[unit] = WordHMM(
+                label=unit, means=np.array(m.means, copy=True),
+                covariances=np.array(m.covariances, copy=True),
+                log_a=np.array(m.log_a, copy=True),
+            )
+            materialized += 1
     prefer_silence(table, unit_models, monophones)
-    return table, synthesized
+    return table, materialized
 
 
 def compose_word_models_senone(
@@ -577,11 +607,14 @@ def compose_word_models_senone(
     tying: SenoneTying,
     monophones: Dict[str, WordHMM],
     words: Sequence[str] | None = None,
+    unseen: str = "backoff",
 ) -> Dict[str, WordHMM]:
-    """Per-word HMMs from senone-tied triphone units; unseen contexts are
-    synthesized through the decision trees (see synthesize_unit)."""
+    """Per-word HMMs from senone-tied triphone units; unseen contexts
+    back off to their center monophone by default, or synthesize through
+    the decision trees with unseen="synthesize" (see senone_unit_table
+    for the measurement behind the default)."""
     names = lexicon.words if words is None else list(words)
     table, _ = senone_unit_table(lexicon, unit_models, tying, monophones,
-                                 names)
+                                 names, unseen=unseen)
     return compose_word_models(triphone_lexicon(lexicon, names), table,
                                names)

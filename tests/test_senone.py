@@ -222,7 +222,9 @@ def test_unseen_units_synthesize_through_the_trees(rng):
     )
     # "ax" introduces pA-pX+pA: never trained, right context pA.
     lex2 = lex.with_words({"ax": ("pA", "pX", "pA")})
-    table, synthesized = senone_unit_table(lex2, models, tying, boot)
+    table, synthesized = senone_unit_table(
+        lex2, models, tying, boot, unseen="synthesize"
+    )
     assert synthesized >= 1
     unseen = table["pA-pX+pA"]
     trained = models["S-pX+pA"]
@@ -234,8 +236,8 @@ def test_unseen_units_synthesize_through_the_trees(rng):
 
 def test_senone_checkpoint_detection(rng, tmp_path):
     """A senones/ directory wins the load_unit_table chain; unseen units
-    of an OOV word are synthesized through the trees, and the composed
-    models decode the original pair."""
+    of an OOV word back off to monophones (the measured default), and the
+    composed models decode the original pair."""
     from cs304_tpu.models.biphone import (
         compose_from_checkpoint,
         load_unit_table,
@@ -257,9 +259,19 @@ def test_senone_checkpoint_detection(rng, tmp_path):
     _, unit_lex, table, desc = load_unit_table(
         str(ck / "lexicon.json"), boot
     )
-    assert "senone" in desc and "synthesized" in desc
+    assert "senone" in desc and "backed off" in desc
     assert unit_lex["xa"] == ("S-pX+pA", "pX-pA+S")
     assert "pA-pX+pA" in table  # the OOV word's unseen middle unit
+    # The default materializes unseen units as their center monophone;
+    # unseen="synthesize" routes them through the trees instead.
+    np.testing.assert_array_equal(
+        table["pA-pX+pA"].means, boot["pX"].means
+    )
+    _, _, table_syn, desc_syn = load_unit_table(
+        str(ck / "lexicon.json"), boot, unseen_senones="synthesize"
+    )
+    assert "synthesized" in desc_syn
+    assert not np.allclose(table_syn["pA-pX+pA"].means, boot["pX"].means)
 
     _, composed, desc2 = compose_from_checkpoint(
         str(ck / "lexicon.json"), boot
