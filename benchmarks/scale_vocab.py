@@ -171,6 +171,26 @@ def decode_stage(models, corpus, eval_transcripts, mcfg, args):
     dt_quad = time.perf_counter() - t2
     agree_quad = float(np.mean([a == b for a, b in zip(preds, preds_quad)]))
 
+    # Emission precision tiers on the quad layout (the measured large-S
+    # headroom from the round-4 MFU sweep: emissions are the compute
+    # bound, HIGHEST = 6 bf16 MXU passes per matmul). "default" (1 pass)
+    # measured an honest NEGATIVE on this corpus (0.825 vs 0.9625 exact);
+    # "high" (3 passes) is the candidate fast tier.
+    prec_cols = {}
+    for tier in ("high", "default"):
+        fast = ContinuousDecoder(models, penalty=args.penalty,
+                                 emissions="quad",
+                                 emission_precision=tier)
+        fast.predict_batch(feats)  # compile warmup
+        t3 = time.perf_counter()
+        preds_fast = fast.predict_batch(feats)
+        dt_fast = time.perf_counter() - t3
+        prec_cols[f"utt_per_s_quad_{tier}"] = round(len(feats) / dt_fast, 1)
+        prec_cols[f"exact_seq_acc_test_quad_{tier}"] = round(float(
+            np.mean([p == t for p, t in zip(preds_fast, truths)])), 4)
+        prec_cols[f"quad_{tier}_agreement"] = round(float(
+            np.mean([a == b for a, b in zip(preds, preds_fast)])), 4)
+
     print(json.dumps({
         "stage": "decode", "composite_states": s_total,
         "utterances": len(feats), "exact_seq_acc_test": round(acc, 4),
@@ -180,6 +200,7 @@ def decode_stage(models, corpus, eval_transcripts, mcfg, args):
         "beam_agreement": round(agree, 4),
         "utt_per_s_quad": round(len(feats) / dt_quad, 1),
         "quad_agreement": round(agree_quad, 4),
+        **prec_cols,
     }))
     return decoder, feats, truths, acc, acc_beam
 

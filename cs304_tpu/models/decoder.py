@@ -43,6 +43,7 @@ class ContinuousDecoder:
         lm_weight: float = 1.0,
         beam: float | None = None,
         emissions: str = "whiten",
+        emission_precision: str = "highest",
     ) -> None:
         if isinstance(models, dict):
             models = list(models.values())
@@ -79,6 +80,24 @@ class ContinuousDecoder:
                 backend = "fast"
         if emissions not in ("whiten", "quad"):
             raise ValueError(f"unknown emissions layout {emissions!r}")
+        if emission_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                f"unknown emission precision {emission_precision!r}"
+            )
+        if emission_precision != "highest" and emissions != "quad":
+            # The whitening layout IS the bit-parity reference; only the
+            # quad layout (which already trades ~1e-2 logpdf drift for
+            # speed) offers the lower tiers. Measured on the trained
+            # 100-word corpus (benchmarks/scale_vocab.py): "default"
+            # (1-pass bf16) is an honest NEGATIVE — 0.825 vs 0.9625
+            # exact-sequence, the x2 quadratic term's dynamic range
+            # swamps the 8-bit mantissa; "high" (3 passes) is the usable
+            # fast tier (runs the XLA quad path — Mosaic has no HIGH).
+            raise ValueError(
+                "emission_precision tiers below 'highest' require "
+                "emissions='quad' (the whitening layout stays f32-exact "
+                "by contract)"
+            )
         self.backend = backend
         self.beam = beam
         # "whiten": f32-exact whitening matmul (reference parity). "quad":
@@ -92,6 +111,7 @@ class ContinuousDecoder:
         # the whitening layout (their posterior measures are the parity
         # reference). GMM checkpoints ignore the knob (no quad mixtures).
         self.emissions = emissions
+        self.emission_precision = emission_precision
         self._bigram = bigram
         self._lm_weight = lm_weight
 
@@ -554,6 +574,7 @@ class ContinuousDecoder:
             wos, lowers, uppers, sil,
             self.backend, lm_extras, beam=self._beam_arg(),
             emissions=self.emissions,
+            emission_precision=self.emission_precision,
         )
 
     def _consume(self, handles):
@@ -623,6 +644,7 @@ class ContinuousDecoder:
                 jnp.asarray(padded.lengths),
                 self.backend, lm_extras, beam=self._beam_arg(),
                 emissions=self.emissions,
+                emission_precision=self.emission_precision,
             )
         return np.asarray(scores), np.asarray(paths), padded.lengths
 
@@ -693,25 +715,29 @@ def _run_impl(backend, log_b, log_a, lower_of_state, is_entry, is_exit,
     )
 
 
-@partial(jax.jit, static_argnames=("backend", "emissions"))
+@partial(jax.jit, static_argnames=("backend", "emissions",
+                                   "emission_precision"))
 def _decode_batch(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch, lengths,
     backend: str = "scan", lm_extras=None, beam=None,
-    emissions: str = "whiten",
+    emissions: str = "whiten", emission_precision: str = "highest",
 ):
     if (emissions == "quad" and backend == "scanfree"
-            and lm_extras is None and beam is None):
+            and lm_extras is None and beam is None
+            and emission_precision != "high"):
         # The fully fused Pallas pipeline: the quadratic-form emission
         # kernel writes log_b already padded to the trellis lane layout
         # (no (B, T, S) relayout pass), then the scan-free forward +
         # backtrace pair. Same numeric contract as the quad layout (the
         # whitening path is the parity reference); falls back to
         # quad + banded-fast internally for shapes the kernels cannot tile.
+        # ("high" takes the XLA quad route below — Mosaic kernels support
+        # only DEFAULT/HIGHEST.)
         from ..ops.pallas.emission import decode_batch_fused
 
         return decode_batch_fused(
             means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,
-            batch, lengths,
+            batch, lengths, precision=emission_precision,
         )
     if emissions == "quad":
         from ..ops.gaussian import (
@@ -719,8 +745,15 @@ def _decode_batch(
             make_gaussian_quad_params,
         )
 
+        prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[emission_precision]
         qparams = make_gaussian_quad_params(means, covs)
-        log_b = jax.vmap(lambda x: gaussian_log_pdf_quad(qparams, x))(batch)
+        log_b = jax.vmap(
+            lambda x: gaussian_log_pdf_quad(qparams, x, precision=prec)
+        )(batch)
     else:
         params = make_gaussian_params(means, covs)
         log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(batch)
@@ -752,18 +785,20 @@ def _decode_batch_gmm(
 MAX_WORDS = 64
 
 
-@partial(jax.jit, static_argnames=("backend", "max_words", "emissions"))
+@partial(jax.jit, static_argnames=("backend", "max_words", "emissions",
+                                   "emission_precision"))
 def _decode_batch_words(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, batch,
     lengths, word_of_state, lowers, uppers, silence_word,
     backend: str = "scan", lm_extras=None, max_words: int = MAX_WORDS,
-    beam=None, emissions: str = "whiten",
+    beam=None, emissions: str = "whiten", emission_precision: str = "highest",
 ):
     from ..ops.words import words_from_paths
 
     scores, paths = _decode_batch(
         means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,
         batch, lengths, backend, lm_extras, beam, emissions,
+        emission_precision,
     )
     ids, counts = words_from_paths(
         paths, lengths, word_of_state, lowers, uppers, silence_word,

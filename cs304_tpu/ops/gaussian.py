@@ -132,14 +132,22 @@ def make_gaussian_quad_params(means, covariances) -> GaussianQuadParams:
     )
 
 
-def gaussian_log_pdf_quad(params: GaussianQuadParams, frames: jax.Array) -> jax.Array:
-    """(T, D) -> (T, S) via the quadratic-form matmul (see GaussianQuadParams)."""
+def gaussian_log_pdf_quad(
+    params: GaussianQuadParams, frames: jax.Array, precision=None
+) -> jax.Array:
+    """(T, D) -> (T, S) via the quadratic-form matmul (see GaussianQuadParams).
+
+    precision defaults to HIGHEST (f32-exact, 6 bf16 MXU passes). Passing
+    jax.lax.Precision.DEFAULT runs single-pass bf16 matmuls — measured
+    1.35x/1.57x at S=503/2503 on the serving fused path with ~0.2% path
+    flips on random data (benchmarks/results/r4); the whitening layout
+    remains the bit-parity reference either way."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     t, d = frames.shape
     x2 = (frames[:, :, None] * frames[:, None, :]).reshape(t, d * d)
-    quad = jnp.dot(
-        x2, params.neg_half_p.T, precision=jax.lax.Precision.HIGHEST
-    )
-    lin = jnp.dot(frames, params.lin, precision=jax.lax.Precision.HIGHEST)
+    quad = jnp.dot(x2, params.neg_half_p.T, precision=precision)
+    lin = jnp.dot(frames, params.lin, precision=precision)
     return quad + lin + params.const[None, :]
 
 

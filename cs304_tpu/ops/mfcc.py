@@ -423,11 +423,21 @@ def mfcc_features_batch(
     return jax.vmap(lambda s, n: mfcc_features(s, n, cfg))(signals, num_samples)
 
 
-def mfcc_batch(signals, sample_rate: float = 16000.0, cfg: MFCCConfig | None = None):
+def mfcc_batch(signals, sample_rate: float = 16000.0, cfg: MFCCConfig | None = None,
+               bucket: bool = True):
     """Host convenience mirroring MFCC.batch (reference mfcc.py:71-84).
 
     Takes a list of 1-D float arrays, returns a list of (T_i, 39) float32
     arrays. Pads to the max length, runs one vmapped device batch, slices back.
+
+    bucket=True (default) rounds the padded length up to a 64-frame sample
+    multiple and the batch size up to a power of two, so corpus-prep loops
+    that call this per label (100+ distinct (B, L) shapes) hit a handful of
+    compiled programs instead of risking one compile per distinct shape —
+    measured: each NEW shape costs ~52 s through the tunnel's remote
+    compiler, a cached shape 0.1 s. Padding is semantically free: per-clip
+    outputs are pinned padding-invariant
+    (tests/test_mfcc.py::test_mfcc_padding_invariance).
     """
     if cfg is None:
         cfg = MFCCConfig(sample_rate=sample_rate)
@@ -443,11 +453,23 @@ def mfcc_batch(signals, sample_rate: float = 16000.0, cfg: MFCCConfig | None = N
             f"clip with {min_frames} frames is shorter than delta_width="
             f"{cfg.delta_width}; librosa's delta filter rejects such inputs"
         )
+    n = len(signals)
     l_max = int(lengths.max())
-    batch = np.zeros((len(signals), l_max), np.float32)
+    b_rows = n
+    if bucket:
+        step = 64 * cfg.hop_length
+        l_max = -(-l_max // step) * step
+        b_rows = 1 << max(n - 1, 0).bit_length()
+    batch = np.zeros((b_rows, l_max), np.float32)
     for i, s in enumerate(signals):
         batch[i, : len(s)] = np.asarray(s, np.float32)
-    feats, n_frames = mfcc_features_batch(jnp.asarray(batch), jnp.asarray(lengths), cfg)
+    # Padded rows carry full length (valid frames over zeros, discarded) so
+    # the kernel sees no zero-length edge case.
+    lengths_pad = np.full(b_rows, l_max, np.int32)
+    lengths_pad[:n] = lengths
+    feats, n_frames = mfcc_features_batch(
+        jnp.asarray(batch), jnp.asarray(lengths_pad), cfg
+    )
     feats = np.asarray(feats)
     n_frames = np.asarray(n_frames)
-    return [feats[i, : n_frames[i]] for i in range(len(signals))]
+    return [feats[i, : n_frames[i]] for i in range(n)]

@@ -264,7 +264,7 @@ def gaussian_log_pdf_fused(
 def decode_batch_fused(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty,
     batch_feats, lengths, quirk_backtrace: bool = True,
-    interpret: bool | None = None,
+    interpret: bool | None = None, precision: str = "highest",
 ):
     """Serving fast path: fused emission kernel + scan-free trellis pair.
 
@@ -297,7 +297,8 @@ def decode_batch_fused(
 
     frames_flat = batch_feats.reshape(b * t_total, d)
     log_b_pad = gaussian_log_pdf_fused(
-        means, covs, frames_flat, s_pad=s_pad, interpret=interpret
+        means, covs, frames_flat, s_pad=s_pad, interpret=interpret,
+        precision=precision,
     ).reshape(b, t_total, s_pad)
     return _scanfree_impl(
         log_b_pad, log_a, lower_of_state, is_entry, is_exit, penalty,

@@ -541,6 +541,13 @@ class BatchedStreamingComposite:
             sparse_upload is True
             or (sparse_upload == "auto" and self._sharding is None)
         )
+        # "auto" picks PER STEP: the compact path pays a gather/scatter on
+        # top of the recursion, so it only wins when the fed set is
+        # genuinely sparse (the serving partials regime). A fully-fed pool
+        # (the capacity benchmarks) keeps the dense upload — measured
+        # 1,560 vs ~2,4xx real-time streams at 256 fully-fed slots when
+        # sparse ran unconditionally. sparse_upload=True forces it.
+        self._sparse_forced = sparse_upload is True
 
     @classmethod
     def from_models(cls, models, penalty: float = -100.0, **kwargs
@@ -630,9 +637,11 @@ class BatchedStreamingComposite:
                     "ring"
                 )
             checked[slot] = feats
-        if self._sparse:
-            self._step_sparse(checked)
-            return
+        if self._sparse and checked:
+            k_pad = max(8, 1 << (len(checked) - 1).bit_length())
+            if self._sparse_forced or k_pad <= self.num_slots // 2:
+                self._step_sparse(checked)
+                return
         chunk = np.zeros(
             (self.num_slots, self.chunk_size, self._dim), np.float32
         )

@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from cs304_tpu.models.hmm import uniform_forward_log_a
+from cs304_tpu.models.hmm import WordHMM, uniform_forward_log_a
 from cs304_tpu.ops.viterbi import viterbi_composite_batch_fast
 
 from oracles import ref_viterbi_composite_beam
@@ -228,3 +228,39 @@ def test_decoder_quad_emissions_agree(rng):
     np.testing.assert_allclose(s_q, s_b, rtol=1e-4, atol=0.5)
     with pytest.raises(ValueError):
         ContinuousDecoder(models, emissions="nope")
+
+
+def test_decoder_emission_precision_knob():
+    """emission_precision='default' (single-pass bf16 emission matmuls)
+    requires the quad layout; predictions agree with the f32-exact tier on
+    well-separated models (near-tie flips are the documented trade)."""
+    from cs304_tpu.models.decoder import ContinuousDecoder
+
+    rng = np.random.default_rng(3)
+    models = {}
+    for lab in ("1", "2", "S"):
+        s = 3 if lab == "S" else 5
+        means = rng.normal(size=(s, 39)).astype(np.float32) * 6
+        covs = np.tile(np.eye(39, dtype=np.float32), (s, 1, 1))
+        models[lab] = WordHMM(label=lab, means=means, covariances=covs,
+                              log_a=uniform_forward_log_a(s))
+    with pytest.raises(ValueError):
+        ContinuousDecoder(models, emission_precision="default")  # whiten
+    with pytest.raises(ValueError):
+        ContinuousDecoder(models, emissions="quad",
+                          emission_precision="half")
+    # Clips near the models (realistic regime), not i.i.d. noise.
+    clips = []
+    for lab in ("1", "2"):
+        m = models[lab].means
+        clips.append(np.concatenate([
+            np.repeat(m, 8, axis=0)
+            + rng.normal(0, 0.3, (m.shape[0] * 8, 39)).astype(np.float32)
+        ]).astype(np.float32))
+    exact = ContinuousDecoder(models, penalty=-50.0,
+                              emissions="quad").predict_batch(clips)
+    fast = ContinuousDecoder(
+        models, penalty=-50.0, emissions="quad",
+        emission_precision="default",
+    ).predict_batch(clips)
+    assert fast == exact == ["1", "2"]

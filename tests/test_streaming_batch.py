@@ -433,3 +433,29 @@ def test_sparse_upload_few_of_many_slots(rng):
         off_score, off_text = _offline(pool.composite, utts[i])
         assert score == pytest.approx(off_score, rel=1e-5)
         assert text == off_text
+
+
+def test_sparse_auto_picks_per_step(rng):
+    """sparse_upload='auto' routes per step: the compact path only when the
+    fed set is sparse (<= half the slots after power-of-two padding); a
+    fully-fed pool keeps the dense upload (the capacity regime, where the
+    gather/scatter is pure overhead). Results are identical either way."""
+    models = _models(seed=9)
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=16, chunk_size=8, max_frames=64,
+        sparse_upload="auto",
+    )
+    assert pool._sparse and not pool._sparse_forced
+    calls = []
+    orig = pool._step_sparse
+    pool._step_sparse = lambda checked: (calls.append(len(checked)),
+                                         orig(checked))[1]
+    utts = _utterances(models, 16, rng)
+    slots = [pool.start() for _ in utts]
+    pool.step({slots[0]: utts[0][:8]})           # 1 fed -> sparse
+    assert calls == [1]
+    pool.step({s: utts[i][:8] for i, s in enumerate(slots)})  # all fed
+    assert calls == [1]                           # -> dense, no new call
+    pool.step({s: utts[i][8:16] for i, s in
+               enumerate(slots) if i < 4})        # 4 of 16 -> sparse
+    assert calls == [1, 4]
