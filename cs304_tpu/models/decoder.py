@@ -109,7 +109,8 @@ class ContinuousDecoder:
         # predict_signal_batch, and the counted/duration/grammar modes;
         # n-best/lattice/posterior-confidence paths deliberately stay on
         # the whitening layout (their posterior measures are the parity
-        # reference). GMM checkpoints ignore the knob (no quad mixtures).
+        # reference). GMM checkpoints honor the knob too: the (S, K) grid
+        # flattens to S*K quad Gaussians + logsumexp (gmm_log_pdf_quad).
         self.emissions = emissions
         self.emission_precision = emission_precision
         self._bigram = bigram
@@ -564,6 +565,8 @@ class ContinuousDecoder:
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
                 wos, lowers, uppers, sil,
                 self.backend, lm_extras, beam=self._beam_arg(),
+                emissions=self.emissions,
+                emission_precision=self.emission_precision,
             )
         return _decode_batch_words(
             jnp.asarray(c.means), jnp.asarray(c.covariances),
@@ -629,6 +632,8 @@ class ContinuousDecoder:
                 pen,
                 jnp.asarray(padded.data), jnp.asarray(padded.lengths),
                 self.backend, lm_extras, beam=self._beam_arg(),
+                emissions=self.emissions,
+                emission_precision=self.emission_precision,
             )
         else:
             pen, lm_extras = self._penalty_arg()
@@ -763,17 +768,36 @@ def _decode_batch(
     )
 
 
-@partial(jax.jit, static_argnames=("backend",))
+@partial(jax.jit, static_argnames=("backend", "emissions",
+                                   "emission_precision"))
 def _decode_batch_gmm(
     means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
     batch, lengths, backend: str = "fast", lm_extras=None, beam=None,
+    emissions: str = "whiten", emission_precision: str = "highest",
 ):
-    from ..ops.gaussian import gmm_log_pdf, make_gmm_params
+    if emissions == "quad":
+        # The large-S lever extended to GMM checkpoints: the (S, K) grid
+        # flattens to S*K quad-layout Gaussians (one full-depth MXU
+        # matmul), then logsumexp over K. Same ~1e-2 drift contract as the
+        # single-Gaussian quad path.
+        from ..ops.gaussian import gmm_log_pdf_quad, make_gmm_quad_params
 
-    # Zero-weight padded mixtures contribute log(0) = -inf and drop out of
-    # the logsumexp.
-    params = make_gmm_params(means, covs, weights)
-    log_b = jax.vmap(lambda x: gmm_log_pdf(params, x))(batch)
+        prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[emission_precision]
+        qparams = make_gmm_quad_params(means, covs, weights)
+        log_b = jax.vmap(
+            lambda x: gmm_log_pdf_quad(qparams, x, precision=prec)
+        )(batch)
+    else:
+        from ..ops.gaussian import gmm_log_pdf, make_gmm_params
+
+        # Zero-weight padded mixtures contribute log(0) = -inf and drop
+        # out of the logsumexp.
+        params = make_gmm_params(means, covs, weights)
+        log_b = jax.vmap(lambda x: gmm_log_pdf(params, x))(batch)
     return _run_impl(
         backend, log_b, log_a, lower_of_state, is_entry, is_exit, penalty,
         lengths, lm_extras, beam,
@@ -867,18 +891,20 @@ def _decode_signals_gmm_words(
     return scores, ids, counts
 
 
-@partial(jax.jit, static_argnames=("backend", "max_words"))
+@partial(jax.jit, static_argnames=("backend", "max_words", "emissions",
+                                   "emission_precision"))
 def _decode_batch_gmm_words(
     means, covs, weights, log_a, lower_of_state, is_entry, is_exit, penalty,
     batch, lengths, word_of_state, lowers, uppers, silence_word,
     backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
-    beam=None,
+    beam=None, emissions: str = "whiten", emission_precision: str = "highest",
 ):
     from ..ops.words import words_from_paths
 
     scores, paths = _decode_batch_gmm(
         means, covs, weights, log_a, lower_of_state, is_entry, is_exit,
         penalty, batch, lengths, backend, lm_extras, beam,
+        emissions, emission_precision,
     )
     ids, counts = words_from_paths(
         paths, lengths, word_of_state, lowers, uppers, silence_word,

@@ -191,6 +191,49 @@ def make_gmm_params(
     )
 
 
+class GMMQuadParams(NamedTuple):
+    """K-mixture GMM emissions in the quadratic-form layout: the (S, K)
+    mixture grid flattens to S*K Gaussians so the heavy term stays ONE
+    full-depth (T, D^2) x (D^2, S*K) MXU matmul (see GaussianQuadParams) —
+    the same large-S lever the single-Gaussian decode path uses, extended
+    to GMM checkpoints. Zero-weight padded mixtures carry log(0) = -inf
+    weights and drop out of the logsumexp exactly as in the whitening
+    layout."""
+
+    quad: GaussianQuadParams  # over the flattened (S*K,) Gaussian set
+    log_weights: jax.Array    # (S, K)
+
+
+def make_gmm_quad_params(
+    means: jax.Array, covariances: jax.Array, weights: jax.Array
+) -> GMMQuadParams:
+    """means (S, K, D), covariances (S, K, D, D), weights (S, K)."""
+    means = jnp.asarray(means, jnp.float32)
+    covariances = jnp.asarray(covariances, jnp.float32)
+    s, k, d = means.shape
+    return GMMQuadParams(
+        quad=make_gaussian_quad_params(
+            means.reshape(s * k, d), covariances.reshape(s * k, d, d)
+        ),
+        log_weights=jnp.log(jnp.asarray(weights, jnp.float32)),
+    )
+
+
+def gmm_log_pdf_quad(
+    params: GMMQuadParams, frames: jax.Array, precision=None
+) -> jax.Array:
+    """frames (T, D) -> (T, S) GMM log-densities via the quad layout.
+
+    Same numeric contract as gaussian_log_pdf_quad (~1e-2 absolute drift
+    vs the whitening layout; use gmm_log_pdf for bit-parity posteriors).
+    precision as in gaussian_log_pdf_quad."""
+    s, k = params.log_weights.shape
+    comp = gaussian_log_pdf_quad(
+        params.quad, frames, precision=precision
+    ).reshape(-1, s, k)
+    return logsumexp(comp + params.log_weights[None, :, :], axis=-1)
+
+
 def gmm_log_pdf(
     params: GMMParams, frames: jax.Array, return_components: bool = False
 ):

@@ -100,3 +100,68 @@ def test_predict_batches_double_buffered(rng):
     assert len(streamed) == 3
     for batch, preds in zip(batches, streamed):
         assert preds == dec.predict_batch(batch)
+
+
+def test_gmm_quad_log_pdf_matches_whitening(rng):
+    """gmm_log_pdf_quad == gmm_log_pdf within the quad layout's drift
+    contract, including zero-weight padded mixtures dropping out."""
+    import jax.numpy as jnp
+
+    from cs304_tpu.ops.gaussian import (
+        gmm_log_pdf,
+        gmm_log_pdf_quad,
+        make_gmm_params,
+        make_gmm_quad_params,
+    )
+
+    s, k, d, t = 6, 3, 5, 24
+    a = rng.normal(size=(s, k, d, 2)).astype(np.float32)
+    covs = a @ a.transpose(0, 1, 3, 2) + np.eye(d, dtype=np.float32)
+    means = rng.normal(size=(s, k, d)).astype(np.float32) * 2
+    weights = rng.uniform(0.2, 1.0, size=(s, k)).astype(np.float32)
+    weights[:, -1] = 0.0  # padded mixture: log(0) weight must drop out
+    weights /= weights.sum(axis=1, keepdims=True)
+    frames = rng.normal(size=(t, d)).astype(np.float32) * 2
+
+    want = gmm_log_pdf(
+        make_gmm_params(jnp.asarray(means), jnp.asarray(covs),
+                        jnp.asarray(weights)),
+        jnp.asarray(frames),
+    )
+    got = gmm_log_pdf_quad(
+        make_gmm_quad_params(jnp.asarray(means), jnp.asarray(covs),
+                             jnp.asarray(weights)),
+        jnp.asarray(frames),
+    )
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=5e-2
+    )
+
+
+def test_gmm_decoder_quad_emissions_agree(rng):
+    """ContinuousDecoder(emissions='quad') on GMM checkpoints: same
+    transcripts as the whitening layout on well-separated models."""
+    def mk_gmm(label, center):
+        s, k, d = 3, 2, 4
+        means = np.stack([
+            np.full((s, d), center, np.float32),
+            np.full((s, d), center + 0.5, np.float32),
+        ], axis=1)
+        covs = np.tile(np.eye(d, dtype=np.float32), (s, k, 1, 1))
+        w = np.full((s, k), 0.5, np.float32)
+        return GMMWordHMM(label=label, means=means, covariances=covs,
+                          weights=w, log_a=uniform_forward_log_a(s))
+
+    models = {"A": mk_gmm("A", -4.0), "B": mk_gmm("B", 4.0),
+              "S": mk_gaussian("S", rng)}
+    clips = []
+    for c in (-4.0, 4.0):
+        clips.append(np.full((18, 4), c, np.float32)
+                     + rng.normal(0, 0.2, (18, 4)).astype(np.float32))
+    ref = ContinuousDecoder(models, penalty=-8.0).predict_batch(clips)
+    quad = ContinuousDecoder(models, penalty=-8.0,
+                             emissions="quad").predict_batch(clips)
+    fast = ContinuousDecoder(models, penalty=-8.0, emissions="quad",
+                             emission_precision="high").predict_batch(clips)
+    assert ref == quad == fast == ["A", "B"]
