@@ -279,6 +279,7 @@ class ContinuousDecoder:
                     jnp.asarray(padded), jnp.asarray(n_samples),
                     wos, lowers, uppers, sil, mcfg, self.backend, lm_extras,
                     beam=self._beam_arg(), emissions=self.emissions,
+                    emission_precision=self.emission_precision,
                 )
             _scores, ids, counts = jax.device_get(handles)
             try:
@@ -832,12 +833,12 @@ def _decode_batch_words(
 
 
 @partial(jax.jit, static_argnames=("mcfg", "backend", "max_words",
-                                   "emissions"))
+                                   "emissions", "emission_precision"))
 def _decode_signals_words(
     means, covs, log_a, lower_of_state, is_entry, is_exit, penalty, signals,
     n_samples, word_of_state, lowers, uppers, silence_word, mcfg,
     backend: str = "fast", lm_extras=None, max_words: int = MAX_WORDS,
-    beam=None, emissions: str = "whiten",
+    beam=None, emissions: str = "whiten", emission_precision: str = "highest",
 ):
     """Raw (B, L) audio -> (scores, word ids, counts), one XLA program."""
     from ..ops.mfcc import mfcc_features_batch
@@ -850,8 +851,15 @@ def _decode_signals_words(
             make_gaussian_quad_params,
         )
 
+        prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[emission_precision]
         qparams = make_gaussian_quad_params(means, covs)
-        log_b = jax.vmap(lambda x: gaussian_log_pdf_quad(qparams, x))(feats)
+        log_b = jax.vmap(
+            lambda x: gaussian_log_pdf_quad(qparams, x, precision=prec)
+        )(feats)
     else:
         params = make_gaussian_params(means, covs)
         log_b = jax.vmap(lambda x: gaussian_log_pdf(params, x))(feats)
