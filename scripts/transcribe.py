@@ -57,6 +57,12 @@ def main() -> None:
                              "phones — words added to the lexicon after "
                              "training decode too (OOV support)")
     parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--fast", action="store_true",
+                        help="large-vocabulary fast mode: quad-form "
+                             "emissions at 3-pass precision — measured "
+                             "exact-accuracy parity with transcript "
+                             "agreement 1.0 on the 100-word gated corpus "
+                             "(benchmarks/scale_vocab.py)")
     args = parser.parse_args()
     cfg = load_config(args)
     adopt_checkpoint_frontend(cfg, args)
@@ -101,6 +107,8 @@ def main() -> None:
     decoder = ContinuousDecoder(
         models, penalty=cfg.decode.word_penalty,
         beam=args.beam or None,
+        emissions="quad" if args.fast else "whiten",
+        emission_precision="high" if args.fast else "highest",
     )
     grammar = None
     if args.grammar_strings:
