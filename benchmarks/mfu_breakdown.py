@@ -193,6 +193,21 @@ def large_s(num_words: int, batch: int = 512, t_frames: int = 152) -> None:
         )
         return jnp.sum(scores) + jnp.sum(paths)
 
+    @jax.jit
+    def emission_fused_high(fe):
+        b, t, dd = fe.shape
+        return jnp.sum(gaussian_log_pdf_fused(
+            means, covs, fe.reshape(b * t, dd), s_pad=s_pad, precision="high"
+        ))
+
+    @jax.jit
+    def e2e_fused_high(fe, le):
+        scores, paths = decode_batch_fused(
+            means, covs, log_a, lower, is_entry, is_exit, penalty, fe, le,
+            precision="high",
+        )
+        return jnp.sum(scores) + jnp.sum(paths)
+
     log_b = jax.block_until_ready(_logb(feats))
     log_b_small = log_b[:b_small]
 
@@ -246,6 +261,24 @@ def large_s(num_words: int, batch: int = 512, t_frames: int = 152) -> None:
             / (d * d + 2 * s_pad * (d * d + d) + 10 * s),
             4 * (f_big * d + 3 * f_big * s_pad + s_pad * d * d),
         ),
+        # The validated fast tier IN-KERNEL (round 5): the quad matmul runs
+        # as 3 manual bf16 hi/lo passes instead of HIGHEST's 6 — same
+        # algorithmic FLOPs, half the hardware passes.
+        "emission_fused_high": (
+            emission_fused_high, (feats,), batch,
+            f_big * (d * d + 2 * s_pad * (d * d + d)),
+            1.0,
+            4 * (f_big * d + f_big * s_pad + s_pad * d * d),
+            3,
+        ),
+        "e2e_fused_high": (
+            e2e_fused_high, (feats, lengths), batch,
+            f_big * (d * d + 2 * s_pad * (d * d + d) + 10 * s),
+            (2 * s_pad * (d * d + d))
+            / (d * d + 2 * s_pad * (d * d + d) + 10 * s),
+            4 * (f_big * d + 3 * f_big * s_pad + s_pad * d * d),
+            3,
+        ),
         "e2e_quad_fast": (
             e2e_quad_fast, (feats, lengths), batch,
             f_big * (d * d + 2 * s * (d * d + d) + 10 * s),
@@ -270,9 +303,13 @@ def large_s(num_words: int, batch: int = 512, t_frames: int = 152) -> None:
         "num_words": num_words, "states": s, "batch": batch,
         "frames_per_utt": t_frames,
     }
-    for name, (fn, args_, b_used, flop, hi_frac, byts) in phases.items():
+    for name, spec in phases.items():
+        fn, args_, b_used, flop, hi_frac, byts = spec[:6]
+        # Optional 7th element: MXU passes per matmul FLOP for this phase
+        # (6 = HIGHEST, 3 = the manual hi/lo "high" tier).
+        passes = spec[6] if len(spec) > 6 else HIGHEST_PASSES
         dt = time_phase(fn, *args_, reps=5)
-        hw_mult = 1.0 + (HIGHEST_PASSES - 1.0) * hi_frac
+        hw_mult = 1.0 + (passes - 1.0) * hi_frac
         t_compute = flop * hw_mult / PEAK_BF16
         t_memory = byts / PEAK_HBM
         report[name] = {

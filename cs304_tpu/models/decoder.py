@@ -92,7 +92,9 @@ class ContinuousDecoder:
             # (1-pass bf16) is an honest NEGATIVE — 0.825 vs 0.9625
             # exact-sequence, the x2 quadratic term's dynamic range
             # swamps the 8-bit mantissa; "high" (3 passes) is the usable
-            # fast tier (runs the XLA quad path — Mosaic has no HIGH).
+            # fast tier — round 5 runs it INSIDE the fused Pallas kernel
+            # as a manual bf16 hi/lo decomposition (Mosaic has no HIGH
+            # dot tier; see ops/pallas/emission.py:_dot3).
             raise ValueError(
                 "emission_precision tiers below 'highest' require "
                 "emissions='quad' (the whitening layout stays f32-exact "
@@ -729,16 +731,16 @@ def _decode_batch(
     emissions: str = "whiten", emission_precision: str = "highest",
 ):
     if (emissions == "quad" and backend == "scanfree"
-            and lm_extras is None and beam is None
-            and emission_precision != "high"):
+            and lm_extras is None and beam is None):
         # The fully fused Pallas pipeline: the quadratic-form emission
         # kernel writes log_b already padded to the trellis lane layout
         # (no (B, T, S) relayout pass), then the scan-free forward +
         # backtrace pair. Same numeric contract as the quad layout (the
         # whitening path is the parity reference); falls back to
         # quad + banded-fast internally for shapes the kernels cannot tile.
-        # ("high" takes the XLA quad route below — Mosaic kernels support
-        # only DEFAULT/HIGHEST.)
+        # All three precision tiers ride the kernel: "high" is a manual
+        # 3-pass bf16 hi/lo decomposition in-kernel (round 5 — Mosaic has
+        # no HIGH dot tier, so the passes are summed explicitly).
         from ..ops.pallas.emission import decode_batch_fused
 
         return decode_batch_fused(

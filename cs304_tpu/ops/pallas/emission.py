@@ -35,23 +35,56 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _dot_bf16(a, b):
+    """One bf16 x bf16 -> f32 MXU pass (contract last dim of a with first
+    of b). Mosaic's native mixed-precision mode: bf16 operands, f32
+    accumulate."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split_hi_lo(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == x to ~16 mantissa bits.
+
+    This is the operand split behind jax.lax.Precision.HIGH on TPU: the MXU
+    runs 3 bf16 passes hi@hi + hi@lo + lo@hi, dropping only the lo@lo term
+    (O(2^-16) relative). Done in-kernel on the VPU (two converts + one
+    subtract), or ahead of time for streamed parameters."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(x_hi, x_lo, w_hi, w_lo):
+    """3-pass bf16 product of the split operands == Precision.HIGH."""
+    return (_dot_bf16(x_hi, w_hi) + _dot_bf16(x_hi, w_lo)
+            + _dot_bf16(x_lo, w_hi))
+
+
+def _build_x2(frames):
+    """(F_BLK, D) -> (F_BLK, D*D) x2[t, i*D+j] = x[t,i]*x[t,j] (exact f32).
+
+    stretch = [x0 x0 ... x0, x1 x1 ...] (element i broadcast over chunk i),
+    tiled = [x0 x1 ... xD, x0 x1 ...] (the row tiled D times). NB
+    pltpu.repeat TILES (concat copies) — it cannot build `stretch`; the
+    chunk-broadcast loop is static lane-selects, no relayout."""
+    f_blk, d = frames.shape
+    stretch = jnp.concatenate(
+        [jnp.broadcast_to(frames[:, i:i + 1], (f_blk, d)) for i in range(d)],
+        axis=1,
+    )
+    tiled = jnp.concatenate([frames] * d, axis=1)
+    return stretch * tiled
+
+
 def _emission_kernel(nhp_ref, lin_ref, const_ref, frames_ref, out_ref,
                      *, precision):
     """nhp (D*D, S_pad) f32, lin (D, S_pad), const (8, S_pad) row 0,
     frames (F_BLK, D) -> out (F_BLK, S_pad)."""
     frames = frames_ref[:]
-    f_blk, d = frames.shape
-    # x2[t, i*D + j] = x[t, i] * x[t, j]:
-    #   stretch = [x0 x0 ... x0, x1 x1 ...]  (element i broadcast over chunk i)
-    #   tiled   = [x0 x1 ... xD, x0 x1 ...]  (the row tiled D times)
-    # NB pltpu.repeat TILES (concat copies) — it cannot build `stretch`; the
-    # chunk-broadcast loop below is static lane-selects, no relayout.
-    stretch = jnp.concatenate(
-        [jnp.broadcast_to(frames[:, i:i + 1], (f_blk, d)) for i in range(d)],
-        axis=1,
-    )  # (F_BLK, D*D)
-    tiled = jnp.concatenate([frames] * d, axis=1)  # (F_BLK, D*D)
-    x2 = stretch * tiled
+    x2 = _build_x2(frames)
     quad = jax.lax.dot_general(
         x2, nhp_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -103,17 +136,10 @@ def _emission_kernel_blocked(nhp_ref, lin_ref, const_ref, frames_ref, out_ref,
     (F_BLK, D^2) x (D^2, S_BLK) MXU matmul."""
     j = pl.program_id(1)
     frames = frames_ref[:]
-    f_blk, d = frames.shape
 
     @pl.when(j == 0)
     def _():
-        stretch = jnp.concatenate(
-            [jnp.broadcast_to(frames[:, i:i + 1], (f_blk, d))
-             for i in range(d)],
-            axis=1,
-        )
-        tiled = jnp.concatenate([frames] * d, axis=1)
-        x2_scr[:] = stretch * tiled
+        x2_scr[:] = _build_x2(frames)
 
     quad = jax.lax.dot_general(
         x2_scr[:], nhp_ref[:], (((1,), (0,)), ((), ())),
@@ -124,6 +150,50 @@ def _emission_kernel_blocked(nhp_ref, lin_ref, const_ref, frames_ref, out_ref,
         frames, lin_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
+    )
+    out_ref[:] = quad + lin + const_ref[0:1, :]
+
+
+def _emission_kernel_high(nhp_hi_ref, nhp_lo_ref, lin_ref, const_ref,
+                          frames_ref, out_ref):
+    """Single-tile 3-pass "high" tier (VERDICT r4 item #1): the heavy
+    (F_BLK, D^2) x (D^2, S_pad) quadratic term runs as bf16 hi/lo passes
+    hi@hi + hi@lo + lo@hi == jax.lax.Precision.HIGH, which Mosaic exposes no
+    dot tier for — so the decomposition is done by hand. x2 itself is built
+    exactly in f32 on the VPU before the split; the cheap K=D linear term
+    stays HIGHEST (6 passes of a K=39 matmul, ~5% of the quad's passes)."""
+    frames = frames_ref[:]
+    x2_hi, x2_lo = _split_hi_lo(_build_x2(frames))
+    quad = _dot3(x2_hi, x2_lo, nhp_hi_ref[:], nhp_lo_ref[:])
+    lin = jax.lax.dot_general(
+        frames, lin_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[:] = quad + lin + const_ref[0:1, :]
+
+
+def _emission_kernel_blocked_high(nhp_hi_ref, nhp_lo_ref, lin_ref, const_ref,
+                                  frames_ref, out_ref, x2h_scr, x2l_scr):
+    """State-blocked 3-pass "high" tier for S_PAD > 128 (the large-vocabulary
+    flagship path). The f32 x2 expansion is built + hi/lo-split ONCE per
+    frame block (state block j == 0) into two bf16 VMEM scratches — the same
+    bytes as the HIGHEST path's one f32 scratch — and each (i, j) step then
+    runs 3 bf16 MXU passes instead of HIGHEST's 6."""
+    j = pl.program_id(1)
+    frames = frames_ref[:]
+
+    @pl.when(j == 0)
+    def _():
+        x2_hi, x2_lo = _split_hi_lo(_build_x2(frames))
+        x2h_scr[:] = x2_hi
+        x2l_scr[:] = x2_lo
+
+    quad = _dot3(x2h_scr[:], x2l_scr[:], nhp_hi_ref[:], nhp_lo_ref[:])
+    lin = jax.lax.dot_general(
+        frames, lin_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[:] = quad + lin + const_ref[0:1, :]
 
@@ -164,9 +234,12 @@ def gaussian_log_pdf_fused(
 ):
     """(N, D) frames -> (N, s_pad) emission log-densities, states padded.
 
-    N must be a multiple of 8. precision: "default" (Mosaic's native f32
-    matmul path) or "highest" (explicit 6-pass). Mosaic supports no HIGH
-    tier in-kernel; measured error/speed for both is in the kernel tests.
+    N must be a multiple of 8. precision: "default" (1-pass bf16 — measured
+    WRONG at this feature scale, ROADMAP r4), "high" (3-pass bf16 hi/lo
+    decomposition done by hand in-kernel == jax.lax.Precision.HIGH, the
+    validated fast tier — Mosaic exposes no HIGH dot tier, so the operands
+    are split and the passes hi@hi + hi@lo + lo@hi summed explicitly), or
+    "highest" (6-pass, f32-exact, the parity contract).
     x2_mode: how the kernel builds the (F_BLK, D^2) x2 block — "concat"
     (broadcast/lane-select chain on the VPU) or "selmm" (two 0/1-selector
     matmuls on the MXU; bitwise-identical output, see
@@ -182,11 +255,17 @@ def gaussian_log_pdf_fused(
     n, d = frames_flat.shape
     if s_pad % LANES:
         raise ValueError(f"s_pad {s_pad} must be a multiple of {LANES}")
+    if precision not in ("default", "high", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
     prec = (jax.lax.Precision.DEFAULT if precision == "default"
             else jax.lax.Precision.HIGHEST)
     from functools import partial as _partial
 
     nhp, lin, const = _pack_quad_params(means, covariances, s_pad)
+    if precision == "high":
+        # The streamed quad parameters are hi/lo-split ahead of time (XLA
+        # side, once per call): same streamed bytes as one f32 array.
+        nhp_hi, nhp_lo = _split_hi_lo(nhp)
     if s_pad > LANES:
         # Blocked path: smaller frame tile (the x2 scratch + streamed nhp
         # tiles share VMEM), state tiles of up to 512 lanes.
@@ -196,23 +275,37 @@ def gaussian_log_pdf_fused(
         while n % f_blk:
             f_blk //= 2
         grid2 = (n // f_blk, s_pad // s_blk)
+
+        qspec = pl.BlockSpec((d * d, s_blk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM)
+        tail_specs = [
+            pl.BlockSpec((d, s_blk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s_blk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_blk, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if precision == "high":
+            kernel2 = _emission_kernel_blocked_high
+            in_specs2 = [qspec, qspec] + tail_specs
+            args2 = (nhp_hi, nhp_lo, lin, const, frames_flat)
+            # Two bf16 scratches == the HIGHEST path's one f32 scratch.
+            scratch2 = [pltpu.VMEM((f_blk, d * d), jnp.bfloat16),
+                        pltpu.VMEM((f_blk, d * d), jnp.bfloat16)]
+        else:
+            kernel2 = _partial(_emission_kernel_blocked, precision=prec)
+            in_specs2 = [qspec] + tail_specs
+            args2 = (nhp, lin, const, frames_flat)
+            scratch2 = [pltpu.VMEM((f_blk, d * d), jnp.float32)]
         return pl.pallas_call(
-            _partial(_emission_kernel_blocked, precision=prec),
+            kernel2,
             grid=grid2,
-            in_specs=[
-                pl.BlockSpec((d * d, s_blk), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, s_blk), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, s_blk), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((f_blk, d), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs2,
             out_specs=pl.BlockSpec((f_blk, s_blk), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, s_pad), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((f_blk, d * d), jnp.float32)],
+            scratch_shapes=scratch2,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
                 # The default 16 MiB scoped limit is too tight once the
@@ -222,7 +315,7 @@ def gaussian_log_pdf_fused(
                 vmem_limit_bytes=64 * 2**20,
             ),
             interpret=interpret,
-        )(nhp, lin, const, frames_flat)
+        )(*args2)
     while n % f_blk:
         f_blk //= 2
     grid = (n // f_blk,)
@@ -236,7 +329,11 @@ def gaussian_log_pdf_fused(
     ]
     frame_spec = pl.BlockSpec((f_blk, d), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    if x2_mode == "selmm":
+    if precision == "high":
+        kernel = _emission_kernel_high
+        in_specs = [param_specs[0]] + param_specs + [frame_spec]
+        args = (nhp_hi, nhp_lo, lin, const, frames_flat)
+    elif x2_mode == "selmm":
         kernel = _partial(_emission_kernel_selmm, precision=prec)
         ssel, tsel = _selectors(d)
         sel_spec = pl.BlockSpec((d, d * d), lambda i: (0, 0),
