@@ -524,6 +524,13 @@ class BatchedStreamingComposite:
         self._t = np.zeros(self.num_slots, np.int32)  # exact host mirror
         self._free: List[int] = list(range(self.num_slots))[::-1]
         self._active: set[int] = set()
+        # Step-fused partials (VERDICT r4 item #3): step(partials=True)
+        # dispatches the any-state finalize in the same round and starts an
+        # ASYNC device->host copy; a later partial_texts() poll materializes
+        # it without paying a blocking full-pool sync. stream ids guard
+        # against a released+reused slot reading the predecessor's text.
+        self._stream_id = np.zeros(self.num_slots, np.int64)
+        self._pending: Optional[dict] = None
         dim = c.means.shape[-1]
         self._dim = dim
         if sparse_upload not in (True, False, "auto"):
@@ -581,6 +588,7 @@ class BatchedStreamingComposite:
             )
         slot = self._free.pop()
         self._t[slot] = 0
+        self._stream_id[slot] += 1
         self._active.add(slot)
         return slot
 
@@ -607,11 +615,19 @@ class BatchedStreamingComposite:
             raise KeyError(f"slot {slot} is not active")
 
     # -- streaming ------------------------------------------------------------
-    def step(self, feeds: Dict[int, np.ndarray]) -> None:
+    def step(self, feeds: Dict[int, np.ndarray],
+             partials: bool = False) -> None:
         """Advance fed slots by their chunks in ONE device dispatch.
 
         feeds: slot -> (c, D) float32 features, c <= chunk_size. Slots not in
         feeds idle (their state is untouched). An empty feeds dict is a no-op.
+
+        partials=True additionally dispatches the any-state finalize for the
+        whole pool in the same round and starts an async device->host copy of
+        the word ids — the next partial_texts() poll then costs no blocking
+        device sync (the transfer overlaps the caller's host work between
+        rounds). This was VERDICT r4 item #3: per-poll syncs pinned partials
+        serving capacity flat in N.
         """
         if not feeds:
             return
@@ -641,9 +657,18 @@ class BatchedStreamingComposite:
             k_pad = max(8, 1 << (len(checked) - 1).bit_length())
             if self._sparse_forced or k_pad <= self.num_slots // 2:
                 self._step_sparse(checked)
+                if partials:
+                    self._dispatch_partials()
                 return
+        # Bucket the dense upload's time axis to the deepest fed chunk
+        # (power-of-two buckets, a handful of compiled shapes): the serving
+        # loop feeds ~10 frames per 100 ms round, so shipping the full
+        # (B, chunk_size=32, D) buffer paid >3x the bytes through the tunnel.
+        c_used = max(f.shape[0] for f in checked.values())
+        c_pad = min(self.chunk_size,
+                    max(4, 1 << (int(c_used) - 1).bit_length()))
         chunk = np.zeros(
-            (self.num_slots, self.chunk_size, self._dim), np.float32
+            (self.num_slots, c_pad, self._dim), np.float32
         )
         valid = np.zeros(self.num_slots, np.int32)
         for slot, feats in checked.items():
@@ -688,6 +713,26 @@ class BatchedStreamingComposite:
         # Non-inplace: the device transfer of the OLD t may be zero-copy
         # (CPU backend aliases host numpy buffers), so never mutate it.
         self._t = self._t + valid
+        if partials:
+            self._dispatch_partials()
+
+    def _dispatch_partials(self, skip_silence: bool = True) -> None:
+        """Dispatch the any-state finalize NOW (no sync) and start the async
+        readback; partial_texts() materializes it later. The snapshot records
+        each slot's stream id + fill so a poll can prove per-slot freshness
+        (a slot fed again, or released and reused, since the dispatch makes
+        the snapshot stale for that slot only)."""
+        _scores, ids, counts = self._run_finalize(True, skip_silence)
+        for arr in (ids, counts):
+            try:
+                arr.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass  # CPU backend: device_get is free anyway
+        self._pending = {
+            "ids": ids, "counts": counts, "texts": None,
+            "t": self._t.copy(), "sid": self._stream_id.copy(),
+            "skip_silence": skip_silence,
+        }
 
     def _step_sparse(self, checked: Dict[int, np.ndarray]) -> None:
         """Compact+scatter step: upload ONLY the fed slots' features.
@@ -797,7 +842,11 @@ class BatchedStreamingComposite:
     ) -> Dict[int, str]:
         """Best hypotheses so far for many slots — ONE finalize dispatch
         and one readback regardless of how many slots are polled (any state
-        may end a partial). Slots with no frames yet map to ""."""
+        may end a partial). Slots with no frames yet map to "".
+
+        When the last step() ran with partials=True and no requested slot
+        advanced since, the answer comes from that step's own dispatch: the
+        readback was already in flight, so the poll pays ~zero sync."""
         from .words import ids_to_strings
 
         if slots is None:
@@ -806,10 +855,27 @@ class BatchedStreamingComposite:
             self._check_slot(slot)
         if not any(self._t[slot] > 0 for slot in slots):
             return {slot: "" for slot in slots}
-        _scores, ids, counts = jax.device_get(
-            self._run_finalize(True, skip_silence)
-        )
-        texts = ids_to_strings(ids, counts, self.composite.labels)
+        p = self._pending
+        if (
+            p is not None and p["skip_silence"] == skip_silence
+            and all(
+                self._t[s] == 0
+                or (p["sid"][s] == self._stream_id[s]
+                    and p["t"][s] == self._t[s])
+                for s in slots
+            )
+        ):
+            if p["texts"] is None:
+                p["texts"] = ids_to_strings(
+                    np.asarray(p["ids"]), np.asarray(p["counts"]),
+                    self.composite.labels,
+                )
+            texts = p["texts"]
+        else:
+            _scores, ids, counts = jax.device_get(
+                self._run_finalize(True, skip_silence)
+            )
+            texts = ids_to_strings(ids, counts, self.composite.labels)
         return {
             slot: (texts[slot] if self._t[slot] > 0 else "")
             for slot in slots

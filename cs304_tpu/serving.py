@@ -132,6 +132,10 @@ class ServingSessionPool:
         )
         self._sessions: Dict[int, dict] = {}
         self._next_id = 0
+        # Set on the first partials() poll: from then on every feed() round
+        # pre-dispatches the partial hypotheses (step-fused, async readback)
+        # instead of letting each poll pay a blocking full-pool sync.
+        self._polls_partials = False
 
     # -- lifecycle ------------------------------------------------------------
     def open(self) -> int:
@@ -185,8 +189,17 @@ class ServingSessionPool:
         # full-pool upload and a ~90 ms readback sync EACH (the dominant
         # cost of the partials path at 1024 sessions).
         if self._pool is not None and stream_feeds:
-            for block in _chunk_rounds(stream_feeds, self._pool.chunk_size):
-                self._pool.step(block)
+            blocks = list(_chunk_rounds(stream_feeds, self._pool.chunk_size))
+            for j, block in enumerate(blocks):
+                # Once the caller has polled partials at least once, the
+                # LAST round of each feed() also dispatches the any-state
+                # finalize and starts its async readback — the next
+                # partials() poll then costs no blocking device sync
+                # (VERDICT r4 item #3: per-poll syncs pinned capacity flat).
+                self._pool.step(
+                    block,
+                    partials=self._polls_partials and j == len(blocks) - 1,
+                )
         last_partials: Dict[int, str] = {}
         endpointed = [slot for _s, _sig, slot in pending if slot is not None]
         if self._pool is not None and endpointed:
@@ -252,6 +265,7 @@ class ServingSessionPool:
         states = {s: self._check(s) for s in sessions}
         if self._pool is None:
             return {s: "" for s in sessions}
+        self._polls_partials = True
         slot_of = {
             s: st["slot"] for s, st in states.items()
             if st["slot"] is not None

@@ -459,3 +459,111 @@ def test_sparse_auto_picks_per_step(rng):
     pool.step({s: utts[i][8:16] for i, s in
                enumerate(slots) if i < 4})        # 4 of 16 -> sparse
     assert calls == [1, 4]
+
+
+def test_step_fused_partials_match_eager(rng):
+    """step(partials=True) pre-dispatches the any-state finalize; the poll
+    must return exactly what an eager partial_texts computes, across chunked
+    feeds, a stale snapshot (a later step WITHOUT partials), and a released
+    + reused slot (stream-id guard)."""
+    models = _models()
+    pool = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=4, chunk_size=8, max_frames=64,
+    )
+    eager = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=4, chunk_size=8, max_frames=64,
+    )
+    utts = _utterances(models, 2, rng)
+    slots = [pool.start() for _ in utts]
+    eslots = [eager.start() for _ in utts]
+    for off in range(0, max(len(u) for u in utts), 4):
+        feeds = {
+            slots[i]: u[off : off + 4]
+            for i, u in enumerate(utts) if off < len(u)
+        }
+        pool.step(feeds, partials=True)
+        eager.step({eslots[i]: feeds[slots[i]]
+                    for i in range(len(utts)) if slots[i] in feeds})
+        got = pool.partial_texts(slots)
+        want = eager.partial_texts(eslots)
+        assert [got[s] for s in slots] == [want[s] for s in eslots]
+    # Stale snapshot: advance one slot WITHOUT the fused dispatch — the poll
+    # must detect the per-slot fill mismatch and recompute, not serve stale.
+    extra = _utterances(models, 1, rng)[0][:4]
+    pool.step({slots[0]: extra}, partials=False)
+    eager.step({eslots[0]: extra})
+    got = pool.partial_texts(slots)
+    want = eager.partial_texts(eslots)
+    assert [got[s] for s in slots] == [want[s] for s in eslots]
+    # Released + reused slot: the pending snapshot belongs to the PREVIOUS
+    # stream; the stream-id guard must force a recompute for the new one.
+    pool.step({slots[1]: extra[:2]}, partials=True)
+    pool.release(slots[1])
+    reused = pool.start()
+    assert reused == slots[1]
+    fresh = _utterances(models, 1, rng)[0][:6]
+    pool.step({reused: fresh}, partials=False)
+    erel = eager.start()
+    eager.release(eslots[1])
+    del erel
+    e2 = BatchedStreamingComposite.from_models(
+        models, penalty=-5.0, num_slots=4, chunk_size=8, max_frames=64,
+    )
+    es = e2.start()
+    e2.step({es: fresh})
+    assert pool.partial_texts([reused])[reused] == e2.partial_texts([es])[es]
+
+
+def test_serving_pool_fused_partials(rng):
+    """ServingSessionPool: after the first partials() poll, feed() rounds
+    pre-dispatch hypotheses; polls must stay identical to a pool that never
+    fuses (the eager baseline) on the same audio."""
+    from cs304_tpu.data.synthetic import SyntheticTIDigits
+    from cs304_tpu.models.train_kmeans import (
+        SegmentalKMeansConfig, train_digit_models, train_word_hmm,
+    )
+    from cs304_tpu.audio.endpointing import SignalSeparation
+    from cs304_tpu.ops.mfcc import mfcc_batch
+    from cs304_tpu.serving import ServingSessionPool
+
+    corpus = SyntheticTIDigits(num_train_speakers=2, num_test_speakers=1,
+                               takes_per_digit=2)
+    sep = SignalSeparation()
+    feats = {
+        l: mfcc_batch(sep.remove_empty_batch(corpus.train_dataset[l]))
+        for l in ("1", "2", "3")
+    }
+    models = train_digit_models(feats, SegmentalKMeansConfig(
+        num_states=3, max_iterations=2, length_multiple=32))
+    noises = [n for n in sep.get_all_noises() if len(n) >= 9 * sep.frame_size]
+    models["S"] = train_word_hmm(
+        "S", mfcc_batch(noises),
+        SegmentalKMeansConfig(num_states=2, max_iterations=2,
+                              length_multiple=32),
+    ).model
+
+    audio = np.concatenate([
+        np.random.default_rng(0).normal(0, 20.0, 4800).astype(np.float32),
+        corpus.sentence_audio("312", 0, jitter_seed=1),
+        np.random.default_rng(1).normal(0, 20.0, 6400).astype(np.float32),
+    ])
+    fused = ServingSessionPool(models, num_slots=4)
+    plain = ServingSessionPool(models, num_slots=4)
+    sf, sp = fused.open(), plain.open()
+    chunk = 1600
+    finals_f, finals_p = [], []
+    for off in range(0, len(audio), chunk):
+        piece = audio[off : off + chunk]
+        done_f = fused.feed({sf: piece})
+        pf = fused.partials()[sf]  # arms fused dispatch from round 1
+        done_p = plain.feed({sp: piece})
+        pp = plain._pool.partial_texts(
+            [plain._sessions[sp]["slot"]]
+        ) if plain._sessions[sp]["slot"] is not None else {}
+        finals_f += [r.text for r in done_f.get(sf, [])]
+        finals_p += [r.text for r in done_p.get(sp, [])]
+        if plain._sessions[sp]["slot"] is not None:
+            assert pf == pp[plain._sessions[sp]["slot"]]
+        else:
+            assert pf == "" or fused._sessions[sf]["slot"] is not None
+    assert finals_f == finals_p and finals_f == ["312"]
