@@ -46,10 +46,34 @@ def build_corpus(args):
     )
 
 
-def make_transcripts(labels, count, lengths, seed):
+def make_transcripts(labels, count, lengths, seed, cover_all=True):
+    """Distinct random transcripts; cover_all guarantees every label occurs.
+
+    Uniform sampling under-covers: 60 transcripts x mean length 3 over 101
+    labels leaves each label absent with p = (1-1/101)^180 ~ 0.17, i.e. ~17
+    whole labels never seen by embedded training — the measured ~14 frozen
+    labels of VERDICT r4 item #4. The coverage prefix chunks one shuffled
+    pass over the vocabulary into transcripts first (every label appears at
+    least once), then fills the remaining count uniformly as before."""
     rng = np.random.default_rng(seed)
     out = []
     seen = set()
+    if cover_all:
+        perm = [str(w) for w in rng.permutation(labels)]
+        i = 0
+        while i < len(perm) and len(out) < count:
+            n = int(rng.choice(lengths))
+            chunk = perm[i : i + n]
+            i += n
+            if len(chunk) < n:  # tail: fill up from the full vocabulary
+                chunk = chunk + [
+                    str(w)
+                    for w in rng.choice(labels, size=n - len(chunk))
+                ]
+            tr = tuple(chunk)
+            if tr not in seen:
+                seen.add(tr)
+                out.append(tr)
     while len(out) < count:
         n = int(rng.choice(lengths))
         tr = tuple(str(w) for w in rng.choice(labels, size=n))
@@ -122,12 +146,21 @@ def train_stage(corpus, boot, transcripts, mcfg, args):
     t0 = time.perf_counter()
     iters = trainer.train(labeled)
     dt = time.perf_counter() - t0
+    covered = len({w for tr in transcripts for w in tr})
     print(json.dumps({
         "stage": "embedded_training", "labels": len(boot),
         "transcripts": len(transcripts), "utterances": n_utts,
+        "labels_in_transcripts": covered,
+        "empty_slots": len(trainer.last_empty_slots),
+        "frozen_labels": trainer.last_frozen_labels,
         "iterations": iters, "wall_s": round(dt, 1),
         "s_per_iteration": round(dt / max(iters, 1), 2),
     }))
+    if trainer.last_frozen_labels:
+        print(json.dumps({
+            "warning": "whole labels kept boot params through embedded "
+                       "training", "labels": trainer.last_frozen_labels,
+        }))
     return trainer.models()
 
 

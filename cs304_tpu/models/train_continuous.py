@@ -389,6 +389,12 @@ class ContinuousTrainer:
         self.cfg = cfg
         self.mesh = mesh
         self._iterations_done = 0
+        # Final-iteration starvation report (VERDICT r4 item #4): filled by
+        # the device-loop spine after train(); [] means every used slot saw
+        # frames. frozen labels = labels whose EVERY state went empty (those
+        # word models never left their boot init).
+        self.last_empty_slots: List[list] = []
+        self.last_frozen_labels: List[str] = []
         self._dev_state = None  # device-resident (means, covs, log_a) cache
         stacked = stack_models(models)
         self.labels: List[str] = stacked.labels
@@ -601,10 +607,18 @@ class ContinuousTrainer:
         counts, n_it, converged = jax.device_get((counts, n_it, converged))
         floor = 1e-4 if self.cfg.update == "baum_welch" else 1.0
         empty = self._slot_used() & (counts < floor)
+        # Machine-readable: which (label, state) slots never saw a frame in
+        # the final iteration (kept previous params), and which whole labels
+        # that freezes — gate runs assert on this instead of grepping logs.
+        self.last_empty_slots = np.argwhere(empty).tolist()
+        self.last_frozen_labels = [
+            lab for li, lab in enumerate(self.labels)
+            if empty[li, : self.state_counts[lab]].all()
+        ]
         if np.any(empty):
             logger.warning(
                 "final iteration left empty (label, state) slots (kept "
-                "previous params): %s", np.argwhere(empty).tolist(),
+                "previous params): %s", self.last_empty_slots,
             )
         self._iterations_done += int(n_it)
         if converged:
