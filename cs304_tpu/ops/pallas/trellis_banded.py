@@ -112,7 +112,10 @@ def viterbi_banded_batch_scanfree(
 @partial(jax.jit, static_argnames=("interpret",))
 def _banded_impl(log_b, c0, c1, c2, lengths, n_states, interpret: bool):
     b, t_total, s = log_b.shape
-    tile_b, tb = _choose_tiles(b, t_total - 1)
+    # One batch tile for both kernels: at 128 state lanes the forward and
+    # backtrace tiles coincide (the backtrace-legal {256, 128, b} ladder
+    # always fits the VMEM budget here), so take the backtrace's.
+    _tile_f, tile_b, tb = _choose_tiles(b, t_total - 1)
     n_steps = t_total - 1
     t_pad = -(-max(n_steps, 1) // tb) * tb
     n_blocks = t_pad // tb

@@ -44,7 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-MAX_STATES = 4096  # multi-tile cap: 32 lane tiles (VMEM-budget bound)
+# Multi-tile cap: 64 lane tiles. VMEM-budget bound — the forward kernel's
+# batch tile shrinks independently of the backtrace's (whose transposed
+# path output pins ITS batch tile to {256, 128, B}), so s_pad is limited by
+# the backtrace stream: 8 B/elem double-buffered x 128 x tb=8 x 8192 = 64 MiB.
+MAX_STATES = 8192
 NEG = np.float32(-np.inf)
 
 
@@ -199,23 +203,44 @@ _VMEM_LIMIT = 100 * 2**20
 
 
 def _choose_tiles(b: int, t_steps: int, s_pad: int = LANES):
-    """Pick (tile_b, tb) for the forward/backtrace kernel pair.
+    """Pick (tile_b_fwd, tile_b_bt, tb) for the forward/backtrace kernels.
 
     Mosaic constrains the backtrace's transposed (tb, tile_b) output block:
-    its last dim must be 128-divisible or equal to the full batch — so
-    tile_b comes from {256, 128, b}, never an arbitrary divisor. When the
-    multi-tile state width pushes the streamed blocks past the VMEM budget,
-    the TIME block tb shrinks (16 -> 8) before the batch tile does.
+    its last dim must be 128-divisible or equal to the full batch — so the
+    BACKTRACE batch tile comes from {256, 128, b}, never an arbitrary
+    divisor; its streamed bytes are 8/elem (i32 bp, double-buffered). The
+    FORWARD kernel has no such output constraint, so its batch tile shrinks
+    through multiples of 8 as the state width grows (it streams 16 B/elem:
+    f32 emissions + i32 backpointers, both double-buffered). tb stops at 8:
+    the (tile_b, tb, s_pad) blocks' sublane dim is tb, and i32 tiling needs
+    multiples of 8. This is what lifts the round-4 cap (4096 states with a
+    shared batch tile) to MAX_STATES=8192 — a 1000-word composite (S=5003,
+    s_pad=5120) now rides the kernels instead of falling back.
     """
-    for cand in (256, 128):
+    tb_fwd = None
+    for cand in (256, 128, 64, 32, 16, 8):
         if b % cand:
             continue
         for tb in (16, 8):
             if 16 * cand * tb * s_pad <= _VMEM_BUDGET:
-                return cand, tb
-    for tb in (16, 8):
-        if 16 * b * tb * s_pad <= _VMEM_BUDGET:
-            return b, tb
+                tb_fwd = (cand, tb)
+                break
+        if tb_fwd:
+            break
+    if tb_fwd is None:
+        # b not divisible by any ladder tile (e.g. 24, 6): full-batch tile.
+        for tb in (16, 8):
+            if 16 * b * tb * s_pad <= _VMEM_BUDGET:
+                tb_fwd = (b, tb)
+                break
+    if tb_fwd is None:
+        return None
+    tile_f, tb = tb_fwd
+    for cand in (256, 128):
+        if b % cand == 0 and 8 * cand * tb * s_pad <= _VMEM_BUDGET:
+            return tile_f, cand, tb
+    if 8 * b * tb * s_pad <= _VMEM_BUDGET:
+        return tile_f, b, tb
     return None
 
 
@@ -266,7 +291,7 @@ def _scanfree_impl(
         s = states_prepadded
     else:
         s_pad = -(-s // LANES) * LANES
-    tile_b, tb = _choose_tiles(b, t_total - 1, s_pad)
+    tile_f, tile_bt, tb = _choose_tiles(b, t_total - 1, s_pad)
     n_steps = t_total - 1
     t_pad = -(-max(n_steps, 1) // tb) * tb
     n_blocks = t_pad // tb
@@ -293,7 +318,7 @@ def _scanfree_impl(
         log_b0 = logb_pad[:, 0, :]
         log_b_steps = logb_pad[:, 1:, :]
 
-    grid = (b // tile_b, n_blocks)
+    grid = (b // tile_f, n_blocks)
     alpha, bps = pl.pallas_call(
         _forward_kernel,
         grid=grid,
@@ -301,24 +326,24 @@ def _scanfree_impl(
             pl.BlockSpec((8, s_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_f, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, s_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_f, s_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, tb, s_pad), lambda i, j: (i, j, 0),
+            pl.BlockSpec((tile_f, tb, s_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_b, s_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_f, s_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, tb, s_pad), lambda i, j: (i, j, 0),
+            pl.BlockSpec((tile_f, tb, s_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, s_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, t_pad, s_pad), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((tile_b, s_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_f, s_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -334,28 +359,28 @@ def _scanfree_impl(
 
     path_steps, final = pl.pallas_call(
         _backtrace_kernel,
-        grid=grid,
+        grid=(b // tile_bt, n_blocks),
         in_specs=[
-            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_bt, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_bt, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, tb, s_pad),
+            pl.BlockSpec((tile_bt, tb, s_pad),
                          lambda i, j: (i, n_blocks - 1 - j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tb, tile_b),
+            pl.BlockSpec((tb, tile_bt),
                          lambda i, j: (n_blocks - 1 - j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_bt, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, b), jnp.int32),
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((tile_b, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tile_bt, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,

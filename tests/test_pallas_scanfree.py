@@ -136,3 +136,59 @@ def test_decoder_scanfree_quad_fused_route():
     got = ContinuousDecoder(models, penalty=-50.0, backend="scanfree",
                             emissions="quad").predict_batch(clips)
     assert got == ref
+
+
+@pytest.mark.slow
+def test_scanfree_past_round4_cap():
+    """S=4203 (841 words) exceeded the round-4 MAX_STATES=4096 and silently
+    fell back; the split forward/backtrace batch tiles lift the cap to 8192,
+    so this shape must ride the kernels bitwise-exactly."""
+    from cs304_tpu.ops.pallas.trellis_scanfree import (
+        MAX_STATES,
+        _choose_tiles,
+    )
+
+    # The exact 1000-word shape (5003 states) is heavy for an interpreted
+    # CPU test; 969 mixed-size words (> old cap 4096) exercises the same
+    # multi-tile math.
+    comp = _composite(969, (5, 5, 3))
+    s = comp.num_states
+    assert 4096 < s <= MAX_STATES
+    s_pad = -(-s // 128) * 128
+    tiles = _choose_tiles(8, 16, s_pad)
+    assert tiles is not None, "shape must tile, not fall back"
+    tile_f, tile_bt, tb = tiles
+    assert 16 * tile_f * tb * s_pad <= 64 * 2**20
+    assert 8 * tile_bt * tb * s_pad <= 64 * 2**20
+    assert tile_bt in (256, 128, 8)
+
+    rng = np.random.default_rng(7)
+    b, t = 8, 12
+    log_b = jnp.asarray(rng.normal(size=(b, t, s)).astype(np.float32) * 3)
+    lengths = jnp.asarray(rng.integers(3, t + 1, size=b).astype(np.int32))
+    args = (jnp.asarray(comp.log_a), jnp.asarray(comp.lower_of_state),
+            jnp.asarray(comp.is_entry), jnp.asarray(comp.is_exit),
+            jnp.float32(comp.penalty), lengths)
+    ref_s, ref_p = viterbi_composite_batch_fast(log_b, *args)
+    got_s, got_p = viterbi_composite_batch_scanfree(log_b, *args)
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+
+
+def test_scanfree_cap_boundary():
+    """The fallback boundary itself: within MAX_STATES the tiler must accept
+    every 128-multiple width; past it the public entry must fall back (and
+    still be correct, which test_scanfree_fallback_shapes covers for the
+    other fallback causes)."""
+    from cs304_tpu.ops.pallas.trellis_scanfree import (
+        MAX_STATES,
+        _choose_tiles,
+    )
+
+    for s_pad in (128, 4096, 5120, 8192):
+        assert _choose_tiles(512, 151, s_pad) is not None, s_pad
+        tile_f, tile_bt, tb = _choose_tiles(512, 151, s_pad)
+        assert 512 % tile_f == 0 and 512 % tile_bt == 0
+        assert 16 * tile_f * tb * s_pad <= 64 * 2**20
+        assert 8 * tile_bt * tb * s_pad <= 64 * 2**20
+    assert MAX_STATES == 8192
