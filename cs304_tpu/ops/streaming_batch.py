@@ -531,6 +531,7 @@ class BatchedStreamingComposite:
         # against a released+reused slot reading the predecessor's text.
         self._stream_id = np.zeros(self.num_slots, np.int64)
         self._pending: Optional[dict] = None
+        self._pending_prev: Optional[dict] = None
         dim = c.means.shape[-1]
         self._dim = dim
         if sparse_upload not in (True, False, "auto"):
@@ -728,6 +729,12 @@ class BatchedStreamingComposite:
                 arr.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 pass  # CPU backend: device_get is free anyway
+        # Keep ONE completed generation behind: a poll issued right after
+        # the dispatch would otherwise wait for the entire device queue it
+        # just grew — the pipelined serving mode reads the previous round's
+        # snapshot instead (its compute finished during this round's host
+        # work), trading one chunk of staleness for a free poll.
+        self._pending_prev = self._pending
         self._pending = {
             "ids": ids, "counts": counts, "texts": None,
             "t": self._t.copy(), "sid": self._stream_id.copy(),
@@ -837,16 +844,32 @@ class BatchedStreamingComposite:
             slot: (float(scores[slot]), texts[slot]) for slot in slots
         }
 
+    def _materialize(self, p: dict) -> List[str]:
+        from .words import ids_to_strings
+
+        if p["texts"] is None:
+            p["texts"] = ids_to_strings(
+                np.asarray(p["ids"]), np.asarray(p["counts"]),
+                self.composite.labels,
+            )
+        return p["texts"]
+
     def partial_texts(
-        self, slots: Sequence[int] | None = None, skip_silence: bool = True
+        self, slots: Sequence[int] | None = None, skip_silence: bool = True,
+        stale_ok: bool = False,
     ) -> Dict[int, str]:
         """Best hypotheses so far for many slots — ONE finalize dispatch
         and one readback regardless of how many slots are polled (any state
         may end a partial). Slots with no frames yet map to "".
 
         When the last step() ran with partials=True and no requested slot
-        advanced since, the answer comes from that step's own dispatch: the
-        readback was already in flight, so the poll pays ~zero sync."""
+        advanced since, the answer comes from that step's own dispatch (the
+        readback was already in flight). stale_ok=True additionally accepts
+        the PREVIOUS fused dispatch's snapshot — at most one step stale per
+        slot, never crossing a stream boundary (stream ids guard reuse) —
+        so a poll issued right after a step never waits on the device queue
+        it just grew. That is the pipelined serving mode; exact-now polls
+        keep stale_ok=False."""
         from .words import ids_to_strings
 
         if slots is None:
@@ -865,12 +888,26 @@ class BatchedStreamingComposite:
                 for s in slots
             )
         ):
-            if p["texts"] is None:
-                p["texts"] = ids_to_strings(
-                    np.asarray(p["ids"]), np.asarray(p["counts"]),
-                    self.composite.labels,
+            texts = self._materialize(p)
+        elif stale_ok and p is not None:
+            # Pipelined: prefer the generation whose compute already
+            # finished (the one BEFORE the latest dispatch); rows are valid
+            # for any slot still on the same stream. Slots the snapshot
+            # predates (seeded after it) map to "" until the next round.
+            use = self._pending_prev
+            if use is None or use["skip_silence"] != skip_silence:
+                use = p
+            texts = self._materialize(use)
+            return {
+                slot: (
+                    texts[slot]
+                    if (self._t[slot] > 0
+                        and use["sid"][slot] == self._stream_id[slot]
+                        and use["t"][slot] > 0)
+                    else ""
                 )
-            texts = p["texts"]
+                for slot in slots
+            }
         else:
             _scores, ids, counts = jax.device_get(
                 self._run_finalize(True, skip_silence)

@@ -74,7 +74,7 @@ class ServingSessionPool:
         penalty: float = -100.0,
         num_slots: int = 64,
         mcfg: MFCCConfig = MFCCConfig(),
-        partials: bool = True,
+        partials: bool | str = True,
         speech_high_threshold: float = 512.0,
         speech_low_threshold: float = 64.0,
         silence_duration_threshold: float = 0.2,
@@ -95,7 +95,20 @@ class ServingSessionPool:
         (the offline bigram measure; ops/lm.WordBigram). Mutually
         exclusive with confidences=True: the posterior pass decodes the
         flat-penalty measure, so its transcript could silently disagree
-        with the LM partials."""
+        with the LM partials.
+
+        partials: False disables streaming entirely; "exact" makes every
+        partials() poll reflect all audio fed so far (each poll right
+        after a feed() waits for that round's device work — the measured
+        ~80-350 ms/round cost that pinned partials capacity, VERDICT r4
+        item #3); True (default) = "pipelined": polls serve the previous
+        round's pre-dispatched hypotheses — at most one feed() chunk
+        (~100 ms of audio) stale, never crossing an utterance boundary,
+        and costing no device wait. Endpoint finals and last_partial are
+        exact in every mode."""
+        if partials not in (True, False, "exact", "pipelined"):
+            raise ValueError(f"unknown partials mode {partials!r}")
+        self._partials_exact = partials == "exact"
         if bigram is not None and confidences:
             raise ValueError(
                 "bigram and confidences cannot combine: confidence finals "
@@ -271,7 +284,10 @@ class ServingSessionPool:
             if st["slot"] is not None
         }
         texts = (
-            self._pool.partial_texts(list(slot_of.values()))
+            self._pool.partial_texts(
+                list(slot_of.values()),
+                stale_ok=not self._partials_exact,
+            )
             if slot_of else {}
         )
         return {

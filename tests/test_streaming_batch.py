@@ -515,9 +515,11 @@ def test_step_fused_partials_match_eager(rng):
 
 
 def test_serving_pool_fused_partials(rng):
-    """ServingSessionPool: after the first partials() poll, feed() rounds
-    pre-dispatch hypotheses; polls must stay identical to a pool that never
-    fuses (the eager baseline) on the same audio."""
+    """ServingSessionPool(partials="exact"): after the first partials()
+    poll, feed() rounds pre-dispatch hypotheses; polls must stay identical
+    to a pool that never fuses (the eager baseline) on the same audio.
+    The default pipelined mode must deliver the same final results with
+    each poll equal to the current OR previous round's eager hypothesis."""
     from cs304_tpu.data.synthetic import SyntheticTIDigits
     from cs304_tpu.models.train_kmeans import (
         SegmentalKMeansConfig, train_digit_models, train_word_hmm,
@@ -547,23 +549,33 @@ def test_serving_pool_fused_partials(rng):
         corpus.sentence_audio("312", 0, jitter_seed=1),
         np.random.default_rng(1).normal(0, 20.0, 6400).astype(np.float32),
     ])
-    fused = ServingSessionPool(models, num_slots=4)
+    fused = ServingSessionPool(models, num_slots=4, partials="exact")
+    piped = ServingSessionPool(models, num_slots=4)  # default: pipelined
     plain = ServingSessionPool(models, num_slots=4)
-    sf, sp = fused.open(), plain.open()
+    sf, si, sp = fused.open(), piped.open(), plain.open()
     chunk = 1600
-    finals_f, finals_p = [], []
+    finals_f, finals_i, finals_p = [], [], []
+    prev_eager = ""
     for off in range(0, len(audio), chunk):
         piece = audio[off : off + chunk]
         done_f = fused.feed({sf: piece})
         pf = fused.partials()[sf]  # arms fused dispatch from round 1
+        done_i = piped.feed({si: piece})
+        pi = piped.partials()[si]
         done_p = plain.feed({sp: piece})
         pp = plain._pool.partial_texts(
             [plain._sessions[sp]["slot"]]
         ) if plain._sessions[sp]["slot"] is not None else {}
         finals_f += [r.text for r in done_f.get(sf, [])]
+        finals_i += [r.text for r in done_i.get(si, [])]
         finals_p += [r.text for r in done_p.get(sp, [])]
         if plain._sessions[sp]["slot"] is not None:
-            assert pf == pp[plain._sessions[sp]["slot"]]
+            eager = pp[plain._sessions[sp]["slot"]]
+            assert pf == eager
+            # Pipelined: this round's OR the previous round's hypothesis.
+            assert pi in (eager, prev_eager), (pi, eager, prev_eager)
+            prev_eager = eager
         else:
             assert pf == "" or fused._sessions[sf]["slot"] is not None
-    assert finals_f == finals_p and finals_f == ["312"]
+            prev_eager = ""
+    assert finals_f == finals_p == finals_i and finals_f == ["312"]
