@@ -34,7 +34,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--num-words", type=int, default=30)
     ap.add_argument("--oov-words", type=int, default=3)
@@ -78,10 +78,32 @@ def main() -> None:
                          "per center phone — the whole-unit-tying baseline "
                          "senones are judged against at matched parameter "
                          "counts")
+    ap.add_argument("--seed", type=int, default=5,
+                    help="replication seed: drives the train/eval sentence "
+                         "draws and every jitter base (the corpus "
+                         "vocabulary stays fixed), so K seeds = K "
+                         "independent sentence+speech realizations of the "
+                         "same task — the noise model behind "
+                         "senone_ladder.py's mean +/- stderr rows")
     ap.add_argument("--no-gates", action="store_true")
+    return ap
+
+
+def main() -> None:
+    ap = build_parser()
     args = ap.parse_args()
     if args.smooth_tau is not None and not (args.biphones or args.triphones):
         ap.error("--smooth-tau only applies with --biphones/--triphones")
+    run(args)
+
+
+def run(args) -> list:
+    """The full tier study; returns the emitted JSON lines (also printed)."""
+    lines = []
+
+    def emit(obj):
+        lines.append(obj)
+        print(json.dumps(obj))
 
     from cs304_tpu.audio.endpointing import SignalSeparation
     from cs304_tpu.data.wordvocab import make_lexicon, make_word_corpus
@@ -116,7 +138,7 @@ def main() -> None:
     train_words = [l for l in labels if l not in oov]
     oov_phones = {p for w in oov for p in lex[w]}
     covered = oov_phones <= {p for w in train_words for p in lex[w]}
-    print(json.dumps({
+    emit(dict({
         "stage": "setup", "words": len(train_words), "oov": oov,
         "phones": len(lex.phones), "oov_phones_covered": covered,
     }))
@@ -134,7 +156,7 @@ def main() -> None:
                               length_multiple=32),
     ).model
 
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(args.seed)
     sentences = []
     seen = set()
     while len(sentences) < args.train_sentences:
@@ -144,7 +166,7 @@ def main() -> None:
             sentences.append(tr)
     sentence_feats = {
         tr: mfcc_batch([
-            corpus.sentence_audio(tr, spk, jitter_seed=k)
+            corpus.sentence_audio(tr, spk, jitter_seed=args.seed * 1000 + k)
             for spk in range(args.train_speakers) for k in range(1)
         ])
         for tr in sentences
@@ -329,7 +351,7 @@ def main() -> None:
             1 for u in sen_units if u != "S"
         )
         training_line["senone_tier_wall_s"] = round(t_sen, 1)
-    print(json.dumps(training_line))
+    emit(training_line)
 
     # ---- in-vocab eval ---------------------------------------------------
     test_speakers = range(args.train_speakers,
@@ -340,7 +362,7 @@ def main() -> None:
         tr = tuple(str(x) for x in rng.choice(train_words, size=3))
         for spk in test_speakers:
             truths.append("".join(tr))
-            clips.append(corpus.sentence_audio(tr, spk, jitter_seed=200 + k))
+            clips.append(corpus.sentence_audio(tr, spk, jitter_seed=args.seed * 1000 + 200 + k))
         k += 1
     feats = mfcc_batch(clips)
     tiers = [("word_tier", word_final), ("phone_tier", composed)]
@@ -357,7 +379,7 @@ def main() -> None:
         dec = ContinuousDecoder(models, penalty=args.penalty)
         preds = dec.predict_batch(feats)
         accs[name] = float(np.mean([p == t for p, t in zip(preds, truths)]))
-    print(json.dumps({
+    emit(dict({
         "stage": "in_vocab",
         "utterances": len(feats),
         **{f"{name}_acc": round(a, 4) for name, a in accs.items()},
@@ -373,7 +395,7 @@ def main() -> None:
             for spk in test_speakers:
                 truths2.append("".join(tr))
                 clips2.append(
-                    corpus.sentence_audio(tr, spk, jitter_seed=300 + k)
+                    corpus.sentence_audio(tr, spk, jitter_seed=args.seed * 1000 + 300 + k)
                 )
         feats2 = mfcc_batch(clips2)
         dec = ContinuousDecoder(composed, penalty=args.penalty)
@@ -430,9 +452,9 @@ def main() -> None:
                     [p == t for p, t in zip(preds_syn, truths2)]
                 )), 4)
             oov_line["senone_synthesized_units"] = int(n_synth)
-        print(json.dumps(oov_line))
+        emit(oov_line)
 
-    print(json.dumps({
+    emit(dict({
         "metric": f"phone-tier OOV exact-sequence accuracy "
                   f"({len(train_words)}+{len(oov)} words)",
         "value": oov_acc if oov_acc is not None else accs["phone_tier"],
@@ -441,7 +463,7 @@ def main() -> None:
     }))
     if not args.no_gates:
         if args.hard or args.coarticulation > 0 or args.anticipatory > 0:
-            print(json.dumps({
+            emit(dict({
                 "gates": "skipped",
                 "note": "--hard/--coarticulation/--anticipatory are "
                         "difficulty studies; absolute gates apply at "
@@ -454,7 +476,8 @@ def main() -> None:
                          "tied_triphone_tier", "senone_tier"):
                 if tier in accs:
                     assert accs[tier] >= 0.85, accs
-            print(json.dumps({"gates": "pass"}))
+            emit(dict({"gates": "pass"}))
+    return lines
 
 
 if __name__ == "__main__":
