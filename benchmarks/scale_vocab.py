@@ -176,7 +176,7 @@ def decode_stage(models, corpus, eval_transcripts, mcfg, args):
     for tr in eval_transcripts:
         for spk in test_speakers:
             truths.append("".join(tr))
-            clips.append(corpus.sentence_audio(tr, spk, jitter_seed=77))
+            clips.append(corpus.sentence_audio(tr, spk, jitter_seed=77 + 1000 * args.seed))
     feats = mfcc_batch(clips, cfg=mcfg)
     feats = [np.asarray(f) for f in feats]
 
@@ -341,6 +341,11 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--no-gates", action="store_true")
     ap.add_argument("--skip-serving", action="store_true")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="replication seed: offsets the train/eval "
+                         "transcript draws and the eval jitter base, so "
+                         "repeated gate runs are independent realizations "
+                         "(the precision-tier A/B needs n >= 2)")
     args = ap.parse_args()
 
     from cs304_tpu.ops.mfcc import MFCCConfig
@@ -358,10 +363,10 @@ def main() -> None:
 
     boot = boot_stage(corpus, mcfg)
     train_trs = make_transcripts(labels, args.train_transcripts,
-                                 (2, 3, 4), seed=5)
+                                 (2, 3, 4), seed=5 + 100 * args.seed)
     models = train_stage(corpus, boot, train_trs, mcfg, args)
     eval_trs = make_transcripts(labels, args.eval_transcripts,
-                                (2, 3, 4), seed=6)
+                                (2, 3, 4), seed=6 + 100 * args.seed)
     decoder, feats, truths, acc, acc_beam = decode_stage(
         models, corpus, eval_trs, mcfg, args
     )
