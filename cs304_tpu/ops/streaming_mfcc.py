@@ -60,13 +60,41 @@ class StreamingMFCC:
         hop = self.cfg.hop_length
         # Center padding: the first frame is centered at sample 0.
         self._buffer = np.zeros(hop, np.float32)  # leading zero block
-        self._mfcc: List[np.ndarray] = []  # raw (un-normalized) mfcc frames
+        # Raw (un-normalized) mfcc history: a doubling (cap, 13) array —
+        # the serving host loop feeds hundreds of sessions per round, and
+        # the original one-python-call-per-frame list was the measured
+        # per-session cost pinning partials capacity (round 5).
+        self._mfcc_arr = np.zeros((64, self.cfg.n_mfcc), np.float32)
+        self._n = 0
         self._emitted = 0
 
+    @property
+    def _mfcc(self) -> np.ndarray:
+        return self._mfcc_arr[: self._n]
+
+    def _append_mfcc(self, rows: np.ndarray) -> None:
+        need = self._n + len(rows)
+        if need > len(self._mfcc_arr):
+            cap = len(self._mfcc_arr)
+            while cap < need:
+                cap *= 2
+            grown = np.zeros((cap, self.cfg.n_mfcc), np.float32)
+            grown[: self._n] = self._mfcc_arr[: self._n]
+            self._mfcc_arr = grown
+        self._mfcc_arr[self._n : need] = rows
+        self._n = need
+
     # -- internals -----------------------------------------------------------
-    def _mfcc_frame(self, frame: np.ndarray) -> np.ndarray:
-        re = frame @ self._dft_cos
-        im = frame @ self._dft_sin
+    def _mfcc_frames(self, frames: np.ndarray) -> np.ndarray:
+        """(k, n_fft) windowed-DFT/mel/dB/DCT — one vectorized pass.
+
+        float64 accumulation: batched f32 BLAS rounds differently per batch
+        size, which broke chunking invariance (feeding the same audio in 1
+        vs 30 chunks must emit identical frames); at f64 the batch-order
+        difference is ~1e-15, invisible after the final f32 cast."""
+        frames = frames.astype(np.float64)
+        re = frames @ self._dft_cos
+        im = frames @ self._dft_sin
         power = re * re + im * im
         mel = power @ self._mel_fb.T
         amin = self.cfg.amin
@@ -76,7 +104,7 @@ class StreamingMFCC:
         # Online top_db clamp uses the fixed reference (= the peak when
         # calibrated), i.e. max(db, -top_db).
         db = np.maximum(db, -self.cfg.top_db)
-        return db @ self._dct_m.T
+        return (db @ self._dct_m.T).astype(np.float32)
 
     def _features_for(self, idx: int, tail: bool = False) -> np.ndarray:
         """Assemble the 39-dim vector for frame idx (requires idx+4 frames,
@@ -84,13 +112,13 @@ class StreamingMFCC:
         w = self.cfg.delta_width
         interior1, el1, er1 = self._d1
         interior2, el2, er2 = self._d2
-        n = len(self._mfcc)
+        n = self._n
 
-        # Stack only the <= w frames each window needs: stacking the WHOLE
+        # Slice only the <= w frames each window needs: touching the WHOLE
         # history here made long utterances quadratic (profiled dominant in
         # the serving host loop at 1024 sessions).
         def window_of(lo, hi):
-            return np.stack(self._mfcc[lo:hi])
+            return self._mfcc[lo:hi]
 
         def delta(ops_interior, edge_left, edge_right, i):
             if i < self._half:
@@ -113,27 +141,66 @@ class StreamingMFCC:
         d2 = delta(interior2, el2, er2, idx)
         return np.concatenate([norm, d1, d2]).astype(np.float32)
 
+    def _extract_frames(self) -> None:
+        """Consume all complete n_fft windows from the sample buffer in one
+        vectorized pass (stride view + one batched matmul chain)."""
+        hop, n_fft = self.cfg.hop_length, self.cfg.n_fft
+        buf = self._buffer
+        if len(buf) < n_fft:
+            return
+        k = (len(buf) - n_fft) // hop + 1
+        frames = np.lib.stride_tricks.sliding_window_view(
+            buf, n_fft
+        )[:: hop][:k]
+        self._append_mfcc(self._mfcc_frames(frames))
+        self._buffer = buf[k * hop:].copy()
+
+    def _emit_range(self, e0: int, e1: int) -> np.ndarray:
+        """Assemble feature rows for frames [e0, e1) — all interior/left-edge
+        (feed-time) frames in one vectorized pass. Requires e1 + half <= n."""
+        w, half = self.cfg.delta_width, self._half
+        interior1, el1, er1 = self._d1
+        interior2, el2, er2 = self._d2
+        m = self._mfcc[e0:e1]  # (k, 13)
+        mean = m.mean(axis=1, keepdims=True)
+        std = m.std(axis=1, keepdims=True)
+        norm = (m - mean) / (std + self.cfg.normalize_eps)
+        k = e1 - e0
+        d1 = np.empty((k, m.shape[1]), np.float32)
+        d2 = np.empty((k, m.shape[1]), np.float32)
+        # Left edge (frame index < half): fixed first window.
+        n_edge = max(0, min(half - e0, k))
+        if n_edge:
+            first = self._mfcc[:w]
+            d1[:n_edge] = el1[e0 : e0 + n_edge] @ first
+            d2[:n_edge] = el2[e0 : e0 + n_edge] @ first
+        if n_edge < k:
+            i0 = e0 + n_edge  # first interior frame index
+            windows = np.lib.stride_tricks.sliding_window_view(
+                self._mfcc[i0 - half : e1 + half], w, axis=0
+            )  # (k - n_edge, 13, w)
+            d1[n_edge:] = np.einsum("w,kcw->kc", interior1, windows)
+            d2[n_edge:] = np.einsum("w,kcw->kc", interior2, windows)
+        return np.concatenate([norm, d1, d2], axis=1).astype(np.float32)
+
     # -- public ---------------------------------------------------------------
     def feed(self, samples: np.ndarray) -> np.ndarray:
         """Feed raw samples; returns newly available (k, 39) frames (frames
         are released once 4 future frames exist)."""
-        hop, n_fft = self.cfg.hop_length, self.cfg.n_fft
         self._buffer = np.concatenate(
             [self._buffer, np.asarray(samples, np.float32)]
         )
-        while len(self._buffer) >= n_fft:
-            self._mfcc.append(self._mfcc_frame(self._buffer[:n_fft]))
-            self._buffer = self._buffer[hop:]
-        out = []
+        self._extract_frames()
         # Frame i needs frames up to i+half for its deltas (4-frame latency);
         # left-edge frames additionally need a full first window.
-        while (
-            self._emitted + self._half < len(self._mfcc)
-            and len(self._mfcc) >= self.cfg.delta_width
-        ):
-            out.append(self._features_for(self._emitted))
-            self._emitted += 1
-        return np.stack(out) if out else np.zeros((0, 3 * self.cfg.n_mfcc), np.float32)
+        if self._n < self.cfg.delta_width:
+            return np.zeros((0, 3 * self.cfg.n_mfcc), np.float32)
+        e0, e1 = self._emitted, self._n - self._half
+        if e1 <= e0:
+            return np.zeros((0, 3 * self.cfg.n_mfcc), np.float32)
+        out = self._emit_range(e0, e1)
+        self._emitted = e1
+        return out
 
     def finalize(self) -> np.ndarray:
         """Flush remaining frames with the offline right-edge handling.
@@ -143,12 +210,9 @@ class StreamingMFCC:
         # end too): flushes the final frame(s).
         pad = self.cfg.n_fft - self.cfg.hop_length
         self._buffer = np.concatenate([self._buffer, np.zeros(pad, np.float32)])
-        hop, n_fft = self.cfg.hop_length, self.cfg.n_fft
-        while len(self._buffer) >= n_fft:
-            self._mfcc.append(self._mfcc_frame(self._buffer[:n_fft]))
-            self._buffer = self._buffer[hop:]
+        self._extract_frames()
         out = []
-        n = len(self._mfcc)
+        n = self._n
         while self._emitted < n:
             out.append(self._features_for(self._emitted, tail=True))
             self._emitted += 1
@@ -171,14 +235,17 @@ def mel_peak(samples: np.ndarray, cfg: MFCCConfig = MFCCConfig()) -> float:
     window, fb = _mel_peak_constants(
         cfg.sample_rate, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
     )
-    peak = 1e-10
-    for t in range(1 + len(sig) // hop):
-        frame = padded[t * hop : t * hop + n_fft]
-        if len(frame) < n_fft:
-            break
-        p = np.abs(np.fft.rfft(frame * window)) ** 2
-        peak = max(peak, float((fb @ p).max()))
-    return peak
+    n_frames = min(1 + len(sig) // hop,
+                   max(0, (len(padded) - n_fft) // hop + 1))
+    if n_frames <= 0:
+        return 1e-10
+    frames = np.lib.stride_tricks.sliding_window_view(
+        padded, n_fft
+    )[:: hop][:n_frames]
+    # One batched rfft instead of a per-frame Python loop — this runs per
+    # serving session per chunk (calibration + recalibration checks).
+    p = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
+    return max(1e-10, float((p @ fb.T).max()))
 
 
 @lru_cache(maxsize=8)
