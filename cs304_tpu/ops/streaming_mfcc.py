@@ -67,6 +67,7 @@ class StreamingMFCC:
         self._mfcc_arr = np.zeros((64, self.cfg.n_mfcc), np.float32)
         self._n = 0
         self._emitted = 0
+        self.last_feed_mel_peak = 0.0
 
     @property
     def _mfcc(self) -> np.ndarray:
@@ -97,6 +98,13 @@ class StreamingMFCC:
         im = frames @ self._dft_sin
         power = re * re + im * im
         mel = power @ self._mel_fb.T
+        # Free byproduct for the serving recalibration check: the peak mel
+        # power of the frames just processed (a separate per-chunk mel_peak
+        # pass on the raw samples was ~0.25 ms/session/round of host work).
+        if mel.size:
+            self.last_feed_mel_peak = max(
+                self.last_feed_mel_peak, float(mel.max())
+            )
         amin = self.cfg.amin
         db = 10 * np.log10(np.maximum(amin, mel)) - 10 * np.log10(
             np.maximum(amin, self.ref_power)
@@ -186,7 +194,10 @@ class StreamingMFCC:
     # -- public ---------------------------------------------------------------
     def feed(self, samples: np.ndarray) -> np.ndarray:
         """Feed raw samples; returns newly available (k, 39) frames (frames
-        are released once 4 future frames exist)."""
+        are released once 4 future frames exist). After the call,
+        `last_feed_mel_peak` holds the peak mel power seen in THIS call's
+        processed frames (0.0 when no frame completed)."""
+        self.last_feed_mel_peak = 0.0
         self._buffer = np.concatenate(
             [self._buffer, np.asarray(samples, np.float32)]
         )

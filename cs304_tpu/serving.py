@@ -419,7 +419,15 @@ class ServingSessionPool:
             state["speech"] = [samples]
             frames = state["mfcc"].feed(samples)
         elif len(samples):
-            peak = mel_peak(samples, self._mcfg)
+            # Recalibration check from the front-end's OWN frame pass (the
+            # former separate mel_peak() over the raw chunk re-did the DFT
+            # work per session per round). Feed first, read the chunk's
+            # peak; on an exceedance the slot is released and the whole
+            # utterance replays through a fresh front-end anyway, so the
+            # just-fed frames are discarded exactly as before.
+            state["speech"].append(samples)
+            frames = state["mfcc"].feed(samples)
+            peak = state["mfcc"].last_feed_mel_peak
             if peak > state["ref"] * self.RECALIBRATION_RATIO:
                 state["ref"] = peak
                 state["mfcc"] = StreamingMFCC(
@@ -428,13 +436,9 @@ class ServingSessionPool:
                 stream_feeds.pop(state["slot"], None)
                 self._pool.release(state["slot"])
                 state["slot"] = self._pool.start()
-                state["speech"].append(samples)
                 frames = state["mfcc"].feed(
                     np.concatenate(state["speech"])
                 )
-            else:
-                state["speech"].append(samples)
-                frames = state["mfcc"].feed(samples)
         if flush and state["mfcc"] is not None:
             tail = state["mfcc"].finalize()
             if len(tail):
