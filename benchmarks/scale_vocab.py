@@ -293,6 +293,17 @@ def serving_stage(models, feats, truths, args):
     streamed = pool.finalize(slots)
     offline = decoder.predict_batch(sample)
     parity = [streamed[s][1] == offline[i] for i, s in enumerate(slots)]
+    if not all(parity):
+        for i, s in enumerate(slots):
+            if not parity[i] and sum(
+                not p for p in parity[: i + 1]
+            ) <= 5:
+                print(json.dumps({
+                    "parity_diff": i, "frames": int(sample[i].shape[0]),
+                    "streamed": streamed[s][1],
+                    "streamed_score": round(float(streamed[s][0]), 2),
+                    "offline": offline[i],
+                }))
     assert all(parity), (
         f"streamed != offline for {parity.count(False)}/{n_parity} streams"
     )
@@ -366,6 +377,16 @@ def main() -> None:
                          "but its (T, S, D) intermediate stops fitting "
                          "past ~2500 states; quad+HIGHEST is the measured-"
                          "agreement-1.0 stand-in at 1000 words")
+    ap.add_argument("--save-ckpt", default=None,
+                    help="save the trained models to this directory after "
+                         "embedded training (utils/checkpoint.py manifest "
+                         "format), so serving/decode stages can be re-run "
+                         "without the ~15-minute boot+train at 1000 words")
+    ap.add_argument("--load-ckpt", default=None,
+                    help="skip boot+train and load models from this "
+                         "checkpoint directory (pair with the --seed/"
+                         "--num-words of the run that saved it: the eval "
+                         "transcripts are drawn from those)")
     ap.add_argument("--seed", type=int, default=0,
                     help="replication seed: offsets the train/eval "
                          "transcript draws and the eval jitter base, so "
@@ -386,10 +407,26 @@ def main() -> None:
         "composite_states": 5 * len(labels) + 3,
     }))
 
-    boot = boot_stage(corpus, mcfg)
-    train_trs = make_transcripts(labels, args.train_transcripts,
-                                 (2, 3, 4), seed=5 + 100 * args.seed)
-    models = train_stage(corpus, boot, train_trs, mcfg, args)
+    if args.load_ckpt:
+        from cs304_tpu.utils.checkpoint import load_models
+
+        models = load_models(args.load_ckpt)
+        print(json.dumps({"stage": "load_ckpt", "path": args.load_ckpt,
+                          "labels": len(models)}))
+    else:
+        boot = boot_stage(corpus, mcfg)
+        train_trs = make_transcripts(labels, args.train_transcripts,
+                                     (2, 3, 4), seed=5 + 100 * args.seed)
+        models = train_stage(corpus, boot, train_trs, mcfg, args)
+        if args.save_ckpt:
+            from cs304_tpu.utils.checkpoint import save_models
+
+            save_models(models, args.save_ckpt, tier="words",
+                        provenance={"script": "benchmarks/scale_vocab.py",
+                                    "num_words": len(labels),
+                                    "seed": args.seed})
+            print(json.dumps({"stage": "save_ckpt",
+                              "path": args.save_ckpt}))
     eval_trs = make_transcripts(labels, args.eval_transcripts,
                                 (2, 3, 4), seed=6 + 100 * args.seed)
     decoder, feats, truths, acc, acc_beam = decode_stage(

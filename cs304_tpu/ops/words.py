@@ -57,8 +57,9 @@ def words_from_path(
     # Gather/scatter-free: on TPU, per-element gathers (word_of_state[path])
     # and the position scatter lower to serialized dynamic-slice loops that
     # cost ~1.6 ms/batch at B=512 — more than the readback they save. The
-    # same compaction in compares + two tiny one-hot matmuls + a cumsum is
-    # pure VPU/MXU work (measured ~0.15 ms/batch, benchmarks/words_ab.py).
+    # same compaction in compares + masked integer one-hot reductions + a
+    # cumsum is pure VPU work (measured ~0.15 ms/batch as f32 matmuls,
+    # benchmarks/words_ab.py; the integer reduce is the same pass).
     path = path.astype(jnp.int32)
     t = path.shape[0]
     w_num = lowers.shape[0]
@@ -72,10 +73,18 @@ def words_from_path(
     prev_word = jnp.sum(
         prev[:, None] >= lowers[None, :], axis=-1, dtype=jnp.int32
     ) - 1
-    # uppers[word] / lowers[word] as (T, W) one-hot contractions.
-    woh = (word[:, None] == jnp.arange(w_num)[None, :]).astype(jnp.float32)
-    up_of = jnp.round(woh @ uppers.astype(jnp.float32)).astype(jnp.int32)
-    lo_of = jnp.round(woh @ lowers.astype(jnp.float32)).astype(jnp.int32)
+    # uppers[word] / lowers[word] as (T, W) one-hot contractions — INTEGER
+    # masked reductions, not f32 matmuls: TPU default matmul precision is a
+    # single bf16 pass, exact only for integers <= 256, and these values
+    # reach S ~ 5003 at a 1000-word vocabulary (bf16 step there is 32 —
+    # jnp.round cannot recover it; this corrupted every streamed transcript
+    # of the r5 1000-word serving run). The VPU integer reduce is exact by
+    # construction at any vocabulary size and costs the same O(T*W) pass.
+    woh = word[:, None] == jnp.arange(w_num)[None, :]
+    up_of = jnp.sum(jnp.where(woh, uppers.astype(jnp.int32)[None, :], 0),
+                    axis=-1)
+    lo_of = jnp.sum(jnp.where(woh, lowers.astype(jnp.int32)[None, :], 0),
+                    axis=-1)
     new_point = (idx == 0) | (path != prev)
     reentry = (prev == up_of) & (path == lo_of)
     emit = new_point & (
@@ -84,12 +93,13 @@ def words_from_path(
     emit = emit & (idx < length) & (word != silence_word)
     pos = jnp.cumsum(emit) - 1
     n = jnp.sum(emit).astype(jnp.int32)
-    # Position scatter as a (max_words, T) one-hot contraction.
+    # Position scatter as a (max_words, T) one-hot contraction — integer
+    # masked reduce for the same reason as above (word ids reach 1000).
     slotoh = (
-        (pos[:, None] == jnp.arange(max_words)[None, :]) & emit[:, None]
-    ).astype(jnp.float32)
-    ids_f = jnp.round(slotoh.T @ word.astype(jnp.float32)).astype(jnp.int32)
-    ids = jnp.where(jnp.arange(max_words) < n, ids_f, -1).astype(out_dtype)
+        pos[:, None] == jnp.arange(max_words)[None, :]
+    ) & emit[:, None]
+    ids_i = jnp.sum(jnp.where(slotoh, word[:, None], 0), axis=0)
+    ids = jnp.where(jnp.arange(max_words) < n, ids_i, -1).astype(out_dtype)
     return ids, n
 
 
